@@ -1,0 +1,83 @@
+package graft.model
+
+/** Single source of truth for the synthetic tile world.
+  *
+  * Mirrors the reference's 4x4 AHN tile grid (tudelft3d/tile-processor:
+  * docker/bag3d_db/bag3d_db.dump, tests/test_tiles.py:219-245): an
+  * axis-aligned integer world [0,10000)^2 cut into 16 tiles of 2500x2500.
+  * The west half is elevation version 2, the east half version 3; the two
+  * columns straddling the version boundary form the "border" strip
+  * (reference tile_processor/tileconfig.py:525-598).
+  *
+  * Every constant here is rendered BOTH as a Spark DataFrame
+  * (graft.sources.Tables) and as a DuckDB VALUES CTE (graft.sources.Sql),
+  * so each declared query has an exact oracle. Integer coordinates keep
+  * all derived values exactly representable in both engines — no float
+  * drift in the driver's hash compare.
+  */
+object TileGrid {
+  val World: Int = 10000
+  val TileSize: Int = 2500
+  val N: Int = 4
+
+  /** One tile of the index: envelope + version + border flag.
+    * Column layout mirrors tile_index.ahn_tiles of the reference
+    * (FIXTURES.md §1) with the envelope model of SURVEY §7.1. */
+  final case class Tile(tile_id: String, tx: Int, ty: Int,
+      xmin: Int, ymin: Int, xmax: Int, ymax: Int,
+      version: Int, border: Boolean)
+
+  val tiles: Seq[Tile] =
+    for { tx <- 0 until N; ty <- 0 until N } yield Tile(
+      s"t${tx}_${ty}", tx, ty,
+      tx * TileSize, ty * TileSize, (tx + 1) * TileSize, (ty + 1) * TileSize,
+      version = if (tx < 2) 2 else 3,
+      border = tx == 1 || tx == 2)
+
+  /** Elevation file fixture, mirroring the reference's tests/data/ahn tree
+    * (FIXTURES.md §2): per-version filename patterns (ahn3 `C{tile}.LAZ`
+    * mixed-case prio 1, ahn2 `unit_{tile}.laz` prio 2, ahn1 `m-{tile}.laz`
+    * prio 3), one equal-priority duplicate dir (append semantics,
+    * reference tileconfig.py:471-489), and one stray unmatchable file
+    * (NULL-version skip, tileconfig.py:633-639). */
+  final case class ElevFile(path: String, dir_version: Option[Int], priority: Int)
+
+  val elevFiles: Seq[ElevFile] = {
+    val ahn3 = tiles.filter(t => t.version == 3 || t.border)
+      .map(t => ElevFile(s"/data/ahn3/C${t.tile_id.toUpperCase}.LAZ", Some(3), 1))
+    val ahn2 = tiles.filter(t => t.version == 2 || t.border)
+      .map(t => ElevFile(s"/data/ahn2/unit_${t.tile_id}.laz", Some(2), 2))
+    val ahn2b = Seq("t1_0", "t1_1")
+      .map(id => ElevFile(s"/data/ahn2b/unit_${id}.laz", Some(2), 2))
+    val ahn1 = tiles.map(t => ElevFile(s"/data/ahn1/m-${t.tile_id}.laz", Some(1), 3))
+    val stray = Seq(
+      ElevFile("/data/ahn3/readme.txt", None, 1),        // no tile in name
+      ElevFile("/data/ahnx/m-t3_3.laz", None, 3))        // tile but NULL version
+    ahn3 ++ ahn2 ++ ahn2b ++ ahn1 ++ stray
+  }
+
+  /** The extent used by extent-selection queries — plays the role of the
+    * reference's tests/data/extent_small.geojson polygon. */
+  val ExtentXMin = 3000
+  val ExtentYMin = 2000
+  val ExtentXMax = 8000
+  val ExtentYMax = 7000
+
+  // ---- DuckDB renderings (oracle side) ----
+
+  def boundariesSqlCte: String = {
+    val rows = tiles.map(t =>
+      s"('${t.tile_id}', ${t.tx}, ${t.ty}, ${t.xmin}, ${t.ymin}, " +
+      s"${t.xmax}, ${t.ymax}, ${t.version}, ${t.border})").mkString(", ")
+    "boundaries(tile_id, tx, ty, xmin, ymin, xmax, ymax, version, border) " +
+      s"AS (VALUES $rows)"
+  }
+
+  def elevFilesSqlCte: String = {
+    val rows = elevFiles.map { f =>
+      val v = f.dir_version.map(_.toString).getOrElse("CAST(NULL AS INTEGER)")
+      s"('${f.path}', $v, ${f.priority})"
+    }.mkString(", ")
+    s"elev_files(path, dir_version, priority) AS (VALUES $rows)"
+  }
+}

@@ -1,0 +1,10 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.OpModule
+
+object DedupOps extends OpModule {
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def oracles: Map[String, String] = Map()
+}
