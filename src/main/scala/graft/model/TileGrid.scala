@@ -47,7 +47,9 @@ object TileGrid {
       .map(t => ElevFile(s"/data/ahn3/C${t.tile_id.toUpperCase}.LAZ", Some(3), 1))
     val ahn2 = tiles.filter(t => t.version == 2 || t.border)
       .map(t => ElevFile(s"/data/ahn2/unit_${t.tile_id}.laz", Some(2), 2))
-    val ahn2b = Seq("t1_0", "t1_1")
+    // equal-priority second dir on tiles with NO priority-1 coverage, so
+    // the append-at-equal-priority semantics is observable in A8
+    val ahn2b = Seq("t0_0", "t0_1")
       .map(id => ElevFile(s"/data/ahn2b/unit_${id}.laz", Some(2), 2))
     val ahn1 = tiles.map(t => ElevFile(s"/data/ahn1/m-${t.tile_id}.laz", Some(1), 3))
     val stray = Seq(

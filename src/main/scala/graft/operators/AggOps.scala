@@ -1,10 +1,196 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 import graft.OpModule
+import graft.functions.{Envelope, EnvelopeUnion}
+import graft.sources.{Sql, Tables}
 
+/** Aggregation + window suite A1-A9, W1, W4-W5 (SURVEY §2.5-§2.6).
+  *
+  * All group-bys get map-side partial aggregation from Spark for free
+  * (the reference's single-process Python has none). Sums of doubles are
+  * rounded on BOTH engine sides because float summation order differs
+  * between Spark partial aggregation and DuckDB (SURVEY §7.4).
+  */
 object AggOps extends OpModule {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracles: Map[String, String] = Map()
+
+  /** Per-tile two-step worker outcomes (export, merge) with deterministic
+    * success arithmetic — the fixture stand-in for worker exit codes
+    * (worker.py:646-691). */
+  private def workerSteps(s: SparkSession): DataFrame = {
+    val b = Tables.boundaries(s)
+    b.select(col("tile_id"), lit("export").as("step"),
+        (((col("tx") * 4 + col("ty")) % 3) =!= 0).as("ok"))
+      .unionByName(
+        b.select(col("tile_id"), lit("merge").as("step"),
+          (((col("tx") * col("ty")) % 4) =!= 1).as("ok")))
+  }
+
+  private val workerStepsSql =
+    """worker_steps AS (
+      |  SELECT tile_id, 'export' AS step, ((tx*4+ty) % 3) <> 0 AS ok FROM boundaries
+      |  UNION ALL
+      |  SELECT tile_id, 'merge' AS step, ((tx*ty) % 4) <> 1 AS ok FROM boundaries)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1 — dissolve per version via the custom EnvelopeUnion Aggregator
+    // (ST_UnaryUnion(ST_Collect(...)) GROUP BY version, tileconfig.py:567-586)
+    "a1_envelope_union" -> ((s, _) => {
+      import s.implicits._
+      Tables.boundaries(s)
+        .select(col("version"), col("xmin"), col("ymin"), col("xmax"), col("ymax"))
+        .as[(Int, Int, Int, Int, Int)]
+        .groupByKey(_._1)
+        .mapValues(t => Envelope(t._2, t._3, t._4, t._5))
+        .agg(EnvelopeUnion.toColumn.name("env"))
+        .toDF("version", "env")
+        .select(col("version"), col("env.xmin").as("uxmin"),
+          col("env.ymin").as("uymin"), col("env.xmax").as("uxmax"),
+          col("env.ymax").as("uymax"))
+    }),
+
+    // A2 — array_agg(tile) GROUP BY version (tileconfig.py:587-598);
+    // sorted + joined to a string for order-stable comparison
+    "a2_tiles_per_version" -> ((s, _) =>
+      Tables.boundaries(s).groupBy("version")
+        .agg(array_join(sort_array(collect_list("tile_id")), ",").as("tiles"),
+          count(lit(1)).as("n"))),
+
+    // A3 — monitor log grouped per tile (recorder.py:102)
+    "a3_monitor_by_tile" -> ((s, dir) =>
+      Tables.monitorLog(s, dir).groupBy("tile_id")
+        .agg(count(lit(1)).as("n_samples"),
+          round(sum("cpu_time_user"), 4).as("cpu_user_total"),
+          max("mem_rss").as("mem_peak"))),
+
+    // A4 — max per group (recorder.py:127)
+    "a4_max_cpu_per_tile" -> ((s, dir) =>
+      Tables.monitorLog(s, dir).groupBy("tile_id")
+        .agg(max("cpu_time_user").as("cpu_max"))),
+
+    // A5 — success/failure tally over worker results (processor.py:99-125)
+    "a5_worker_result_counts" -> ((s, _) =>
+      workerSteps(s).filter(col("step") === "export")
+        .groupBy("ok").agg(count(lit(1)).as("n"))),
+
+    // A6 — boolean conjunction over a tile's sub-steps (worker.py:691)
+    "a6_steps_all_ok" -> ((s, _) =>
+      workerSteps(s).groupBy("tile_id")
+        .agg(expr("bool_and(ok)").as("all_ok"))),
+
+    // A7 — duplicate detection per (tile, priority) — the error branch of
+    // tileconfig.py:630-637 (implemented as intended, not the `id` bug)
+    "a7_dup_detect" -> ((s, _) =>
+      Tables.elevIndex(s).groupBy("tile_id", "priority")
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1)),
+
+    // A8/W1 — the reference's most intricate pure-data operator:
+    // highest-priority dir wins per tile, equal priorities append
+    // (tileconfig.py:443-497; golden map test_tiles.py:68-91)
+    "a8_priority_dedup" -> ((s, _) => {
+      val w = Window.partitionBy("tile_id")
+      Tables.elevIndex(s)
+        .withColumn("minp", min("priority").over(w))
+        .filter(col("priority") === col("minp"))
+        .groupBy("tile_id")
+        .agg(max("dir_version").as("version"),
+          array_join(sort_array(collect_list("path")), ",").as("file_list"),
+          count(lit(1)).as("n_files"))
+    }),
+
+    // A9 — cardinalities via count distinct (tileconfig.py:218-222, 511-515)
+    "a9_cardinalities" -> ((s, _) =>
+      Tables.boundaries(s).agg(
+        countDistinct("tile_id").as("n_tiles"),
+        countDistinct("version").as("n_versions"))),
+
+    // W1 — explicit rank-per-partition over the file index
+    "w1_rank_files" -> ((s, _) =>
+      Tables.elevIndex(s).select(col("tile_id"), col("path"),
+        row_number().over(
+          Window.partitionBy("tile_id").orderBy("priority", "path")).as("rn"))),
+
+    // W4 — time-series downsample: tumbling 1-hour buckets per tile
+    // (recorder.py:81-103 analytics, scaled form)
+    "w4_monitor_resample" -> ((s, dir) =>
+      Tables.monitorLog(s, dir)
+        .groupBy(col("tile_id"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"),
+          round(sum("cpu_time_user"), 4).as("cpu_total"),
+          max("mem_rss").as("mem_peak"))),
+
+    // W5 — per-tile ordered deltas (the monitor series' derivative)
+    "w5_monitor_delta" -> ((s, dir) => {
+      val w = Window.partitionBy("tile_id").orderBy("ts", "event_id")
+      Tables.monitorLog(s, dir)
+        .select(col("tile_id"), col("event_id"),
+          (col("cpu_time_user") - lag("cpu_time_user", 1).over(w)).as("cpu_delta"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "a1_envelope_union" -> Sql.query(Sql.boundaries)(
+      """SELECT version, MIN(xmin) AS uxmin, MIN(ymin) AS uymin,
+        |       MAX(xmax) AS uxmax, MAX(ymax) AS uymax
+        |FROM boundaries GROUP BY version""".stripMargin),
+
+    "a2_tiles_per_version" -> Sql.query(Sql.boundaries)(
+      """SELECT version, string_agg(tile_id, ',' ORDER BY tile_id) AS tiles,
+        |       COUNT(*) AS n
+        |FROM boundaries GROUP BY version""".stripMargin),
+
+    "a3_monitor_by_tile" -> Sql.query(Sql.monitor)(
+      """SELECT tile_id, COUNT(*) AS n_samples,
+        |       ROUND(SUM(cpu_time_user), 4) AS cpu_user_total,
+        |       MAX(mem_rss) AS mem_peak
+        |FROM monitor GROUP BY tile_id""".stripMargin),
+
+    "a4_max_cpu_per_tile" -> Sql.query(Sql.monitor)(
+      "SELECT tile_id, MAX(cpu_time_user) AS cpu_max FROM monitor GROUP BY tile_id"),
+
+    "a5_worker_result_counts" -> Sql.query(Sql.boundaries, workerStepsSql)(
+      """SELECT ok, COUNT(*) AS n FROM worker_steps
+        |WHERE step = 'export' GROUP BY ok""".stripMargin),
+
+    "a6_steps_all_ok" -> Sql.query(Sql.boundaries, workerStepsSql)(
+      "SELECT tile_id, bool_and(ok) AS all_ok FROM worker_steps GROUP BY tile_id"),
+
+    "a7_dup_detect" -> Sql.query(Sql.elevFiles, Sql.elevIndex)(
+      """SELECT tile_id, priority, COUNT(*) AS n FROM elev_index
+        |GROUP BY tile_id, priority HAVING COUNT(*) > 1""".stripMargin),
+
+    "a8_priority_dedup" -> Sql.query(Sql.elevFiles, Sql.elevIndex)(
+      """SELECT tile_id, MAX(dir_version) AS version,
+        |       string_agg(path, ',' ORDER BY path) AS file_list,
+        |       COUNT(*) AS n_files
+        |FROM (SELECT *, MIN(priority) OVER (PARTITION BY tile_id) AS minp
+        |      FROM elev_index) t
+        |WHERE priority = minp
+        |GROUP BY tile_id""".stripMargin),
+
+    "a9_cardinalities" -> Sql.query(Sql.boundaries)(
+      """SELECT COUNT(DISTINCT tile_id) AS n_tiles,
+        |       COUNT(DISTINCT version) AS n_versions FROM boundaries""".stripMargin),
+
+    "w1_rank_files" -> Sql.query(Sql.elevFiles, Sql.elevIndex)(
+      """SELECT tile_id, path,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY tile_id
+        |                               ORDER BY priority, path) AS INT) AS rn
+        |FROM elev_index""".stripMargin),
+
+    "w4_monitor_resample" -> Sql.query(Sql.monitor)(
+      """SELECT tile_id, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+        |       ROUND(SUM(cpu_time_user), 4) AS cpu_total,
+        |       MAX(mem_rss) AS mem_peak
+        |FROM monitor GROUP BY tile_id, date_trunc('hour', ts)""".stripMargin),
+
+    "w5_monitor_delta" -> Sql.query(Sql.monitor)(
+      """SELECT tile_id, event_id,
+        |       cpu_time_user - LAG(cpu_time_user) OVER (
+        |         PARTITION BY tile_id ORDER BY ts, event_id) AS cpu_delta
+        |FROM monitor""".stripMargin)
+  )
 }

@@ -1,10 +1,163 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.OpModule
+import graft.model.TileGrid
+import graft.sources.{Sql, Tables}
 
+/** Join suite J1-J8 (SURVEY §2.4).
+  *
+  * Scale stance: the tile index / border / file-index sides are small
+  * dimensions — always `broadcast()`ed, so the big feature/lineitem side
+  * never shuffles for them. The one genuinely large-large join (J1,
+  * lineitem ⋈ feature index) is left to Catalyst/AQE: at 100 TB it
+  * becomes a sort-merge join on the key both sides are already
+  * partitioned by. Theta joins (J3/J4) are broadcast-nested-loop over
+  * 16-row envelopes — the honest mapping of the reference's per-tile
+  * PostGIS calls (SURVEY §2.4 note).
+  */
 object JoinOps extends OpModule {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracles: Map[String, String] = Map()
+  import TileGrid.{ExtentXMin, ExtentYMin, ExtentXMax, ExtentYMax}
+
+  private def selectedTiles(s: SparkSession): DataFrame =
+    Tables.boundaries(s)
+      .filter(col("xmin") <= ExtentXMax && col("xmax") >= ExtentXMin &&
+              col("ymin") <= ExtentYMax && col("ymax") >= ExtentYMin)
+      .select("tile_id")
+
+  private val selectedTilesSql =
+    s"""selected AS (SELECT tile_id FROM boundaries
+       |  WHERE xmin <= $ExtentXMax AND xmax >= $ExtentXMin
+       |    AND ymin <= $ExtentYMax AND ymax >= $ExtentYMin)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J1 — features ⋈ tile index on the primary key (tileconfig.py:170-176):
+    // payload rows tagged with their tile. Large-large equi join → SMJ/AQE.
+    "j1_feature_index_join" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.featureIndex(s, dir),
+          col("l_orderkey") === col("gid"), "inner")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("tile_id"))),
+
+    // J2 — LEFT JOIN + IS NULL ⇒ anti join: tiles NOT on the version
+    // border (tileconfig.py:573-585)
+    "j2_border_anti" -> ((s, _) =>
+      Tables.boundaries(s)
+        .join(broadcast(Tables.borderTiles(s).select("tile_id")),
+          Seq("tile_id"), "left_anti")
+        .select("tile_id", "version")),
+
+    // J3 — spatial theta join: elevation tiles intersecting one feature
+    // tile's envelope (tileconfig.py:640-678; touch counts)
+    "j3_theta_intersects" -> ((s, _) => {
+      val elev = Tables.boundaries(s)
+      val ft = Tables.boundaries(s).filter(col("tile_id") === "t1_1")
+        .select(col("xmin").as("f_xmin"), col("ymin").as("f_ymin"),
+          col("xmax").as("f_xmax"), col("ymax").as("f_ymax"))
+      elev.crossJoin(broadcast(ft))
+        .filter(col("xmin") <= col("f_xmax") && col("xmax") >= col("f_xmin") &&
+                col("ymin") <= col("f_ymax") && col("ymax") >= col("f_ymin"))
+        .select(col("tile_id"), col("version"))
+    }),
+
+    // J4 — cross join against the per-version dissolved coverage (A1) with
+    // a covers predicate (tileconfig.py:565-594; envelope model)
+    "j4_version_coverage" -> ((s, _) => {
+      val cov = Tables.boundaries(s).groupBy(col("version").as("v"))
+        .agg(min("xmin").as("uxmin"), min("ymin").as("uymin"),
+             max("xmax").as("uxmax"), max("ymax").as("uymax"))
+      Tables.boundaries(s).crossJoin(broadcast(cov))
+        .filter(col("xmin") >= col("uxmin") && col("xmax") <= col("uxmax") &&
+                col("ymin") >= col("uymin") && col("ymax") <= col("uymax"))
+        .select(col("v").as("version"), col("tile_id"))
+    }),
+
+    // J5 — elevation⋈feature tiles purely by equal ID (tileconfig.py:610-639)
+    "j5_id_join" -> ((s, _) =>
+      Tables.elevIndex(s)
+        .join(broadcast(Tables.boundaries(s).select("tile_id", "version")),
+          Seq("tile_id"), "inner")
+        .select("tile_id", "path", "dir_version", "version")),
+
+    // J6 — broadcast file-index lookup with missing-file reporting
+    // (tileconfig.py:318-335; left + isNull = the warn branch)
+    "j6_file_lookup" -> ((s, _) =>
+      selectedTiles(s)
+        .join(broadcast(Tables.elevIndex(s).filter(col("priority") === 2)
+          .select("tile_id", "path")), Seq("tile_id"), "left")
+        .select(col("tile_id"), col("path"), col("path").isNull.as("missing"))),
+
+    // J7 — set intersection as join: version-3 tiles ∩ selected tiles
+    // (tileconfig.py:343-348)
+    "j7_set_intersect" -> ((s, _) =>
+      Tables.boundaries(s).filter(col("version") === 3).select("tile_id")
+        .intersect(selectedTiles(s))),
+
+    // J8 — semi-join validation + difference report of requested tiles
+    // (tileconfig.py:242-249)
+    "j8_semi_validate" -> ((s, _) => {
+      import s.implicits._
+      val req = Seq("t0_0", "t1_1", "t9_9").toDF("tile_id")
+      val idx = Tables.boundaries(s).select("tile_id")
+      val found = req.join(broadcast(idx), Seq("tile_id"), "left_semi")
+        .withColumn("status", lit("found"))
+      val missing = req.join(broadcast(idx), Seq("tile_id"), "left_anti")
+        .withColumn("status", lit("missing"))
+      found.unionByName(missing)
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "j1_feature_index_join" -> Sql.query(Sql.feat, Sql.featureIndex)(
+      """SELECT l_orderkey, l_linenumber, l_quantity, tile_id
+        |FROM lineitem l JOIN feature_index i ON l.l_orderkey = i.gid""".stripMargin),
+
+    "j2_border_anti" -> Sql.query(Sql.boundaries, Sql.borderTiles)(
+      """SELECT b.tile_id, b.version
+        |FROM boundaries b LEFT JOIN border_tiles r ON b.tile_id = r.tile_id
+        |WHERE r.tile_id IS NULL""".stripMargin),
+
+    "j3_theta_intersects" -> Sql.query(Sql.boundaries)(
+      """SELECT e.tile_id, e.version
+        |FROM boundaries e, boundaries f
+        |WHERE f.tile_id = 't1_1'
+        |  AND e.xmin <= f.xmax AND e.xmax >= f.xmin
+        |  AND e.ymin <= f.ymax AND e.ymax >= f.ymin""".stripMargin),
+
+    "j4_version_coverage" -> Sql.query(Sql.boundaries,
+      """vcov AS (
+        |  SELECT version AS v, MIN(xmin) AS uxmin, MIN(ymin) AS uymin,
+        |         MAX(xmax) AS uxmax, MAX(ymax) AS uymax
+        |  FROM boundaries GROUP BY version)""".stripMargin)(
+      """SELECT v.v AS version, b.tile_id
+        |FROM vcov v, boundaries b
+        |WHERE b.xmin >= v.uxmin AND b.xmax <= v.uxmax
+        |  AND b.ymin >= v.uymin AND b.ymax <= v.uymax""".stripMargin),
+
+    "j5_id_join" -> Sql.query(Sql.elevFiles, Sql.elevIndex, Sql.boundaries)(
+      """SELECT e.tile_id, e.path, e.dir_version, b.version
+        |FROM elev_index e JOIN boundaries b USING (tile_id)""".stripMargin),
+
+    "j6_file_lookup" -> Sql.query(Sql.elevFiles, Sql.elevIndex, Sql.boundaries,
+        selectedTilesSql)(
+      """SELECT s.tile_id, e.path, e.path IS NULL AS missing
+        |FROM selected s
+        |LEFT JOIN (SELECT tile_id, path FROM elev_index WHERE priority = 2) e
+        |  USING (tile_id)""".stripMargin),
+
+    "j7_set_intersect" -> Sql.query(Sql.boundaries, selectedTilesSql)(
+      """SELECT tile_id FROM boundaries WHERE version = 3
+        |INTERSECT
+        |SELECT tile_id FROM selected""".stripMargin),
+
+    "j8_semi_validate" -> Sql.query(Sql.boundaries,
+      "req(tile_id) AS (VALUES ('t0_0'), ('t1_1'), ('t9_9'))")(
+      """SELECT r.tile_id,
+        |       CASE WHEN b.tile_id IS NULL THEN 'missing' ELSE 'found' END AS status
+        |FROM req r
+        |LEFT JOIN (SELECT DISTINCT tile_id FROM boundaries) b USING (tile_id)""".stripMargin)
+  )
 }

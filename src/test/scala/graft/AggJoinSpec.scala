@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Goldens for joins / aggregations, mirroring the reference's
+  * tests/test_tiles.py inline assertions (esp. the priority-dedup golden
+  * map at test_tiles.py:68-91). */
+class AggJoinSpec extends SparkSpec {
+
+  test("j2: anti join leaves the 8 non-border tiles") {
+    val ids = run("j2_border_anti").collect().map(_.getString(0)).toSet
+    assert(ids == (for { tx <- Seq(0, 3); ty <- 0 to 3 } yield s"t${tx}_${ty}").toSet)
+  }
+
+  test("j3: t1_1 intersects its 3x3 neighborhood (touch counts)") {
+    val ids = run("j3_theta_intersects").collect().map(_.getString(0)).toSet
+    assert(ids == (for { tx <- 0 to 2; ty <- 0 to 2 } yield s"t${tx}_${ty}").toSet)
+  }
+
+  test("j4: each version's dissolved coverage contains exactly its 8 tiles") {
+    val rows = run("j4_version_coverage").collect()
+      .map(r => r.getInt(0) -> r.getString(1))
+    assert(rows.length == 16)
+    assert(rows.filter(_._1 == 2).map(_._2).forall(_.startsWith("t0") == false || true))
+    val v2 = rows.filter(_._1 == 2).map(_._2).toSet
+    val v3 = rows.filter(_._1 == 3).map(_._2).toSet
+    assert(v2 == (for { tx <- 0 to 1; ty <- 0 to 3 } yield s"t${tx}_${ty}").toSet)
+    assert(v3 == (for { tx <- 2 to 3; ty <- 0 to 3 } yield s"t${tx}_${ty}").toSet)
+  }
+
+  test("a1: envelope union per version = each half of the world") {
+    val rows = run("a1_envelope_union").collect()
+      .map(r => r.getInt(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))))
+      .toMap
+    assert(rows(2) == ((0, 0, 5000, 10000)))
+    assert(rows(3) == ((5000, 0, 10000, 10000)))
+  }
+
+  test("a8 golden: priority wins, equal priorities append (test_tiles.py:68-91 analogue)") {
+    val m = run("a8_priority_dedup").collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getString(2), r.getLong(3)))).toMap
+    // t0_0: no prio-1 file; two prio-2 dirs both contribute (append)
+    assert(m("t0_0") == ((2, "/data/ahn2/unit_t0_0.laz,/data/ahn2b/unit_t0_0.laz", 2L)))
+    // t1_0: prio-1 AHN3 file wins over the AHN2 entry
+    assert(m("t1_0") == ((3, "/data/ahn3/CT1_0.LAZ", 1L)))
+    // t3_3: east half, AHN3 only
+    assert(m("t3_3") == ((3, "/data/ahn3/CT3_3.LAZ", 1L)))
+    assert(m.size == 16)
+  }
+
+  test("a7: exactly the two equal-priority duplicate tiles are flagged") {
+    val dups = run("a7_dup_detect").collect().map(_.getString(0)).toSet
+    assert(dups == Set("t0_0", "t0_1"))
+  }
+
+  test("j6: lookup reports missing files for the uncovered column") {
+    val rows = run("j6_file_lookup").collect()
+      .map(r => (r.getString(0), r.getBoolean(2)))
+    val missing = rows.filter(_._2).map(_._1).toSet
+    assert(missing == Set("t3_0", "t3_1", "t3_2")) // tx=3 has no prio-2 files
+  }
+
+  test("w5: per-tile lag deltas are null exactly once per tile") {
+    val df = run("w5_monitor_delta")
+    val nNull = df.filter(col("cpu_delta").isNull).count()
+    val nTiles = df.select("tile_id").distinct().count()
+    assert(nNull == nTiles)
+  }
+}
