@@ -1,10 +1,202 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.OpModule
+import graft.sources.{Sql, Tables}
 
+/** Deduplication suite over the `documents` table — the training-data
+  * pipeline operators (BASELINE.json north star): exact hash dedup,
+  * MinHash+LSH banding, n-gram Jaccard, SimHash fingerprint + hamming
+  * pairs.
+  *
+  * Portable hashing: h(s) = first 15 hex digits of md5 as a 60-bit
+  * integer — identical in Spark (`conv(substr(md5(s),1,15),16,10)`) and
+  * DuckDB (`CAST('0x'||substr(md5(s),1,15) AS BIGINT)`), so every stage
+  * stays oracle-checkable.
+  *
+  * Scale design: everything is shingle/token-parallel (explode →
+  * groupBy), no driver-side state. LSH banding turns the quadratic
+  * all-pairs problem into an equi-join on band keys — the shuffle key IS
+  * the bucket, so at 100 TB each reducer sees only its bucket's
+  * candidates. The brute-force pair ops exist as correctness baselines;
+  * the banded/bucketed ones are the scale path.
+  */
 object DedupOps extends OpModule {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracles: Map[String, String] = Map()
+
+  /** 60-bit portable hash of a string column with a seed prefix. */
+  def h60(prefix: String, c: Column): Column =
+    expr(s"cast(conv(substr(md5(concat('$prefix', ${c.toString})), 1, 15), 16, 10) as bigint)")
+
+  private def h60Sql(prefix: String, e: String): String =
+    s"CAST('0x' || substr(md5('$prefix' || $e), 1, 15) AS BIGINT)"
+
+  /** Distinct 3-word shingles per document. */
+  def shingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("arr"))
+      .filter(size(col("arr")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(arr)-3), i -> concat_ws(' ', arr[i], arr[i+1], arr[i+2]))"))
+        .as("sh"))
+      .distinct()
+
+  private val shinglesSql: String =
+    """shingles AS (
+      |  SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS sh
+      |  FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 2)) AS i
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS arr
+      |              FROM documents) d0
+      |        WHERE len(arr) >= 3) d)""".stripMargin
+
+  /** MinHash signatures: min of seeded 60-bit hash per (doc, seed). */
+  private val NumHashes = 4 // 2 bands x 2 rows
+
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    (0 until NumHashes).map(seed =>
+        sh.select(col("doc_id"), lit(seed).as("seed"),
+          h60(s"$seed:", col("sh")).as("h")))
+      .reduce(_ unionByName _)
+      .groupBy("doc_id", "seed").agg(min("h").as("mh"))
+  }
+
+  private val sigSql: String = {
+    val perSeed = (0 until NumHashes).map(seed =>
+      s"SELECT doc_id, $seed AS seed, ${h60Sql(s"$seed:", "sh")} AS h FROM shingles")
+      .mkString("\nUNION ALL\n")
+    s"""sig AS (
+       |  SELECT doc_id, seed, MIN(h) AS mh FROM ($perSeed) hs
+       |  GROUP BY doc_id, seed)""".stripMargin
+  }
+
+  /** 15-bit SimHash per doc from its distinct tokens. */
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct()
+      .withColumn("h15", h60("s:", col("w")) % 32768)
+      .select(col("doc_id"), col("h15"),
+        explode(sequence(lit(0), lit(14))).as("b"))
+      .withColumn("contrib",
+        when(expr("(h15 div cast(pow(2, b) as bigint)) % 2") === 1, 1).otherwise(-1))
+      .groupBy("doc_id", "b").agg(sum("contrib").as("sc"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("sc") > 0,
+        expr("cast(pow(2, b) as bigint)")).otherwise(0L)).as("simhash"))
+
+  private val simhashSql: String =
+    s"""tok AS (
+       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |tokh AS (SELECT doc_id, ${h60Sql("s:", "w")} % 32768 AS h15 FROM tok WHERE w <> ''),
+       |bits AS (
+       |  SELECT doc_id, b,
+       |         SUM(CASE WHEN (h15 // CAST(2**b AS BIGINT)) % 2 = 1
+       |             THEN 1 ELSE -1 END) AS sc
+       |  FROM tokh, generate_series(0, 14) AS g(b)
+       |  GROUP BY doc_id, b),
+       |simhash AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(CASE WHEN sc > 0 THEN CAST(2**b AS BIGINT) ELSE 0 END)
+       |              AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup: hash-groupBy, keeper = min doc_id
+    "dd1_exact_dedup" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))),
+
+    // MinHash+LSH: shingle → minhash → band → bucket-join candidates
+    "dd2_minhash_lsh" -> ((s, dir) => {
+      val bands = minhashSignatures(s, dir)
+        .withColumn("band", floor(col("seed") / 2).cast("int"))
+        .withColumn("sm", concat(col("seed").cast("string"), lit(":"),
+          col("mh").cast("string")))
+        .groupBy("doc_id", "band")
+        .agg(array_join(sort_array(collect_list("sm")), "|").as("bkey"))
+      val a = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+      val b = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b"))
+      a.join(b, Seq("band", "bkey"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+    }),
+
+    // n-gram Jaccard: pairs sharing shingles, J = |∩| / |∪|
+    "dd3_jaccard_pairs" -> ((s, dir) => {
+      val sh = shingles(s, dir)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = sh.select(col("doc_id").as("doc_a"), col("sh"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("sz", "sza"), Seq("doc_a"))
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("sz", "szb"), Seq("doc_b"))
+        .withColumn("jaccard",
+          round(col("inter") / (col("sza") + col("szb") - col("inter")), 6))
+        .filter(col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "jaccard")
+    }),
+
+    // SimHash fingerprints
+    "dd4_simhash" -> ((s, dir) => simhash(s, dir)),
+
+    // SimHash near-dup pairs: hamming distance <= 2 on the 15-bit prints
+    "dd5_simhash_pairs" -> ((s, dir) => {
+      val sh = simhash(s, dir)
+      val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("sa"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("sb"))
+      a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+        .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+        .filter(col("hamming") <= 2)
+        .select("doc_a", "doc_b", "hamming")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "dd1_exact_dedup" ->
+      """SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id,
+        |       COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "dd2_minhash_lsh" -> Sql.query(shinglesSql, sigSql,
+      """bands AS (
+        |  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+        |         string_agg(CAST(seed AS VARCHAR) || ':' || CAST(mh AS VARCHAR),
+        |                    '|' ORDER BY CAST(seed AS VARCHAR) || ':' || CAST(mh AS VARCHAR)) AS bkey
+        |  FROM sig GROUP BY doc_id, seed // 2)""".stripMargin)(
+      """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        |WHERE a.doc_id < b.doc_id""".stripMargin),
+
+    "dd3_jaccard_pairs" -> Sql.query(shinglesSql,
+      "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id)",
+      """inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM shingles a JOIN shingles b ON a.sh = b.sh
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)""".stripMargin)(
+      """SELECT i.doc_a, i.doc_b,
+        |       ROUND(i.inter / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+        |FROM inter i
+        |JOIN sizes sa ON sa.doc_id = i.doc_a
+        |JOIN sizes sb ON sb.doc_id = i.doc_b
+        |WHERE ROUND(i.inter / (sa.sz + sb.sz - i.inter), 6) >= 0.2""".stripMargin),
+
+    "dd4_simhash" -> Sql.query(simhashSql)(
+      "SELECT doc_id, simhash FROM simhash"),
+
+    "dd5_simhash_pairs" -> Sql.query(simhashSql)(
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |FROM simhash a, simhash b
+        |WHERE a.doc_id < b.doc_id
+        |  AND bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin)
+  )
 }

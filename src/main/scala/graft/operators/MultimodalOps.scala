@@ -1,10 +1,78 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.OpModule
+import graft.sources.{Sql, Tables}
 
+/** Multimodal-column plumbing: opaque `binary` payloads + typed metadata,
+  * decode / feature-extract / frame-sample stages.
+  *
+  * The container has no image/audio codecs, so the DECODE STEP IS A
+  * DETERMINISTIC STUB (arithmetic on the byte length — clearly marked
+  * below). Everything around it is real and tested: the binary column
+  * flows through a typed Dataset into `mapPartitions` in batches (the
+  * Scala analogue of a Pandas-UDF `mapInPandas` stage), the schema is
+  * explicit, and the frame-sampler is a generator over per-row metadata.
+  * Swapping `fakeDecode` for a real codec changes no plumbing.
+  */
 object MultimodalOps extends OpModule {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracles: Map[String, String] = Map()
+
+  final case class MediaRow(doc_id: Long, payload: Array[Byte])
+  final case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int,
+      height: Int, format: String)
+
+  /** STUB decoder: derives fake image metadata from the byte length.
+    * Deterministic so the stage stays oracle-checkable. */
+  def fakeDecode(r: MediaRow): MediaMeta = {
+    val n = r.payload.length
+    MediaMeta(r.doc_id, n, 320 + n % 320, 240 + n % 240,
+      (n % 3) match { case 0 => "jpeg"; case 1 => "png"; case _ => "webp" })
+  }
+
+  /** documents.text encoded as a binary payload column — the stand-in for
+    * image/audio bytes (the reference similarly treats LAZ point clouds
+    * as opaque payloads routed by path, worker.py:201-208). */
+  def media(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // decode stage: binary batches through mapPartitions → typed metadata
+    "mm1_decode_meta" -> ((s, dir) => {
+      import s.implicits._
+      media(s, dir).as[MediaRow]
+        .mapPartitions(_.map(fakeDecode))
+        .toDF()
+    }),
+
+    // frame sampling: every 5th frame of n_bytes/100 frames per doc
+    "mm2_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      val meta = media(s, dir).as[MediaRow].mapPartitions(_.map(fakeDecode)).toDF()
+      meta.withColumn("n_frames", floor(col("n_bytes") / 100).cast("int"))
+        .filter(col("n_frames") >= 1)
+        .select(col("doc_id"),
+          explode(expr("sequence(0, n_frames - 1, 5)")).as("frame_id"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    // strlen() = UTF-8 byte count in DuckDB; text is ASCII here
+    "mm1_decode_meta" ->
+      """SELECT doc_id, CAST(strlen(text) AS INT) AS n_bytes,
+        |       CAST(320 + strlen(text) % 320 AS INT) AS width,
+        |       CAST(240 + strlen(text) % 240 AS INT) AS height,
+        |       CASE strlen(text) % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+        |            ELSE 'webp' END AS format
+        |FROM documents""".stripMargin,
+
+    "mm2_frame_sample" ->
+      """SELECT doc_id, CAST(f AS INT) AS frame_id
+        |FROM (SELECT doc_id, unnest(generate_series(0, n_frames - 1, 5)) AS f
+        |      FROM (SELECT doc_id, CAST(strlen(text) // 100 AS INT) AS n_frames
+        |            FROM documents) d
+        |      WHERE n_frames >= 1) t""".stripMargin
+  )
 }

@@ -1,10 +1,124 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.OpModule
+import graft.sources.{Sql, Tables}
 
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * nn1 is the brute-force cosine top-k baseline; nn2/nn3 are the scale
+  * path: a deterministic sign-bit LSH bucketing (8 hyperoctant bits →
+  * 256 buckets) so candidate generation is an equi-join on bucket, not a
+  * cross join. At 100 TB the bucket id is the shuffle/partition key and
+  * each reducer scores only its own bucket.
+  *
+  * All arithmetic is done in double (`transform(embedding, x -> double)`)
+  * with a sequential left-fold dot product, matching DuckDB's
+  * `list_dot_product` evaluation order bit-for-bit; results are rounded
+  * to 6 decimals on both sides.
+  */
 object SimilarityOps extends OpModule {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracles: Map[String, String] = Map()
+
+  /** embeddings with a double-typed vector column `emb`. */
+  def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("emb"))
+
+  private val embSql =
+    "emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings)"
+
+  /** Sequential dot product of two array<double> columns. */
+  private def dot(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+
+  /** Sign-bit LSH bucket from the first 8 dimensions. */
+  private val bucketExpr =
+    expr("aggregate(sequence(0, 7), 0, (acc, i) -> " +
+      "acc + (CASE WHEN emb[i] > 0D THEN cast(pow(2, i) as int) ELSE 0 END))")
+
+  private val bucketsSql =
+    """buckets AS (
+      |  SELECT vec_id, emb,
+      |         CAST(SUM(CASE WHEN emb[i] > 0 THEN CAST(2**(i-1) AS INT)
+      |                  ELSE 0 END) AS INT) AS bucket
+      |  FROM emb, generate_series(1, 8) AS g(i)
+      |  GROUP BY vec_id, emb)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // brute-force cosine top-10 around query vector 0 (the correctness
+    // baseline every ANN variant is judged against)
+    "nn1_cosine_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("emb").as("qe"))
+      e.crossJoin(broadcast(q))
+        .withColumn("cos",
+          dot("emb", "qe") / (sqrt(dot("emb", "emb")) * sqrt(dot("qe", "qe"))))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+    }),
+
+    // LSH-bucketed ANN: candidates = the query's sign-bucket only
+    "nn2_lsh_ann" -> ((s, dir) => {
+      val b = emb(s, dir).withColumn("bucket", bucketExpr)
+      val q = b.filter(col("vec_id") === 0)
+        .select(col("bucket"), col("emb").as("qe"))
+      b.join(broadcast(q), Seq("bucket"))
+        .withColumn("cos",
+          dot("emb", "qe") / (sqrt(dot("emb", "emb")) * sqrt(dot("qe", "qe"))))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(5)
+        .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+    }),
+
+    // embedding-cosine near-dup pairs inside buckets (the dedup use of
+    // ANN): per-vector partner count, bounded output
+    "nn3_bucket_neardup" -> ((s, dir) => {
+      val b = emb(s, dir).withColumn("bucket", bucketExpr)
+      val l = b.select(col("bucket"), col("vec_id").as("va"), col("emb").as("ea"))
+      val r = b.select(col("bucket"), col("vec_id").as("vb"), col("emb").as("eb"))
+      l.join(r, Seq("bucket")).filter(col("va") < col("vb"))
+        .withColumn("cos",
+          dot("ea", "eb") / (sqrt(dot("ea", "ea")) * sqrt(dot("eb", "eb"))))
+        .filter(col("cos") > 0.8)
+        .groupBy(col("va").as("vec_id")).agg(count(lit(1)).as("n_neardups"))
+    })
+  )
+
+  private val cosSql =
+    """ROUND(list_dot_product(e.emb, q.qe) /
+      |  (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(q.qe, q.qe))), 6)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "nn1_cosine_topk" -> Sql.query(embSql,
+      "q AS (SELECT emb AS qe FROM emb WHERE vec_id = 0)")(
+      s"""SELECT e.vec_id, $cosSql AS cos
+         |FROM emb e, q
+         |ORDER BY list_dot_product(e.emb, q.qe) /
+         |  (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(q.qe, q.qe)))
+         |  DESC, e.vec_id
+         |LIMIT 10""".stripMargin),
+
+    "nn2_lsh_ann" -> Sql.query(embSql, bucketsSql,
+      "q AS (SELECT bucket, emb AS qe FROM buckets WHERE vec_id = 0)")(
+      s"""SELECT e.vec_id, $cosSql AS cos
+         |FROM buckets e JOIN q ON e.bucket = q.bucket
+         |ORDER BY list_dot_product(e.emb, q.qe) /
+         |  (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(q.qe, q.qe)))
+         |  DESC, e.vec_id
+         |LIMIT 5""".stripMargin),
+
+    "nn3_bucket_neardup" -> Sql.query(embSql, bucketsSql)(
+      """SELECT a.vec_id AS vec_id, COUNT(*) AS n_neardups
+        |FROM buckets a JOIN buckets b ON a.bucket = b.bucket
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_dot_product(a.emb, b.emb) /
+        |      (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))
+        |      > 0.8
+        |GROUP BY a.vec_id""".stripMargin)
+  )
 }

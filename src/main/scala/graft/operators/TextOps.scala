@@ -1,10 +1,124 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.OpModule
+import graft.sources.{Sql, Tables}
 
+/** Text-analysis suite over `documents`: marker-token language scoring,
+  * quality scoring (length/char-class/stopword ratios), token statistics,
+  * document fingerprinting (normalized md5 + rolling hash).
+  *
+  * All ratios are exact-division doubles rounded to 6 decimals on both
+  * engine sides. The rolling hash (tx5) is a sequential fold — Spark
+  * `aggregate()` over the token array — and has no SQL oracle (DuckDB
+  * v1.0 lacks list_reduce), so it is registered rows-only.
+  */
 object TextOps extends OpModule {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracles: Map[String, String] = Map()
+
+  private val Stopwords = Seq("the", "a", "data", "value")
+  private val MarkerSetA = Seq("the", "a", "row", "data")      // "prose-ish"
+  private val MarkerSetB = Seq("join", "hash", "merge", "agg") // "query-ish"
+
+  private def inList(c: String, words: Seq[String]) =
+    sum(when(col(c).isin(words: _*), 1).otherwise(0))
+
+  private def sqlList(words: Seq[String]) =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  private def tokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+
+  private val tokensSql =
+    """tokens AS (
+      |  SELECT doc_id, w FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+      |  WHERE w <> '')""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // language-ID by marker-token scoring (n-gram-heuristic shape)
+    "tx1_langid" -> ((s, dir) =>
+      tokens(s, dir).groupBy("doc_id")
+        .agg(count(lit(1)).as("n"),
+          inList("w", MarkerSetA).as("sa"),
+          inList("w", MarkerSetB).as("sb"))
+        .select(col("doc_id"),
+          round(col("sa") / col("n"), 6).as("score_a"),
+          round(col("sb") / col("n"), 6).as("score_b"),
+          when(col("sa") >= col("sb"), "prose").otherwise("query").as("pred"))),
+
+    // quality scoring: length, vowel ratio, stopword ratio, keep flag
+    "tx2_quality" -> ((s, dir) => {
+      val t = tokens(s, dir).groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), inList("w", Stopwords).as("n_stop"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), length(col("text")).as("len"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[aeiou]", ""))).as("n_vowels"))
+        .join(t, Seq("doc_id"))
+        .select(col("doc_id"), col("len"), col("n_tokens"),
+          round(col("n_vowels") / col("len"), 6).as("vowel_ratio"),
+          round(col("n_stop") / col("n_tokens"), 6).as("stop_ratio"),
+          (col("n_tokens") >= 10 &&
+            (col("n_stop") / col("n_tokens")) < lit(0.5)).as("keep"))
+    }),
+
+    // token counting: totals, distincts, type-token ratio
+    "tx3_token_stats" -> ((s, dir) =>
+      tokens(s, dir).groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct("w").as("n_distinct"))
+        .withColumn("ttr", round(col("n_distinct") / col("n_tokens"), 6))),
+
+    // fingerprint: md5 of whitespace-normalized lowercased text
+    "tx4_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        md5(regexp_replace(lower(trim(col("text"))), " +", " ")).as("fp"))),
+
+    // rolling polynomial hash over the token stream (sequential fold;
+    // rows-only check — no DuckDB list_reduce in v1.0)
+    "tx5_rolling_hash" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        expr("aggregate(split(text, ' '), 0L, " +
+          "(h, w) -> (h * 31 + length(w)) % 1000000007)").as("rh")))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "tx1_langid" -> Sql.query(tokensSql)(
+      s"""SELECT doc_id,
+         |       ROUND(sa / n, 6) AS score_a,
+         |       ROUND(sb / n, 6) AS score_b,
+         |       CASE WHEN sa >= sb THEN 'prose' ELSE 'query' END AS pred
+         |FROM (SELECT doc_id, COUNT(*) AS n,
+         |             SUM(CASE WHEN w IN ${sqlList(MarkerSetA)} THEN 1 ELSE 0 END) AS sa,
+         |             SUM(CASE WHEN w IN ${sqlList(MarkerSetB)} THEN 1 ELSE 0 END) AS sb
+         |      FROM tokens GROUP BY doc_id) t""".stripMargin),
+
+    "tx2_quality" -> Sql.query(tokensSql,
+      s"""tstats AS (
+         |  SELECT doc_id, COUNT(*) AS n_tokens,
+         |         SUM(CASE WHEN w IN ${sqlList(Stopwords)} THEN 1 ELSE 0 END) AS n_stop
+         |  FROM tokens GROUP BY doc_id)""".stripMargin)(
+      """SELECT d.doc_id, length(d.text) AS len, t.n_tokens,
+        |       ROUND((length(d.text) -
+        |              length(regexp_replace(d.text, '[aeiou]', '', 'g'))) /
+        |             length(d.text), 6) AS vowel_ratio,
+        |       ROUND(t.n_stop / t.n_tokens, 6) AS stop_ratio,
+        |       t.n_tokens >= 10 AND (t.n_stop / t.n_tokens) < 0.5 AS keep
+        |FROM documents d JOIN tstats t USING (doc_id)""".stripMargin),
+
+    "tx3_token_stats" -> Sql.query(tokensSql)(
+      """SELECT doc_id, COUNT(*) AS n_tokens,
+        |       COUNT(DISTINCT w) AS n_distinct,
+        |       ROUND(COUNT(DISTINCT w) / COUNT(*), 6) AS ttr
+        |FROM tokens GROUP BY doc_id""".stripMargin),
+
+    "tx4_fingerprint" ->
+      """SELECT doc_id,
+        |       md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin
+  )
 }

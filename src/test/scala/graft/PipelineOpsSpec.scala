@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Functional goldens for fan-out, dedup, similarity, text, and
+  * multimodal suites. */
+class PipelineOpsSpec extends SparkSpec {
+
+  test("o3: retry settles transient failures on attempt 2, permanent stay failed") {
+    val m = run("o3_retry_loop").collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(1), r.getInt(2)))).toMap
+    assert(m.size == 16)
+    // t0_0: (0*4+0)%5==0 → permanent failure, retried once, still false
+    assert(m("t0_0") == ((false, 2)))
+    // t1_2: (1*4+2)%5!=0 ok, (1+2)%3==0 transient → succeeds on attempt 2
+    assert(m("t1_2") == ((true, 2)))
+    // t0_1: (0*4+1)%5!=0 ok, (0+1)%3!=0 no transient → first try
+    assert(m("t0_1") == ((true, 1)))
+  }
+
+  test("o2: pipe through a real child process tags every tile") {
+    val rows = run("o2_pipe_worker").collect()
+    assert(rows.length == 16 && rows.forall(_.getString(1) == "ok"))
+  }
+
+  test("dd1: all sf0.001 documents are unique -> every group size 1") {
+    val df = run("dd1_exact_dedup")
+    assert(df.filter(col("n_copies") =!= 1).count() == 0)
+  }
+
+  test("dd3: jaccard values live in [0.2, 1] and pairs are ordered") {
+    val rows = run("dd3_jaccard_pairs").collect()
+    assert(rows.forall { r =>
+      val j = r.getDouble(2); j >= 0.2 && j <= 1.0 && r.getLong(0) < r.getLong(1)
+    })
+  }
+
+  test("dd4: simhash fits in 15 bits") {
+    val rows = run("dd4_simhash").collect()
+    assert(rows.nonEmpty &&
+      rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 32768))
+  }
+
+  test("nn1: the query vector is its own best match at cos 1.0") {
+    val top = run("nn1_cosine_topk").collect().head
+    assert(top.getLong(0) == 0L && math.abs(top.getDouble(1) - 1.0) < 1e-9)
+  }
+
+  test("nn2: bucketed ANN returns a subset of brute-force candidates' scores") {
+    val rows = run("nn2_lsh_ann").collect()
+    assert(rows.nonEmpty && rows.head.getLong(0) == 0L)
+  }
+
+  test("mm1: stub decode preserves byte counts (ASCII text)") {
+    val meta = run("mm1_decode_meta")
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+    val bad = meta.join(docs, "doc_id")
+      .filter(col("n_bytes") =!= col("n_chars")).count()
+    assert(bad == 0)
+  }
+
+  test("mm2: frame ids step by 5 from 0") {
+    val rows = run("mm2_frame_sample").collect()
+    assert(rows.nonEmpty && rows.forall(_.getInt(1) % 5 == 0))
+  }
+
+  test("tx3: type-token ratio bounded by 1") {
+    val bad = run("tx3_token_stats").filter(col("ttr") > 1.0).count()
+    assert(bad == 0)
+  }
+
+  test("k2: per-tile export roundtrip preserves feature counts") {
+    val total = run("k2_pertile_export").agg(sum("n_features")).collect()(0).getLong(0)
+    val expect = spark.read.parquet(s"$Sf/orders.parquet").count()
+    assert(total == expect)
+  }
+}
