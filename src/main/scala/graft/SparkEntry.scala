@@ -27,7 +27,8 @@ object SparkEntry {
     SimilarityOps,
     TextOps,
     MultimodalOps,
-    BenchQueries
+    BenchQueries,
+    graft.streaming.MonitorStream
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

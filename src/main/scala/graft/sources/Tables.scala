@@ -89,15 +89,31 @@ object Tables {
       .withColumn("tile_id", regexp_extract(lower(col("path")), TileFromPath, 1))
       .filter(col("tile_id") =!= "" && col("dir_version").isNotNull)
 
-  /** Monitor log derived from `events` (schema mirrors reference
-    * recorder.py:81-95: timestamp, tile, pid, cpu_time_user,
-    * cpu_time_sys, mem_rss). */
-  def monitorLog(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir)
-      .withColumn("tile_id", concat(lit("t"), (col("event_id") % 4).cast("string"),
+  /** Monitor-log column derivation over any events-shaped frame (batch or
+    * streaming). Schema mirrors reference recorder.py:81-95: timestamp,
+    * tile, pid, cpu_time_user, cpu_time_sys, mem_rss. */
+  def monitorCols(ev: DataFrame): DataFrame =
+    ev.withColumn("tile_id", concat(lit("t"), (col("event_id") % 4).cast("string"),
         lit("_"), (col("user_id") % 4).cast("string")))
       .withColumn("pid", (col("user_id") % 32 + 100).cast("int"))
       .withColumn("cpu_time_user", col("value"))
       .withColumn("cpu_time_sys", col("value") / 2)
       .withColumn("mem_rss", (col("event_id") * 9973) % 1000000000)
+
+  /** Monitor log derived from `events` (batch path). */
+  def monitorLog(spark: SparkSession, dir: String): DataFrame =
+    monitorCols(events(spark, dir))
+
+  /** Streaming read of the events table (file stream source over the same
+    * parquet), with the same nanos→µs timestamp handling as [[events]]. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    // file-stream source needs a directory base; a glob keeps `dir` as
+    // basePath while matching the single parquet file
+    val raw = spark.readStream.schema(spark.read.parquet(path).schema)
+      .parquet(s"$dir/events.parque*")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
 }

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+
+import graft.OpModule
+import graft.sources.{Sql, Tables}
+
+/** Structured-Streaming incarnation of the reference's resource monitor
+  * (SURVEY §2.9): the monitor TSV append loop (recorder.py:50-72,
+  * worker.py:724-736) becomes a file-stream source; the downstream pandas
+  * batch analytics (recorder.py:75-133) become streaming windowed
+  * aggregation and keyed state.
+  *
+  * Both queries execute a REAL streaming query (memory sink,
+  * processAllAvailable) and return the materialized result, so the
+  * streaming path is exercised inside the normal correctness gate. The
+  * reference has no late data (single process, monotonic clock); the
+  * watermark lives in [[windowedAgg]] for the scaled engine.
+  */
+object MonitorStream extends OpModule {
+
+  private val nameSeq = new AtomicInteger(0)
+
+  private def runToTable(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_stream_${nameSeq.incrementAndGet()}"
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
+
+  /** Tumbling 1-hour windows per tile with a watermark (scaled form of
+    * recorder.py:102 + plot prep). */
+  def windowedAgg(mon: DataFrame): DataFrame =
+    mon.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("tile_id"))
+      .agg(count(lit(1)).as("n"), max("mem_rss").as("mem_peak"))
+
+  final case class MonSample(tile_id: String, mem_rss: Long)
+  final case class TilePeak(tile_id: String, mem_peak: Long)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // windowed streaming aggregation, complete mode
+    "st1_stream_monitor_agg" -> ((s, dir) => {
+      val mon = Tables.monitorCols(Tables.eventsStream(s, dir))
+      runToTable(s, windowedAgg(mon), "complete")
+        .select(col("window.start").as("hour"), col("tile_id"),
+          col("n"), col("mem_peak"))
+    }),
+
+    // keyed running state via mapGroupsWithState: per-tile peak memory
+    "st2_stream_peak_state" -> ((s, dir) => {
+      import s.implicits._
+      val mon = Tables.monitorCols(Tables.eventsStream(s, dir))
+        .select(col("tile_id"), col("mem_rss")).as[MonSample]
+      val peaks = mon.groupByKey(_.tile_id)
+        .mapGroupsWithState[Long, TilePeak](GroupStateTimeout.NoTimeout) {
+          (tile, rows, state) =>
+            val mx = (rows.map(_.mem_rss) ++ state.getOption.iterator).max
+            state.update(mx)
+            TilePeak(tile, mx)
+        }
+      runToTable(s, peaks.toDF(), "update")
+        .groupBy("tile_id").agg(max("mem_peak").as("mem_peak"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    // window() aligns to epoch-hour boundaries == date_trunc('hour')
+    "st1_stream_monitor_agg" -> Sql.query(Sql.monitor)(
+      """SELECT date_trunc('hour', ts) AS hour, tile_id,
+        |       COUNT(*) AS n, MAX(mem_rss) AS mem_peak
+        |FROM monitor GROUP BY date_trunc('hour', ts), tile_id""".stripMargin),
+
+    "st2_stream_peak_state" -> Sql.query(Sql.monitor)(
+      "SELECT tile_id, MAX(mem_rss) AS mem_peak FROM monitor GROUP BY tile_id")
+  )
+}

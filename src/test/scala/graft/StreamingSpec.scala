@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.MonitorStream
+
+class StreamingSpec extends SparkSpec {
+
+  test("st1: streaming windowed agg equals the batch aggregation") {
+    val streamed = run("st1_stream_monitor_agg")
+      .select("tile_id", "hour", "n").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val batch = graft.sources.Tables.monitorLog(spark, Sf)
+      .groupBy(col("tile_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("st2: keyed state peaks equal batch max per tile") {
+    val stream = run("st2_stream_peak_state").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.sources.Tables.monitorLog(spark, Sf)
+      .groupBy("tile_id").agg(max("mem_rss")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stream == batch && stream.nonEmpty)
+  }
+
+  test("watermark: append mode emits only windows closed by the watermark") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Long)]
+    val mon = ms.toDF().toDF("epoch", "tile_id", "mem_rss")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+    val q = MonitorStream.windowedAgg(mon)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("wm_demo").start()
+    try {
+      // batch 1: events in hour 0 and hour 1 → nothing closed yet
+      ms.addData((600L, "t0_0", 10L), (4200L, "t0_0", 20L))
+      q.processAllAvailable()
+      assert(spark.table("wm_demo").count() == 0)
+      // batch 2: event in hour 3 → watermark 02:30 closes hours 0 and 1
+      ms.addData((12600L, "t0_0", 30L))
+      q.processAllAvailable()
+      val hours = spark.table("wm_demo")
+        .select(col("window.start").cast("long")).collect().map(_.getLong(0)).toSet
+      assert(hours == Set(0L, 3600L)) // hour-3 window still open
+    } finally q.stop()
+  }
+}
