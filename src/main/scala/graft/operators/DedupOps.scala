@@ -54,11 +54,13 @@ object DedupOps extends OpModule {
   private val NumHashes = 4 // 2 bands x 2 rows
 
   def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
-    (0 until NumHashes).map(seed =>
-        sh.select(col("doc_id"), lit(seed).as("seed"),
-          h60(s"$seed:", col("sh")).as("h")))
-      .reduce(_ unionByName _)
+    // all seeds in ONE pass over the shingles (array-of-structs explode),
+    // not one scan per seed
+    val hashArr = array((0 until NumHashes).map(seed =>
+      struct(lit(seed).as("seed"), h60(s"$seed:", col("sh")).as("h"))): _*)
+    shingles(s, dir)
+      .select(col("doc_id"), explode(hashArr).as("sh_h"))
+      .select(col("doc_id"), col("sh_h.seed").as("seed"), col("sh_h.h").as("h"))
       .groupBy("doc_id", "seed").agg(min("h").as("mh"))
   }
 
@@ -71,12 +73,13 @@ object DedupOps extends OpModule {
        |  GROUP BY doc_id, seed)""".stripMargin
   }
 
-  /** 15-bit SimHash per doc from its distinct tokens. */
+  /** 15-bit SimHash per doc from its distinct 3-gram shingles (shingle
+    * features, not bare tokens — the token vocabulary of the corpus is
+    * tiny, so token-set SimHash would collide on over a third of all
+    * pairs). */
   def simhash(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "").distinct()
-      .withColumn("h15", h60("s:", col("w")) % 32768)
+    shingles(s, dir)
+      .withColumn("h15", h60("s:", col("sh")) % 32768)
       .select(col("doc_id"), col("h15"),
         explode(sequence(lit(0), lit(14))).as("b"))
       .withColumn("contrib",
@@ -86,11 +89,9 @@ object DedupOps extends OpModule {
       .agg(sum(when(col("sc") > 0,
         expr("cast(pow(2, b) as bigint)")).otherwise(0L)).as("simhash"))
 
+  /** Depends on [[shinglesSql]] being included before it. */
   private val simhashSql: String =
-    s"""tok AS (
-       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
-       |  FROM documents),
-       |tokh AS (SELECT doc_id, ${h60Sql("s:", "w")} % 32768 AS h15 FROM tok WHERE w <> ''),
+    s"""tokh AS (SELECT doc_id, ${h60Sql("s:", "sh")} % 32768 AS h15 FROM shingles),
        |bits AS (
        |  SELECT doc_id, b,
        |         SUM(CASE WHEN (h15 // CAST(2**b AS BIGINT)) % 2 = 1
@@ -118,6 +119,7 @@ object DedupOps extends OpModule {
           col("mh").cast("string")))
         .groupBy("doc_id", "band")
         .agg(array_join(sort_array(collect_list("sm")), "|").as("bkey"))
+        .persist() // feeds both sides of the bucket self-join
       val a = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
       val b = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b"))
       a.join(b, Seq("band", "bkey"))
@@ -125,9 +127,11 @@ object DedupOps extends OpModule {
         .select("doc_a", "doc_b").distinct()
     }),
 
-    // n-gram Jaccard: pairs sharing shingles, J = |∩| / |∪|
+    // n-gram Jaccard: pairs sharing shingles, J = |∩| / |∪|. The shingle
+    // relation feeds three branches (both join sides + sizes): persist it
+    // once instead of recomputing the explode+distinct per branch.
     "dd3_jaccard_pairs" -> ((s, dir) => {
-      val sh = shingles(s, dir)
+      val sh = shingles(s, dir).persist()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val inter = sh.select(col("doc_id").as("doc_a"), col("sh"))
         .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
@@ -147,15 +151,26 @@ object DedupOps extends OpModule {
     // SimHash fingerprints
     "dd4_simhash" -> ((s, dir) => simhash(s, dir)),
 
-    // SimHash near-dup pairs: hamming distance <= 2 on the 15-bit prints
+    // SimHash near-dup pairs: hamming distance <= 2 on the 15-bit prints.
+    // Scale path: pigeonhole banding — split the print into 3 chunks of 5
+    // bits; hamming<=2 implies at least one chunk matches exactly, so
+    // candidates come from 3 equi-joins on (chunk_idx, chunk_value)
+    // instead of an all-pairs cross join. Identical subplans on both join
+    // sides let Spark reuse the exchange.
     "dd5_simhash_pairs" -> ((s, dir) => {
-      val sh = simhash(s, dir)
-      val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("sa"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("sb"))
-      a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      val chunks = simhash(s, dir).persist().select(col("doc_id"), col("simhash"),
+        explode(expr(
+          "transform(sequence(0, 2), c -> struct(c as c, " +
+          "(simhash div cast(pow(32, c) as bigint)) % 32 as v))")).as("ch"))
+        .select(col("doc_id"), col("simhash"), col("ch.c").as("c"), col("ch.v").as("v"))
+      val a = chunks.select(col("c"), col("v"),
+        col("doc_id").as("doc_a"), col("simhash").as("sa"))
+      val b = chunks.select(col("c"), col("v"),
+        col("doc_id").as("doc_b"), col("simhash").as("sb"))
+      a.join(b, Seq("c", "v")).filter(col("doc_a") < col("doc_b"))
         .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
         .filter(col("hamming") <= 2)
-        .select("doc_a", "doc_b", "hamming")
+        .select("doc_a", "doc_b", "hamming").distinct()
     })
   )
 
@@ -189,10 +204,10 @@ object DedupOps extends OpModule {
         |JOIN sizes sb ON sb.doc_id = i.doc_b
         |WHERE ROUND(i.inter / (sa.sz + sb.sz - i.inter), 6) >= 0.2""".stripMargin),
 
-    "dd4_simhash" -> Sql.query(simhashSql)(
+    "dd4_simhash" -> Sql.query(shinglesSql, simhashSql)(
       "SELECT doc_id, simhash FROM simhash"),
 
-    "dd5_simhash_pairs" -> Sql.query(simhashSql)(
+    "dd5_simhash_pairs" -> Sql.query(shinglesSql, simhashSql)(
       """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
         |FROM simhash a, simhash b
