@@ -27,6 +27,7 @@ object SparkEntry {
     SimilarityOps,
     TextOps,
     MultimodalOps,
+    SourceSinkOps,
     BenchQueries,
     graft.streaming.MonitorStream
   )

@@ -1,0 +1,138 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.OpModule
+import graft.model.TileGrid
+import graft.sources.{Sql, Tables}
+
+/** Remaining sources/sinks of SURVEY §2.1-§2.2: the GeoJSON extent reader
+  * (S4), the declared-schema TSV monitor-log scan (S7), the per-tile CSV
+  * sink (K4), and statistics maintenance (O7).
+  *
+  * S4/S7 read real files: the query writes a deterministic fixture
+  * (content derived only from TileGrid constants, so it is identical at
+  * every scale factor) and then reads it back through the actual
+  * spark.read codepath; the DuckDB oracle reads the very same file.
+  */
+object SourceSinkOps extends OpModule {
+
+  val ExtentPath = "/tmp/graft_extent.geojson"
+  val MonitorTsvPath = "/tmp/graft_monitor.tsv"
+
+  /** GeoJSON FeatureCollection for the extent polygon — the stand-in for
+    * the reference's tests/data/extent_small.geojson (golden WKT at
+    * tests/test_tiles.py:14-19; reader tileconfig.py:98-126). */
+  private def extentJson: String = {
+    import TileGrid._
+    val ring = Seq(
+      (ExtentXMin, ExtentYMin), (ExtentXMax, ExtentYMin),
+      (ExtentXMax, ExtentYMax), (ExtentXMin, ExtentYMax),
+      (ExtentXMin, ExtentYMin))
+      .map { case (x, y) => s"[$x.0,$y.0]" }.mkString("[", ",", "]")
+    s"""{"type":"FeatureCollection","features":[{"type":"Feature",""" +
+      s""""properties":{"name":"extent_small"},""" +
+      s""""geometry":{"type":"Polygon","coordinates":[$ring]}}]}"""
+  }
+
+  /** Monitor TSV fixture: 3 samples per tile with strictly increasing
+    * cpu/mem — the shape recorder.py:50-72 appends and recorder.py:81-95
+    * declares. Content depends only on grid constants. */
+  private def monitorTsv: String =
+    TileGrid.tiles.flatMap { t =>
+      (0 until 3).map { i =>
+        val ts = f"2024-01-01 00:${t.tx * 4 + t.ty}%02d:${i * 15}%02d"
+        val cpu = (t.tx * 40 + t.ty * 10 + i).toDouble
+        val mem = (t.tx * 1000000L + t.ty * 100000L + i * 1000L)
+        s"$ts\t${t.tile_id}\t${1000 + t.tx}\t$cpu\t${cpu / 2}\t$mem"
+      }
+    }.mkString("", "\n", "\n")
+
+  private def writeFixture(path: String, content: String): Unit =
+    Files.write(Paths.get(path), content.getBytes(StandardCharsets.UTF_8))
+
+  private val monitorSchema = StructType(Seq(
+    StructField("ts", TimestampType), StructField("tile_id", StringType),
+    StructField("pid", IntegerType), StructField("cpu_user", DoubleType),
+    StructField("cpu_sys", DoubleType), StructField("mem_rss", LongType)))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S4 — GeoJSON extent → envelope (fiona impl disabled in the
+    // reference, tileconfig.py:107; we make it a first-class source)
+    "s4_extent_read" -> ((s, _) => {
+      writeFixture(ExtentPath, extentJson)
+      s.read.option("multiLine", "true").json(ExtentPath)
+        .select(explode(col("features")).as("f"))
+        .select(col("f.properties.name").as("name"),
+          col("f.geometry.coordinates").getItem(0).as("ring"))
+        .select(col("name"),
+          expr("cast(aggregate(ring, cast(1000000000 as double), (m, p) -> least(m, p[0])) as int)").as("xmin"),
+          expr("cast(aggregate(ring, cast(1000000000 as double), (m, p) -> least(m, p[1])) as int)").as("ymin"),
+          expr("cast(aggregate(ring, cast(-1000000000 as double), (m, p) -> greatest(m, p[0])) as int)").as("xmax"),
+          expr("cast(aggregate(ring, cast(-1000000000 as double), (m, p) -> greatest(m, p[1])) as int)").as("ymax"))
+    }),
+
+    // S7 — monitor TSV scan with declared 6-column schema + timestamp
+    // parse (recorder.py:75-103)
+    "s7_tsv_scan" -> ((s, _) => {
+      writeFixture(MonitorTsvPath, monitorTsv)
+      s.read.option("sep", "\t").schema(monitorSchema).csv(MonitorTsvPath)
+        .withColumn("cpu_total", col("cpu_user") + col("cpu_sys"))
+        .withColumn("mem_mb", col("mem_rss") / lit(1e6))
+    }),
+
+    // K4 — per-tile CSV sink + read-back (3dfier --CSV-BUILDINGS-MULTIPLE,
+    // worker.py:217-224)
+    "k4_pertile_csv" -> ((s, dir) => {
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_k4_${dir.hashCode}").getPath
+      Tables.features(s, dir).select("o_orderkey", "tile_id")
+        .write.mode("overwrite").partitionBy("tile_id").csv(out)
+      s.read.schema(StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("tile_id", StringType)))).csv(out)
+        .groupBy("tile_id").agg(count(lit(1)).as("n_rows"))
+    }),
+
+    // O7 — statistics maintenance: VACUUM ANALYZE → ANALYZE TABLE COMPUTE
+    // STATISTICS (db.py:79-99); surfaces the row count the CBO will use
+    "o7_analyze_stats" -> ((s, _) => {
+      Tables.boundaries(s).write.mode("overwrite").saveAsTable("graft_boundaries")
+      s.sql("ANALYZE TABLE graft_boundaries COMPUTE STATISTICS")
+      s.sql("DESCRIBE EXTENDED graft_boundaries")
+        .filter(col("col_name") === "Statistics")
+        .select(lit("graft_boundaries").as("table_name"),
+          regexp_extract(col("data_type"), "(\\d+) rows", 1).cast("long").as("row_count"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "s4_extent_read" ->
+      s"""SELECT name,
+         |       CAST(list_min(list_transform(ring, p -> p[1])) AS INT) AS xmin,
+         |       CAST(list_min(list_transform(ring, p -> p[2])) AS INT) AS ymin,
+         |       CAST(list_max(list_transform(ring, p -> p[1])) AS INT) AS xmax,
+         |       CAST(list_max(list_transform(ring, p -> p[2])) AS INT) AS ymax
+         |FROM (SELECT f.properties.name AS name,
+         |             f.geometry.coordinates[1] AS ring
+         |      FROM (SELECT unnest(features) AS f
+         |            FROM read_json_auto('$ExtentPath')) t) r""".stripMargin,
+
+    "s7_tsv_scan" ->
+      s"""SELECT ts, tile_id, pid, cpu_user, cpu_sys, mem_rss,
+         |       cpu_user + cpu_sys AS cpu_total,
+         |       mem_rss / 1e6 AS mem_mb
+         |FROM read_csv('$MonitorTsvPath', delim='\t', header=false,
+         |  columns={'ts':'TIMESTAMP','tile_id':'VARCHAR','pid':'INTEGER',
+         |           'cpu_user':'DOUBLE','cpu_sys':'DOUBLE','mem_rss':'BIGINT'})""".stripMargin,
+
+    "k4_pertile_csv" -> Sql.query(Sql.feat)(
+      "SELECT tile_id, COUNT(*) AS n_rows FROM feat GROUP BY tile_id")
+    // o7_analyze_stats: rows-only (catalog statistics text, not data)
+  )
+}

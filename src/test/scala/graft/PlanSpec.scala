@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-quality assertions: the optimizations SURVEY §4 promises must be
+  * visible in the physical plan, not just hoped for. */
+class PlanSpec extends SparkSpec {
+
+  private def executedPlan(name: String): String = {
+    val df = run(name)
+    df.collect() // execute THIS plan so AQE finalizes it
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1: shipdate filter is pushed to the parquet scan") {
+    val plan = executedPlan("q1_pricing_summary")
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"))
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*LessThanOrEqual\\(l_shipdate.*"))
+  }
+
+  test("q1: column pruning — scan reads only the 7 needed lineitem columns") {
+    val plan = executedPlan("q1_pricing_summary")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("l_returnflag") && !readSchema.contains("l_partkey"))
+  }
+
+  test("q5: all three dimension joins are broadcast") {
+    val plan = executedPlan("q5_nation_revenue")
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(nBroadcast >= 3, s"expected >=3 broadcast joins, plan:\n$plan")
+  }
+
+  test("j6: file-index lookup stays a broadcast join (no shuffle of tiles)") {
+    val plan = executedPlan("j6_file_lookup")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q1: aggregation happens inside whole-stage codegen") {
+    val plan = executedPlan("q1_pricing_summary")
+    assert(plan.contains("*(1)")) // whole-stage-codegen span markers
+    assert(plan.contains("partial_sum")) // map-side partial aggregation
+  }
+
+  test("bucketed co-located join runs without a shuffle exchange") {
+    for (t <- Seq("li_bucketed", "o_bucketed")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"/tmp/graft_warehouse/$t")
+      if (loc.exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    }
+    val sf = spark.read.parquet(s"$Sf/lineitem.parquet")
+    sf.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("li_bucketed")
+    spark.read.parquet(s"$Sf/orders.parquet")
+      .write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("o_bucketed")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").count()
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      // co-located SMJ: no exchange on either join key (the only allowed
+      // shuffle is the one for the final groupBy)
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+             !plan.contains("Exchange hashpartitioning(o_orderkey"),
+        s"unexpected shuffle on bucketed join keys:\n$plan")
+      assert(plan.contains("Bucketed: true"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
