@@ -102,6 +102,11 @@ object SourceSinkOps extends OpModule {
     // O7 — statistics maintenance: VACUUM ANALYZE → ANALYZE TABLE COMPUTE
     // STATISTICS (db.py:79-99); surfaces the row count the CBO will use
     "o7_analyze_stats" -> ((s, _) => {
+      // in-memory catalog forgets tables across sessions but the managed
+      // location persists — clear both before recreating
+      s.sql("DROP TABLE IF EXISTS graft_boundaries")
+      val loc = new java.io.File("/tmp/graft_warehouse/graft_boundaries")
+      if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
       Tables.boundaries(s).write.mode("overwrite").saveAsTable("graft_boundaries")
       s.sql("ANALYZE TABLE graft_boundaries COMPUTE STATISTICS")
       s.sql("DESCRIBE EXTENDED graft_boundaries")

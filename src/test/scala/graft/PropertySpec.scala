@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.{Envelope, EnvelopeUnion, VectorDot}
+
+/** Property tests for the algebraic invariants SURVEY §5 calls out:
+  * the union aggregate's monoid laws (required for map-side partial
+  * aggregation to be correct), the custom expression vs a reference
+  * implementation, and the priority-dedup (A8) against a pure model.
+  * (scalatestplus isn't on the classpath, so generators are sampled
+  * with fixed seeds directly.) */
+class PropertySpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  private def forAll[A, B, C](ga: Gen[A], gb: Gen[B], gc: Gen[C], n: Int = 50)(
+      f: (A, B, C) => Unit): Unit =
+    (samples(ga, n), samples(gb, n), samples(gc, n)).zipped.foreach(f)
+
+  private val genEnv: Gen[Envelope] = for {
+    x1 <- Gen.choose(-1000, 1000); y1 <- Gen.choose(-1000, 1000)
+    w <- Gen.choose(0, 500); h <- Gen.choose(0, 500)
+  } yield Envelope(x1, y1, x1 + w, y1 + h)
+
+  test("EnvelopeUnion is a commutative monoid (merge assoc/comm/identity)") {
+    forAll(genEnv, genEnv, genEnv) { (a, b, c) =>
+      val m = EnvelopeUnion
+      assert(m.merge(a, m.merge(b, c)) == m.merge(m.merge(a, b), c))
+      assert(m.merge(a, b) == m.merge(b, a))
+      assert(m.merge(a, m.zero) == a)
+    }
+  }
+
+  test("VectorDot.eval equals the reference fold for arbitrary vectors") {
+    val genVec = Gen.listOfN(16, Gen.choose(-10.0, 10.0))
+    samples(genVec, 50).zip(samples(genVec, 50).reverse).foreach { case (a, b) =>
+      val lit = (v: List[Double]) =>
+        Literal.create(new GenericArrayData(v.toArray), ArrayType(DoubleType))
+      val got = VectorDot(lit(a), lit(b)).eval(null).asInstanceOf[Double]
+      val want = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+      assert(got == want) // same sequential order -> bit-identical
+    }
+  }
+
+  /** Pure model of the reference's priority resolution
+    * (tileconfig.py:443-497): per tile keep all entries of the minimum
+    * priority (equal priorities append). */
+  private def dedupModel(files: Seq[(String, String, Int)]): Map[String, Set[String]] =
+    files.groupBy(_._1).map { case (tile, fs) =>
+      val minP = fs.map(_._3).min
+      tile -> fs.filter(_._3 == minP).map(_._2).toSet
+    }
+
+  test("A8 priority dedup matches the pure model on generated file indexes") {
+    import org.apache.spark.sql.expressions.Window
+    val genFiles = Gen.nonEmptyListOf(for {
+      t <- Gen.oneOf("ta", "tb", "tc", "td")
+      p <- Gen.choose(1, 3)
+      n <- Gen.choose(0, 9999)
+    } yield (t, s"/d$p/f$n.laz", p)).map(_.distinct)
+    samples(genFiles, 8).foreach { files =>
+      import spark.implicits._
+      val df = files.toDF("tile_id", "path", "priority")
+      val w = Window.partitionBy("tile_id")
+      val got = df.withColumn("minp", min("priority").over(w))
+        .filter(col("priority") === col("minp"))
+        .groupBy("tile_id").agg(collect_set("path").as("paths"))
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+      assert(got == dedupModel(files))
+    }
+  }
+}
