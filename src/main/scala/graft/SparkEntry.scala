@@ -28,6 +28,7 @@ object SparkEntry {
     TextOps,
     MultimodalOps,
     SourceSinkOps,
+    MergeScanOps,
     BenchQueries,
     graft.streaming.MonitorStream
   )

@@ -42,6 +42,14 @@ object TileGrid {
     * (NULL-version skip, tileconfig.py:633-639). */
   final case class ElevFile(path: String, dir_version: Option[Int], priority: Int)
 
+  /** Directory → (version, priority) mapping, the `directory_mapping` of
+    * the reference's config (controller.py:325-373). */
+  final case class ElevDir(name: String, version: Option[Int], priority: Int)
+  val elevDirs: Seq[ElevDir] = Seq(
+    ElevDir("ahn3", Some(3), 1), ElevDir("ahn2", Some(2), 2),
+    ElevDir("ahn2b", Some(2), 2), ElevDir("ahn1", Some(1), 3),
+    ElevDir("ahnx", None, 3))
+
   val elevFiles: Seq[ElevFile] = {
     val ahn3 = tiles.filter(t => t.version == 3 || t.border)
       .map(t => ElevFile(s"/data/ahn3/C${t.tile_id.toUpperCase}.LAZ", Some(3), 1))
