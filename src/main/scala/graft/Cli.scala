@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.FanoutOps
+import graft.sources.Tables
+
+/** Command-line entry point mirroring the reference's Click CLI
+  * (tile_processor/cli.py:13-200). Commands:
+  *
+  *   list-queries                      — registry listing (cli.py choices)
+  *   run <sfDir> [--restart N] [--tiles a,b|all]
+  *                                     — fan-out workers with retry
+  *                                       (run_cmd, cli.py:48-97)
+  *   export-tile-inputs <sfDir> <outDir>
+  *                                     — per-tile exports (cli.py:99-143)
+  *   plot-monitor-log <tsvPath> <outDir>
+  *                                     — monitor analytics to CSV (the
+  *                                       data behind rss.pdf/cpu.pdf,
+  *                                       cli.py:178-192)
+  */
+object Cli {
+  private def session(): SparkSession = SparkSession.builder()
+    .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+    .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "list-queries" :: Nil =>
+      SparkEntry.queries.keys.toSeq.sorted.foreach(println)
+
+    case "run" :: sfDir :: rest =>
+      val restart = rest.sliding(2).collectFirst {
+        case "--restart" :: n :: Nil => n.toInt }.getOrElse(0)
+      val tiles = rest.sliding(2).collectFirst {
+        case "--tiles" :: t :: Nil => t }.getOrElse("all")
+      val s = session()
+      s.sparkContext.setLogLevel("WARN")
+      val all = FanoutOps.tileTasks(s)
+      val selected =
+        if (tiles == "all") all
+        else all.filter(col("tile_id").isin(tiles.split(",").toSeq: _*))
+      val results = FanoutOps.runWithRetry(s, selected, maxAttempts = restart + 1)
+        .collect()
+      val failed = results.filter(!_.ok).map(_.tile_id)
+      println(s"nr_success=${results.length - failed.length}")
+      println(s"failed_tiles=${failed.mkString(",")}")
+      s.stop()
+
+    case "export-tile-inputs" :: sfDir :: outDir :: Nil =>
+      val s = session()
+      s.sparkContext.setLogLevel("WARN")
+      Tables.features(s, sfDir)
+        .write.mode("overwrite").partitionBy("tile_id")
+        .parquet(s"$outDir/footprints")
+      SparkEntry.queries("k3_merge_payloads")(s, sfDir)
+        .write.mode("overwrite").parquet(s"$outDir/merged_payloads")
+      println(s"exported to $outDir")
+      s.stop()
+
+    case "plot-monitor-log" :: tsv :: outDir :: Nil =>
+      val s = session()
+      s.sparkContext.setLogLevel("WARN")
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("ts", TimestampType), StructField("tile_id", StringType),
+        StructField("pid", IntegerType), StructField("cpu_user", DoubleType),
+        StructField("cpu_sys", DoubleType), StructField("mem_rss", LongType)))
+      val log = s.read.option("sep", "\t").schema(schema).csv(tsv)
+        .withColumn("cpu_total", col("cpu_user") + col("cpu_sys"))
+        .withColumn("mem_mb", col("mem_rss") / lit(1e6))
+      // rss.pdf data: per-tile memory series; cpu.pdf data: max per tile
+      log.select("ts", "tile_id", "mem_mb")
+        .write.mode("overwrite").option("header", "true").csv(s"$outDir/rss")
+      log.groupBy("tile_id").agg(max("cpu_total").as("cpu_max"))
+        .write.mode("overwrite").option("header", "true").csv(s"$outDir/cpu")
+      println(s"wrote $outDir/rss and $outDir/cpu")
+      s.stop()
+
+    case other =>
+      System.err.println(s"unknown command: ${other.mkString(" ")}")
+      System.err.println("commands: list-queries | run | export-tile-inputs | plot-monitor-log")
+      sys.exit(2)
+  }
+}

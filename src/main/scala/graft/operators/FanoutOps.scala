@@ -52,9 +52,13 @@ object FanoutOps extends OpModule {
     * (processor.py:89-125; --restart, cli.py:66-71). The failed set is
     * collected on the driver (tile counts are bounded; the reference does
     * the same with a Python list). */
-  def runWithRetry(s: SparkSession, maxAttempts: Int): Dataset[WorkerResult] = {
+  def runWithRetry(s: SparkSession, maxAttempts: Int): Dataset[WorkerResult] =
+    runWithRetry(s, tileTasks(s), maxAttempts)
+
+  def runWithRetry(s: SparkSession, tiles: Dataset[TileTask],
+      maxAttempts: Int): Dataset[WorkerResult] = {
     import s.implicits._
-    var pending = tileTasks(s)
+    var pending = tiles
     var finished: Dataset[WorkerResult] = s.emptyDataset[WorkerResult]
     var attempt = 1
     while (attempt <= maxAttempts && !pending.isEmpty) {
