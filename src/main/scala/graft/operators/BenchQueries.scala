@@ -50,6 +50,17 @@ object BenchQueries extends OpModule {
         .limit(10)
     }),
 
+    // TPC-H Q6 shape: selective scan-aggregate (the pushdown showcase:
+    // one scan, three pushed predicates, single-row result)
+    "q6_forecast_revenue" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+                col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+                col("l_discount").between(0.05, 0.07) &&
+                col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"))),
+
     // TPC-H Q5 shape: revenue per nation through the full dimension star
     "q5_nation_revenue" -> ((s, dir) => {
       val l = Tables.lineitem(s, dir)
@@ -91,6 +102,14 @@ object BenchQueries extends OpModule {
         |GROUP BY o_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, o_orderkey
         |LIMIT 10""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
 
     "q5_nation_revenue" ->
       """SELECT r_name, n_name,

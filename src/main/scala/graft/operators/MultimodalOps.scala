@@ -47,6 +47,24 @@ object MultimodalOps extends OpModule {
         .toDF()
     }),
 
+    // feature extraction: byte histogram computed over the raw payload in
+    // mapPartitions (real distributed binary processing; oracle counts
+    // the same classes on the ASCII text side)
+    "mm3_byte_histogram" -> ((s, dir) => {
+      import s.implicits._
+      media(s, dir).as[MediaRow].mapPartitions(_.map { r =>
+        var alpha = 0; var space = 0; var digit = 0; var other = 0
+        r.payload.foreach { b =>
+          val c = b.toChar
+          if (c.isLetter) alpha += 1
+          else if (c == ' ') space += 1
+          else if (c.isDigit) digit += 1
+          else other += 1
+        }
+        (r.doc_id, alpha, space, digit, other)
+      }).toDF("doc_id", "n_alpha", "n_space", "n_digit", "n_other")
+    }),
+
     // frame sampling: every 5th frame of n_bytes/100 frames per doc
     "mm2_frame_sample" -> ((s, dir) => {
       import s.implicits._
@@ -66,6 +84,14 @@ object MultimodalOps extends OpModule {
         |       CAST(240 + strlen(text) % 240 AS INT) AS height,
         |       CASE strlen(text) % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
         |            ELSE 'webp' END AS format
+        |FROM documents""".stripMargin,
+
+    "mm3_byte_histogram" ->
+      """SELECT doc_id,
+        |  CAST(strlen(text) - strlen(regexp_replace(text, '[A-Za-z]', '', 'g')) AS INT) AS n_alpha,
+        |  CAST(strlen(text) - strlen(replace(text, ' ', '')) AS INT) AS n_space,
+        |  CAST(strlen(text) - strlen(regexp_replace(text, '[0-9]', '', 'g')) AS INT) AS n_digit,
+        |  CAST(strlen(regexp_replace(replace(text, ' ', ''), '[A-Za-z0-9]', '', 'g')) AS INT) AS n_other
         |FROM documents""".stripMargin,
 
     "mm2_frame_sample" ->

@@ -79,6 +79,30 @@ object SimilarityOps extends OpModule {
         .select(col("vec_id"), round(col("cos"), 6).as("cos"))
     }),
 
+    // IVF-style ANN: coarse quantizer = per-label centroids (rounded to
+    // 6 decimals so both engines agree bit-for-bit), probe = the
+    // query's nearest centroid, fine search only within that list.
+    // At scale the label/list id is the partition key; only 1/nlists of
+    // the corpus is scanned per query.
+    "nn4_ivf_ann" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cent = e.select(col("label"), posexplode(col("emb")).as(Seq("i", "x")))
+        .groupBy("label", "i").agg(round(avg("x"), 6).as("cx"))
+        .groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(i, cx))), p -> p.cx)")
+          .as("centroid"))
+      val q = e.filter(col("vec_id") === 0).select(col("emb").as("qe"))
+      val probe = cent.crossJoin(broadcast(q))
+        .withColumn("csim", dot("centroid", "qe"))
+        .orderBy(col("csim").desc, col("label")).limit(1)
+        .select(col("label"), col("qe"))
+      e.join(broadcast(probe), Seq("label"))
+        .withColumn("cos",
+          dot("emb", "qe") / (sqrt(dot("emb", "emb")) * sqrt(dot("qe", "qe"))))
+        .orderBy(col("cos").desc, col("vec_id")).limit(5)
+        .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+    }),
+
     // embedding-cosine near-dup pairs inside buckets (the dedup use of
     // ANN): per-vector partner count, bounded output
     "nn3_bucket_neardup" -> ((s, dir) => {
@@ -111,6 +135,26 @@ object SimilarityOps extends OpModule {
       "q AS (SELECT bucket, emb AS qe FROM buckets WHERE vec_id = 0)")(
       s"""SELECT e.vec_id, $cosSql AS cos
          |FROM buckets e JOIN q ON e.bucket = q.bucket
+         |ORDER BY list_dot_product(e.emb, q.qe) /
+         |  (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(q.qe, q.qe)))
+         |  DESC, e.vec_id
+         |LIMIT 5""".stripMargin),
+
+    "nn4_ivf_ann" -> Sql.query(embSql,
+      """cent AS (
+        |  SELECT label, array_agg(cx ORDER BY i) AS centroid
+        |  FROM (SELECT label, i, ROUND(AVG(emb[i]), 6) AS cx
+        |        FROM emb, generate_series(1, 64) AS g(i)
+        |        GROUP BY label, i) c
+        |  GROUP BY label)""".stripMargin,
+      "q AS (SELECT emb AS qe FROM emb WHERE vec_id = 0)",
+      """probe AS (
+        |  SELECT c.label, q.qe
+        |  FROM cent c, q
+        |  ORDER BY list_dot_product(c.centroid, q.qe) DESC, c.label
+        |  LIMIT 1)""".stripMargin)(
+      s"""SELECT e.vec_id, $cosSql AS cos
+         |FROM emb e JOIN probe q ON e.label = q.label
          |ORDER BY list_dot_product(e.emb, q.qe) /
          |  (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(q.qe, q.qe)))
          |  DESC, e.vec_id
