@@ -104,6 +104,13 @@ object DedupOps extends OpModule {
        |              AS BIGINT) AS simhash
        |  FROM bits GROUP BY doc_id)""".stripMargin
 
+  private val bandsSql: String =
+    """bands AS (
+      |  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+      |         string_agg(CAST(seed AS VARCHAR) || ':' || CAST(mh AS VARCHAR),
+      |                    '|' ORDER BY CAST(seed AS VARCHAR) || ':' || CAST(mh AS VARCHAR)) AS bkey
+      |  FROM sig GROUP BY doc_id, seed // 2)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: hash-groupBy, keeper = min doc_id
     "dd1_exact_dedup" -> ((s, dir) =>
@@ -148,6 +155,21 @@ object DedupOps extends OpModule {
         .select("doc_a", "doc_b", "jaccard")
     }),
 
+    // the capstone dedup pipeline: LSH candidates → Jaccard verification
+    // (>= 0.5) → drop the higher doc_id of each verified pair → keep list.
+    // This is the end-to-end shape a 100 TB dedup run takes: candidate
+    // generation is bucketed (never all-pairs), verification touches only
+    // candidates, and the final anti-join is on a small drop set.
+    "dd6_dedup_filter" -> ((s, dir) => {
+      val cands = queries("dd2_minhash_lsh")(s, dir)
+      val verified = queries("dd3_jaccard_pairs")(s, dir)
+      val drops = cands.join(verified, Seq("doc_a", "doc_b"))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_b").as("doc_id")).distinct()
+      Tables.documents(s, dir).select("doc_id")
+        .join(drops, Seq("doc_id"), "left_anti")
+    }),
+
     // SimHash fingerprints
     "dd4_simhash" -> ((s, dir) => simhash(s, dir)),
 
@@ -180,15 +202,31 @@ object DedupOps extends OpModule {
         |       COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
 
-    "dd2_minhash_lsh" -> Sql.query(shinglesSql, sigSql,
-      """bands AS (
-        |  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
-        |         string_agg(CAST(seed AS VARCHAR) || ':' || CAST(mh AS VARCHAR),
-        |                    '|' ORDER BY CAST(seed AS VARCHAR) || ':' || CAST(mh AS VARCHAR)) AS bkey
-        |  FROM sig GROUP BY doc_id, seed // 2)""".stripMargin)(
+    "dd2_minhash_lsh" -> Sql.query(shinglesSql, sigSql, bandsSql)(
       """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
         |WHERE a.doc_id < b.doc_id""".stripMargin),
+
+    "dd6_dedup_filter" -> Sql.query(shinglesSql, sigSql, bandsSql,
+      """cands AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        |  WHERE a.doc_id < b.doc_id)""".stripMargin,
+      "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id)",
+      """inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM shingles a JOIN shingles b ON a.sh = b.sh
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)""".stripMargin,
+      """drops AS (
+        |  SELECT DISTINCT i.doc_b AS doc_id
+        |  FROM cands c
+        |  JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        |  JOIN sizes sa ON sa.doc_id = i.doc_a
+        |  JOIN sizes sb ON sb.doc_id = i.doc_b
+        |  WHERE ROUND(i.inter / (sa.sz + sb.sz - i.inter), 6) >= 0.5)""".stripMargin)(
+      """SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin),
 
     "dd3_jaccard_pairs" -> Sql.query(shinglesSql,
       "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id)",
