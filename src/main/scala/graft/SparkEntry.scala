@@ -29,6 +29,7 @@ object SparkEntry {
     MultimodalOps,
     SourceSinkOps,
     MergeScanOps,
+    DualLayoutOps,
     BenchQueries,
     graft.streaming.MonitorStream
   )

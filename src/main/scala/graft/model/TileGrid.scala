@@ -66,6 +66,24 @@ object TileGrid {
     ahn3 ++ ahn2 ++ ahn2b ++ ahn1 ++ stray
   }
 
+  /** Offset feature-tile grid (the reference's dual-layout scenario:
+    * feature tiles u1..u6 on a different grid than the elevation tiles,
+    * tests/conftest.py:99-123 / FIXTURES.md §1): 2x2 tiles of 5000,
+    * offset by 1250 — each u-tile straddles a 3x3 elevation block and
+    * part of the world lies outside the u-index. */
+  final case class UTile(u_id: String, xmin: Int, ymin: Int, xmax: Int, ymax: Int)
+  val uTiles: Seq[UTile] =
+    for { i <- 0 until 2; j <- 0 until 2 } yield UTile(
+      s"u${i}_${j}",
+      1250 + i * 5000, 1250 + j * 5000,
+      1250 + (i + 1) * 5000, 1250 + (j + 1) * 5000)
+
+  def uTilesSqlCte: String = {
+    val rows = uTiles.map(u =>
+      s"('${u.u_id}', ${u.xmin}, ${u.ymin}, ${u.xmax}, ${u.ymax})").mkString(", ")
+    s"u_tiles(u_id, xmin, ymin, xmax, ymax) AS (VALUES $rows)"
+  }
+
   /** The extent used by extent-selection queries — plays the role of the
     * reference's tests/data/extent_small.geojson polygon. */
   val ExtentXMin = 3000
