@@ -107,6 +107,20 @@ object AggOps extends OpModule {
         countDistinct("tile_id").as("n_tiles"),
         countDistinct("version").as("n_versions"))),
 
+    // A10 (extension) — exact percentiles per tile: both engines use
+    // linear interpolation, so values agree (rounded for float safety)
+    "a10_percentiles" -> ((s, dir) =>
+      Tables.monitorLog(s, dir).groupBy("tile_id")
+        .agg(round(expr("percentile(cpu_time_user, 0.5)"), 6).as("cpu_p50"),
+          round(expr("percentile(cpu_time_user, 0.9)"), 6).as("cpu_p90"))),
+
+    // A11 (extension) — rollup subtotals over (tile, pid): grouping-set
+    // aggregation for pipeline reporting
+    "a11_rollup_monitor" -> ((s, dir) =>
+      Tables.monitorLog(s, dir)
+        .rollup("tile_id", "pid")
+        .agg(count(lit(1)).as("n"))),
+
     // W1 — explicit rank-per-partition over the file index
     "w1_rank_files" -> ((s, _) =>
       Tables.elevIndex(s).select(col("tile_id"), col("path"),
@@ -174,6 +188,16 @@ object AggOps extends OpModule {
     "a9_cardinalities" -> Sql.query(Sql.boundaries)(
       """SELECT COUNT(DISTINCT tile_id) AS n_tiles,
         |       COUNT(DISTINCT version) AS n_versions FROM boundaries""".stripMargin),
+
+    "a10_percentiles" -> Sql.query(Sql.monitor)(
+      """SELECT tile_id,
+        |       ROUND(quantile_cont(cpu_time_user, 0.5), 6) AS cpu_p50,
+        |       ROUND(quantile_cont(cpu_time_user, 0.9), 6) AS cpu_p90
+        |FROM monitor GROUP BY tile_id""".stripMargin),
+
+    "a11_rollup_monitor" -> Sql.query(Sql.monitor)(
+      """SELECT tile_id, pid, COUNT(*) AS n
+        |FROM monitor GROUP BY ROLLUP (tile_id, pid)""".stripMargin),
 
     "w1_rank_files" -> Sql.query(Sql.elevFiles, Sql.elevIndex)(
       """SELECT tile_id, path,

@@ -51,6 +51,15 @@ object MonitorStream extends OpModule {
           col("n"), col("mem_peak"))
     }),
 
+    // streaming dedup: first-seen wins per user_id; the surviving ROW per
+    // key depends on processing order, so only the (deterministic) key
+    // set is emitted — the streaming arm of the dedup family
+    "st3_stream_dedup" -> ((s, dir) => {
+      val ev = Tables.eventsStream(s, dir).select("user_id")
+      runToTable(s, ev.dropDuplicates("user_id"), "append")
+        .select("user_id")
+    }),
+
     // keyed running state via mapGroupsWithState: per-tile peak memory
     "st2_stream_peak_state" -> ((s, dir) => {
       import s.implicits._
@@ -74,6 +83,9 @@ object MonitorStream extends OpModule {
       """SELECT date_trunc('hour', ts) AS hour, tile_id,
         |       COUNT(*) AS n, MAX(mem_rss) AS mem_peak
         |FROM monitor GROUP BY date_trunc('hour', ts), tile_id""".stripMargin),
+
+    "st3_stream_dedup" ->
+      "SELECT DISTINCT user_id FROM events",
 
     "st2_stream_peak_state" -> Sql.query(Sql.monitor)(
       "SELECT tile_id, MAX(mem_rss) AS mem_peak FROM monitor GROUP BY tile_id")
