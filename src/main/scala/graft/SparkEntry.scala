@@ -24,6 +24,7 @@ object SparkEntry {
     ScalarOps,
     FanoutOps,
     DedupOps,
+    SampleOps,
     SimilarityOps,
     TextOps,
     MultimodalOps,

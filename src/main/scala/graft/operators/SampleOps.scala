@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.OpModule
+import graft.sources.Tables
+
+/** Deterministic sampling & split assignment over `documents` — the
+  * remaining training-data pipeline staples. All selection is by the
+  * portable 60-bit md5 hash of content (never `rand()`), so samples are
+  * reproducible across engines, runs, and cluster sizes, and survive
+  * repartitioning — the property a 100 TB pipeline needs for stable
+  * train/val/test membership. */
+object SampleOps extends OpModule {
+  import DedupOps.h60
+
+  private def h60Sql(prefix: String, e: String): String =
+    s"CAST('0x' || substr(md5('$prefix' || $e), 1, 15) AS BIGINT)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // 10% content-hash sample
+    "ds1_hash_sample" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .filter(h60("smp:", col("text")) % 10 === 0)
+        .select("doc_id", "lang")),
+
+    // stratified: 5 docs per language, chosen by hash order (not rand)
+    "ds2_stratified_sample" -> ((s, dir) => {
+      val w = Window.partitionBy("lang").orderBy(h60("str:", col("text")), col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("lang", "doc_id")
+    }),
+
+    // train/val/test split assignment: 80/10/10 by content hash
+    "ds3_split_assign" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("bucket", h60("spl:", col("text")) % 100)
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .groupBy("split").agg(count(lit(1)).as("n")))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "ds1_hash_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${h60Sql("smp:", "text")} % 10 = 0""".stripMargin,
+
+    "ds2_stratified_sample" ->
+      s"""SELECT lang, doc_id FROM (
+         |  SELECT lang, doc_id,
+         |         ROW_NUMBER() OVER (PARTITION BY lang
+         |           ORDER BY ${h60Sql("str:", "text")}, doc_id) AS rn
+         |  FROM documents) t
+         |WHERE rn <= 5""".stripMargin,
+
+    "ds3_split_assign" ->
+      s"""SELECT CASE WHEN b < 80 THEN 'train'
+         |            WHEN b < 90 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |       COUNT(*) AS n
+         |FROM (SELECT ${h60Sql("spl:", "text")} % 100 AS b FROM documents) t
+         |GROUP BY 1""".stripMargin
+  )
+}

@@ -41,6 +41,21 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_sum")) // map-side partial aggregation
   }
 
+  test("per-tile read of a tile-partitioned layout prunes to one partition") {
+    val out = new java.io.File(sys.props("java.io.tmpdir"), "graft_prune").getPath
+    graft.sources.Tables.features(spark, Sf)
+      .select("o_orderkey", "tile_id")
+      .write.mode("overwrite").partitionBy("tile_id").parquet(out)
+    val one = spark.read.parquet(out).filter(col("tile_id") === "t1_1")
+    one.collect()
+    val plan = one.queryExecution.executedPlan.toString
+    // the reference creates one PG view per tile for this
+    // (tileconfig.py:680-747); here it is partition pruning on the scan
+    assert(plan.contains("PartitionFilters") && plan.contains("t1_1"))
+    val scanLine = plan.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(scanLine.contains("tile_id"))
+  }
+
   test("bucketed co-located join runs without a shuffle exchange") {
     for (t <- Seq("li_bucketed", "o_bucketed")) {
       spark.sql(s"DROP TABLE IF EXISTS $t")
