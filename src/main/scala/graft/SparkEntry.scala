@@ -31,6 +31,7 @@ object SparkEntry {
     SourceSinkOps,
     MergeScanOps,
     DualLayoutOps,
+    PipelineOps,
     BenchQueries,
     graft.streaming.MonitorStream
   )

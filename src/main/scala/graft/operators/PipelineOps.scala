@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.OpModule
+import graft.model.TileGrid
+import graft.sources.{Sql, Tables}
+
+/** Composition layer: the SQL front door and the full training-data
+  * pipeline assembled from the individual operators. */
+object PipelineOps extends OpModule {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SQL front door: the reference's native interface is composed SQL
+    // (tileconfig.py everywhere); spark.sql over registered views runs
+    // the same text-form queries against the same relations
+    "v1_sql_frontend" -> ((s, _) => {
+      import TileGrid._
+      Tables.boundaries(s).createOrReplaceTempView("boundaries_v")
+      s.sql(
+        s"""SELECT tile_id FROM boundaries_v
+           |WHERE xmin <= $ExtentXMax AND xmax >= $ExtentXMin
+           |  AND ymin <= $ExtentYMax AND ymax >= $ExtentYMin""".stripMargin)
+    }),
+
+    // end-to-end pipeline: quality filter → near-dup removal → split
+    // assignment → per-split/lang counts. Each stage is the registered
+    // operator's logic; this query proves they compose.
+    "pp1_training_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // stage 1: quality gate (tx2 semantics)
+      val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("w").isin("the", "a", "data", "value"), 1).otherwise(0)).as("n_stop"))
+      val quality = docs.join(toks, Seq("doc_id"))
+        .filter(col("n_tokens") >= 10 && col("n_stop") / col("n_tokens") < 0.5)
+      // stage 2: drop LSH+Jaccard-verified near-dups (dd6 keep list)
+      val keep = DedupOps.queries("dd6_dedup_filter")(s, dir)
+      val deduped = quality.join(keep, Seq("doc_id"), "left_semi")
+      // stage 3: deterministic split assignment (ds3 semantics)
+      deduped
+        .withColumn("bucket", DedupOps.h60("spl:", col("text")) % 100)
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test"))
+        .groupBy("split", "lang").agg(count(lit(1)).as("n"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "v1_sql_frontend" -> Sql.query(Sql.boundaries)(
+      s"""SELECT tile_id FROM boundaries
+         |WHERE xmin <= ${TileGrid.ExtentXMax} AND xmax >= ${TileGrid.ExtentXMin}
+         |  AND ymin <= ${TileGrid.ExtentYMax} AND ymax >= ${TileGrid.ExtentYMin}""".stripMargin),
+
+    "pp1_training_pipeline" -> {
+      // reuse dd6's CTE chain for the keep list, then apply the quality
+      // gate and split assignment on top
+      val dd6 = DedupOps.oracles("dd6_dedup_filter")
+      val keepCtes = dd6.stripPrefix("WITH ").split("\nSELECT doc_id FROM documents")(0)
+      s"""WITH $keepCtes,
+         |toks AS (
+         |  SELECT doc_id, COUNT(*) AS n_tokens,
+         |         SUM(CASE WHEN w IN ('the','a','data','value') THEN 1 ELSE 0 END) AS n_stop
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+         |  WHERE w <> '' GROUP BY doc_id),
+         |kept AS (
+         |  SELECT d.doc_id, d.text, d.lang
+         |  FROM documents d
+         |  JOIN toks t USING (doc_id)
+         |  WHERE t.n_tokens >= 10 AND t.n_stop / t.n_tokens < 0.5
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM drops))
+         |SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |       lang, COUNT(*) AS n
+         |FROM (SELECT lang,
+         |             CAST('0x' || substr(md5('spl:' || text), 1, 15) AS BIGINT) % 100 AS b
+         |      FROM kept) k
+         |GROUP BY 1, 2""".stripMargin
+    }
+  )
+}
