@@ -53,6 +53,9 @@ object DedupOps extends OpModule {
   /** MinHash signatures: min of seeded 60-bit hash per (doc, seed). */
   private val NumHashes = 4 // 2 bands x 2 rows
 
+  /** Document-frequency cap for dd7 (drop boilerplate shingles). */
+  private val MaxDf = 10
+
   def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
     // all seeds in ONE pass over the shingles (array-of-structs explode),
     // not one scan per seed
@@ -155,6 +158,34 @@ object DedupOps extends OpModule {
         .select("doc_a", "doc_b", "jaccard")
     }),
 
+    // dd2 with a document-frequency cap: shingles shared by more than
+    // MaxDf documents (template/boilerplate text) are dropped before
+    // hashing — the hot-bucket mitigation SCALE.md prescribes for 100 TB
+    // corpora. Output shape = dd2 (candidate pairs).
+    "dd7_minhash_dfcap" -> ((s, dir) => {
+      val sh = shingles(s, dir)
+      val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MaxDf).select("sh")
+      val capped = sh.join(rare, Seq("sh")).persist()
+      val hashArr = array((0 until NumHashes).map(seed =>
+        struct(lit(seed).as("seed"), h60(s"$seed:", col("sh")).as("h"))): _*)
+      val bands = capped
+        .select(col("doc_id"), explode(hashArr).as("sh_h"))
+        .select(col("doc_id"), col("sh_h.seed").as("seed"), col("sh_h.h").as("h"))
+        .groupBy("doc_id", "seed").agg(min("h").as("mh"))
+        .withColumn("band", floor(col("seed") / 2).cast("int"))
+        .withColumn("sm", concat(col("seed").cast("string"), lit(":"),
+          col("mh").cast("string")))
+        .groupBy("doc_id", "band")
+        .agg(array_join(sort_array(collect_list("sm")), "|").as("bkey"))
+        .persist()
+      val a = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+      val b = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b"))
+      a.join(b, Seq("band", "bkey"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+    }),
+
     // the capstone dedup pipeline: LSH candidates → Jaccard verification
     // (>= 0.5) → drop the higher doc_id of each verified pair → keep list.
     // This is the end-to-end shape a 100 TB dedup run takes: candidate
@@ -205,6 +236,28 @@ object DedupOps extends OpModule {
     "dd2_minhash_lsh" -> Sql.query(shinglesSql, sigSql, bandsSql)(
       """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        |WHERE a.doc_id < b.doc_id""".stripMargin),
+
+    "dd7_minhash_dfcap" -> Sql.query(shinglesSql,
+      s"""capped AS (
+         |  SELECT s.doc_id, s.sh FROM shingles s
+         |  JOIN (SELECT sh FROM shingles GROUP BY sh
+         |        HAVING COUNT(*) <= $MaxDf) r USING (sh))""".stripMargin,
+      {
+        val perSeed = (0 until NumHashes).map(seed =>
+          s"SELECT doc_id, $seed AS seed, ${h60Sql(s"$seed:", "sh")} AS h FROM capped")
+          .mkString("\nUNION ALL\n")
+        s"""csig AS (
+           |  SELECT doc_id, seed, MIN(h) AS mh FROM ($perSeed) hs
+           |  GROUP BY doc_id, seed)""".stripMargin
+      },
+      """cbands AS (
+        |  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+        |         string_agg(CAST(seed AS VARCHAR) || ':' || CAST(mh AS VARCHAR),
+        |                    '|' ORDER BY CAST(seed AS VARCHAR) || ':' || CAST(mh AS VARCHAR)) AS bkey
+        |  FROM csig GROUP BY doc_id, seed // 2)""".stripMargin)(
+      """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM cbands a JOIN cbands b ON a.band = b.band AND a.bkey = b.bkey
         |WHERE a.doc_id < b.doc_id""".stripMargin),
 
     "dd6_dedup_filter" -> Sql.query(shinglesSql, sigSql, bandsSql,

@@ -65,6 +65,22 @@ object MultimodalOps extends OpModule {
       }).toDF("doc_id", "n_alpha", "n_space", "n_digit", "n_other")
     }),
 
+    // resize stage: stride-5 byte subsampling in mapPartitions, verified
+    // by fingerprint (the STUB stand-in for an image resize kernel — the
+    // plumbing, batching, and verification are the real parts)
+    "mm4_resize_stride" -> ((s, dir) => {
+      import s.implicits._
+      media(s, dir).as[MediaRow].mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { r =>
+          val resized = r.payload.indices.collect {
+            case i if i % 5 == 0 => r.payload(i) }.toArray
+          val hex = md.digest(resized).map("%02x".format(_)).mkString
+          (r.doc_id, r.payload.length, resized.length, hex)
+        }
+      }.toDF("doc_id", "orig_len", "new_len", "resized_md5")
+    }),
+
     // frame sampling: every 5th frame of n_bytes/100 frames per doc
     "mm2_frame_sample" -> ((s, dir) => {
       import s.implicits._
@@ -93,6 +109,15 @@ object MultimodalOps extends OpModule {
         |  CAST(strlen(text) - strlen(regexp_replace(text, '[0-9]', '', 'g')) AS INT) AS n_digit,
         |  CAST(strlen(regexp_replace(replace(text, ' ', ''), '[A-Za-z0-9]', '', 'g')) AS INT) AS n_other
         |FROM documents""".stripMargin,
+
+    "mm4_resize_stride" ->
+      """SELECT doc_id, CAST(MAX(strlen(text)) AS INT) AS orig_len,
+        |       CAST(COUNT(*) AS INT) AS new_len,
+        |       md5(string_agg(substr(text, i, 1), '' ORDER BY i)) AS resized_md5
+        |FROM (SELECT doc_id, text,
+        |             unnest(generate_series(1, strlen(text), 5)) AS i
+        |      FROM documents) t
+        |GROUP BY doc_id""".stripMargin,
 
     "mm2_frame_sample" ->
       """SELECT doc_id, CAST(f AS INT) AS frame_id

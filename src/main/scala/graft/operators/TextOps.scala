@@ -78,6 +78,32 @@ object TextOps extends OpModule {
       Tables.documents(s, dir).select(col("doc_id"),
         md5(regexp_replace(lower(trim(col("text"))), " +", " ")).as("fp"))),
 
+    // char-trigram language ID (the real n-gram heuristic): per-lang
+    // trigram profiles learned from a training subset (doc_id%5==0,
+    // top-20 by frequency, deterministic tie-break), then argmax profile
+    // overlap per doc
+    "tx6_trigram_langid" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tri = Tables.documents(s, dir)
+        .filter(length(col("text")) >= 3)
+        .select(col("doc_id"), col("lang"),
+          explode(expr("sequence(0, length(text) - 3)")).as("i"),
+          col("text"))
+        .select(col("doc_id"), col("lang"),
+          expr("substring(text, i + 1, 3)").as("g"))
+      val wp = Window.partitionBy("lang").orderBy(col("cnt").desc, col("g"))
+      val profiles = tri.filter(col("doc_id") % 5 === 0)
+        .groupBy("lang", "g").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(wp)).filter(col("rn") <= 20)
+        .select(col("lang").as("p_lang"), col("g"))
+      val docg = tri.select("doc_id", "g").distinct()
+      val wd = Window.partitionBy("doc_id").orderBy(col("ov").desc, col("p_lang"))
+      docg.join(broadcast(profiles), Seq("g"))
+        .groupBy("doc_id", "p_lang").agg(count(lit(1)).as("ov"))
+        .withColumn("rn", row_number().over(wd)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("p_lang").as("pred_lang"), col("ov"))
+    }),
+
     // rolling polynomial hash over the token stream (sequential fold;
     // rows-only check — no DuckDB list_reduce in v1.0)
     "tx5_rolling_hash" -> ((s, dir) =>
@@ -119,6 +145,31 @@ object TextOps extends OpModule {
     "tx4_fingerprint" ->
       """SELECT doc_id,
         |       md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "tx6_trigram_langid" ->
+      """WITH tri AS (
+        |  SELECT doc_id, lang, substr(text, i, 3) AS g
+        |  FROM (SELECT doc_id, lang, text,
+        |               unnest(generate_series(1, strlen(text) - 2)) AS i
+        |        FROM documents WHERE strlen(text) >= 3) t),
+        |profiles AS (
+        |  SELECT lang AS p_lang, g FROM (
+        |    SELECT lang, g,
+        |           ROW_NUMBER() OVER (PARTITION BY lang
+        |             ORDER BY COUNT(*) DESC, g) AS rn
+        |    FROM tri WHERE doc_id % 5 = 0 GROUP BY lang, g) p
+        |  WHERE rn <= 20),
+        |docg AS (SELECT DISTINCT doc_id, g FROM tri),
+        |scores AS (
+        |  SELECT d.doc_id, p.p_lang, COUNT(*) AS ov
+        |  FROM docg d JOIN profiles p USING (g)
+        |  GROUP BY d.doc_id, p.p_lang)
+        |SELECT doc_id, p_lang AS pred_lang, ov FROM (
+        |  SELECT doc_id, p_lang, ov,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id
+        |           ORDER BY ov DESC, p_lang) AS rn
+        |  FROM scores) s
+        |WHERE rn = 1""".stripMargin
   )
 }
