@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Edge/invalid-input behavior, mirroring the reference's invalid-input
+  * tests (tests/test_tiles.py:168-175, 209-217). */
+class EdgeCaseSpec extends SparkSpec {
+
+  test("requesting only unknown tiles yields an empty selection, not an error") {
+    val df = graft.sources.Tables.boundaries(spark)
+      .filter(col("tile_id").isin("t9_9", "nope"))
+    assert(df.count() == 0)
+  }
+
+  test("j8 reports unknown requested tiles as missing") {
+    val statuses = run("j8_semi_validate").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(statuses("t9_9") == "missing")
+    assert(statuses("t0_0") == "found")
+  }
+
+  test("mm4: strided resize keeps ceil(n/5) bytes") {
+    val bad = run("mm4_resize_stride")
+      .filter(col("new_len") =!= expr("cast(ceil(orig_len / 5.0) as int)"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("tx6: predictions come from the label space with positive overlap") {
+    val rows = run("tx6_trigram_langid").collect()
+    val langs = Set("en", "de", "fr", "es", "zh")
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => langs.contains(r.getString(1)) && r.getLong(2) > 0))
+  }
+
+  test("dd7: df cap never invents candidates absent from uncapped LSH shape") {
+    // both are banded candidate generators over the same corpus; the
+    // capped variant must stay a plausible candidate set (sanity: bounded
+    // by the all-pairs count and self-consistent ordering)
+    val rows = run("dd7_minhash_dfcap").collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+}
