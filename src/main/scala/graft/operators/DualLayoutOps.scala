@@ -32,6 +32,33 @@ object DualLayoutOps extends OpModule {
         .select(col("u_id"), col("tile_id"), col("version"))
     }),
 
+    // the SCALE.md upgrade path for theta joins past broadcast size,
+    // implemented: bin each envelope into the 2500-wide grid cells it
+    // touches, equi-join on cell id (a well-distributed shuffle key),
+    // post-filter exact overlap, dedup. Semantically identical to
+    // j9_offset_grid_match — but the join is an equi-join that scales to
+    // arbitrarily many tiles on both sides.
+    "j10_binned_spatial_join" -> ((s, _) => {
+      // inclusive upper cell so exactly-touching envelopes (closed
+      // intervals, as in ST_Intersects) still share a candidate cell
+      def cells(df: DataFrame, pfx: String): DataFrame = df
+        .withColumn("cx", explode(expr(
+          s"sequence(cast(floor(${pfx}xmin / 2500.0) as int), " +
+          s"cast(floor(${pfx}xmax / 2500.0) as int))")))
+        .withColumn("cy", explode(expr(
+          s"sequence(cast(floor(${pfx}ymin / 2500.0) as int), " +
+          s"cast(floor(${pfx}ymax / 2500.0) as int))")))
+      val u = cells(uTiles(s).select(col("u_id"), col("xmin").as("u_xmin"),
+        col("ymin").as("u_ymin"), col("xmax").as("u_xmax"), col("ymax").as("u_ymax")), "u_")
+      val b = cells(Tables.boundaries(s)
+        .select(col("tile_id"), col("version"), col("xmin"), col("ymin"),
+          col("xmax"), col("ymax")), "")
+      b.join(u, Seq("cx", "cy"))
+        .filter(col("xmin") <= col("u_xmax") && col("xmax") >= col("u_xmin") &&
+                col("ymin") <= col("u_ymax") && col("ymax") >= col("u_ymin"))
+        .select(col("u_id"), col("tile_id"), col("version")).distinct()
+    }),
+
     // features assigned to the offset grid; features outside the u-index
     // surface as NULL (the semi-join-validation counterpart, J8, in the
     // offset layout)
@@ -50,6 +77,15 @@ object DualLayoutOps extends OpModule {
     "j9_offset_grid_match" -> Sql.query(TileGrid.boundariesSqlCte,
       TileGrid.uTilesSqlCte)(
       """SELECT u.u_id, b.tile_id, b.version
+        |FROM boundaries b, u_tiles u
+        |WHERE b.xmin <= u.xmax AND b.xmax >= u.xmin
+        |  AND b.ymin <= u.ymax AND b.ymax >= u.ymin""".stripMargin),
+
+    // oracle = the DIRECT theta-join formulation: an independent
+    // algorithm must produce the identical result set
+    "j10_binned_spatial_join" -> Sql.query(TileGrid.boundariesSqlCte,
+      TileGrid.uTilesSqlCte)(
+      """SELECT DISTINCT u.u_id, b.tile_id, b.version
         |FROM boundaries b, u_tiles u
         |WHERE b.xmin <= u.xmax AND b.xmax >= u.xmin
         |  AND b.ymin <= u.ymax AND b.ymax >= u.ymin""".stripMargin),
