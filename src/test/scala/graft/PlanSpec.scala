@@ -41,6 +41,12 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_sum")) // map-side partial aggregation
   }
 
+  test("j10: binned spatial join plans as an equi-join, not a nested loop") {
+    val plan = executedPlan("j10_binned_spatial_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
   test("per-tile read of a tile-partitioned layout prunes to one partition") {
     val out = new java.io.File(sys.props("java.io.tmpdir"), "graft_prune").getPath
     graft.sources.Tables.features(spark, Sf)
