@@ -63,7 +63,7 @@ object TileSelectOps extends OpModule {
     // P7 — star projection + computed alias: SELECT features.*, tile AS …
     // (tileconfig.py:172)
     "p7_star_alias" -> ((s, dir) => {
-      val base = Tables.orders(s, dir).columns.map(col)
+      val base = Tables.orders(s, dir).columns.toIndexedSeq.map(col)
       Tables.features(s, dir).select(base :+ col("tile_id").as("unit"): _*)
     }),
 
