@@ -24,6 +24,39 @@ object PipelineOps extends OpModule {
            |  AND ymin <= $ExtentYMax AND ymax >= $ExtentYMin""".stripMargin)
     }),
 
+    // as-of join (beyond-reference training-pipeline op): each purchase
+    // matched to the user's most recent prior-or-simultaneous click.
+    // Implementation is the scalable union-window form — tag both
+    // streams, one window pass per user carrying the last click forward —
+    // a single shuffle on user_id, no range join blowup. The oracle is
+    // DuckDB's native ASOF LEFT JOIN: an independent algorithm that must
+    // produce the identical matching.
+    "w6_asof_join" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+      // dedup clicks to one per (user, ts) so the as-of pick is unique
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("event_id").as("c_event_id"))
+        .join(ev.select(col("event_id").as("c_event_id"),
+          col("value").as("c_value")), Seq("c_event_id"))
+        .select(col("user_id"), col("ts"), lit(0).as("tag"),
+          col("c_event_id"), col("c_value"),
+          lit(null).cast("bigint").as("p_event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("tag"),
+          lit(null).cast("bigint").as("c_event_id"),
+          lit(null).cast("double").as("c_value"),
+          col("event_id").as("p_event_id"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purchases)
+        .withColumn("m_id", last("c_event_id", ignoreNulls = true).over(w))
+        .withColumn("m_val", last("c_value", ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("p_event_id"), col("user_id"),
+          col("m_id").as("c_event_id"), col("m_val").as("c_value"))
+    }),
+
     // end-to-end pipeline: quality filter → near-dup removal → split
     // assignment → per-split/lang counts. Each stage is the registered
     // operator's logic; this query proves they compose.
@@ -55,6 +88,21 @@ object PipelineOps extends OpModule {
       s"""SELECT tile_id FROM boundaries
          |WHERE xmin <= ${TileGrid.ExtentXMax} AND xmax >= ${TileGrid.ExtentXMin}
          |  AND ymin <= ${TileGrid.ExtentYMax} AND ymax >= ${TileGrid.ExtentYMin}""".stripMargin),
+
+    "w6_asof_join" ->
+      """WITH clicks0 AS (
+        |  SELECT user_id, ts, MAX(event_id) AS c_event_id
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+        |clicks AS (
+        |  SELECT c0.user_id, c0.ts, c0.c_event_id, e.value AS c_value
+        |  FROM clicks0 c0 JOIN events e ON e.event_id = c0.c_event_id),
+        |purchases AS (
+        |  SELECT event_id AS p_event_id, user_id, ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.p_event_id, p.user_id, c.c_event_id, c.c_value
+        |FROM purchases p
+        |ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
 
     "pp1_training_pipeline" -> {
       // reuse dd6's CTE chain for the keep list, then apply the quality
