@@ -24,6 +24,7 @@ object SourceSinkOps extends OpModule {
 
   val ExtentPath = "/tmp/graft_extent.geojson"
   val MonitorTsvPath = "/tmp/graft_monitor.tsv"
+  val TileDirPath = "/tmp/graft_tiledir"
 
   /** GeoJSON FeatureCollection for the extent polygon — the stand-in for
     * the reference's tests/data/extent_small.geojson (golden WKT at
@@ -99,6 +100,18 @@ object SourceSinkOps extends OpModule {
         .groupBy("tile_id").agg(count(lit(1)).as("n_rows"))
     }),
 
+    // S8 — custom DataSourceV2 over the per-tile point-file tree
+    // (tileconfig.py:446-489): tile_id pushdown prunes FILES at planning
+    // time, column pruning reaches the parser. The filter below must open
+    // 3 of 16 files (asserted in PlanSpec).
+    "s8_dsv2_tiledir" -> ((s, _) => {
+      graft.sources.v2.TileDirSource.writeFixture(TileDirPath)
+      s.read.format("graft.sources.v2.TileDirSource").load(TileDirPath)
+        .filter(col("tile_id").isin("t1_1", "t2_2", "t3_0"))
+        .groupBy("tile_id")
+        .agg(count(lit(1)).as("n_pts"), sum("z").as("sum_z"), max("x").as("max_x"))
+    }),
+
     // O7 — statistics maintenance: VACUUM ANALYZE → ANALYZE TABLE COMPUTE
     // STATISTICS (db.py:79-99); surfaces the row count the CBO will use
     "o7_analyze_stats" -> ((s, _) => {
@@ -137,7 +150,18 @@ object SourceSinkOps extends OpModule {
          |           'cpu_user':'DOUBLE','cpu_sys':'DOUBLE','mem_rss':'BIGINT'})""".stripMargin,
 
     "k4_pertile_csv" -> Sql.query(Sql.feat)(
-      "SELECT tile_id, COUNT(*) AS n_rows FROM feat GROUP BY tile_id")
+      "SELECT tile_id, COUNT(*) AS n_rows FROM feat GROUP BY tile_id"),
+
+    "s8_dsv2_tiledir" ->
+      s"""SELECT tile_id, COUNT(*) AS n_pts,
+         |       CAST(SUM(z) AS BIGINT) AS sum_z, MAX(x) AS max_x
+         |FROM (SELECT regexp_extract(filename, 'pts_(t[0-9]+_[0-9]+)', 1) AS tile_id,
+         |             x, z
+         |      FROM read_csv('$TileDirPath/*.xyz', delim=' ', header=false,
+         |        columns={'gid':'BIGINT','x':'INTEGER','y':'INTEGER','z':'INTEGER'},
+         |        filename=true))
+         |WHERE tile_id IN ('t1_1','t2_2','t3_0')
+         |GROUP BY tile_id""".stripMargin
     // o7_analyze_stats: rows-only (catalog statistics text, not data)
   )
 }

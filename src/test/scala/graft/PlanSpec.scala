@@ -93,4 +93,30 @@ class PlanSpec extends SparkSpec {
       assert(plan.contains("Bucketed: true"))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("s8: DSv2 tiledir — tile_id pushdown prunes files at planning time") {
+    import graft.operators.SourceSinkOps
+    graft.sources.v2.TileDirSource.writeFixture(SourceSinkOps.TileDirPath)
+    val scan = spark.read.format("graft.sources.v2.TileDirSource")
+      .load(SourceSinkOps.TileDirPath)
+      .filter(col("tile_id").isin("t1_1", "t2_2", "t3_0"))
+      .select("tile_id", "z")
+    // 3 of 16 files survive → 3 input partitions, no post-scan filter work
+    assert(scan.rdd.getNumPartitions == 3)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedTileFilters=[In(tile_id"), plan)
+    assert(plan.contains("files=3/16"), plan)
+  }
+
+  test("s8: DSv2 tiledir values match the fixture constants") {
+    val got = run("s8_dsv2_tiledir").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(_._1)
+    // per tile: 6 pts, z = (tx+ty)*10 + i for i<6, max_x = xmin + 2000
+    val want = Seq(
+      ("t1_1", 6L, (0 until 6).map(2 * 10 + _).sum.toLong, 2500 + 2000),
+      ("t2_2", 6L, (0 until 6).map(4 * 10 + _).sum.toLong, 5000 + 2000),
+      ("t3_0", 6L, (0 until 6).map(3 * 10 + _).sum.toLong, 7500 + 2000))
+    assert(got.toSeq == want)
+  }
 }
