@@ -24,6 +24,7 @@ object Cli {
   private def session(): SparkSession = SparkSession.builder()
     .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
     .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -114,6 +114,17 @@ object AggOps extends OpModule {
         .agg(round(expr("percentile(cpu_time_user, 0.5)"), 6).as("cpu_p50"),
           round(expr("percentile(cpu_time_user, 0.9)"), 6).as("cpu_p90"))),
 
+    // A12 (extension) — sketch percentiles: approx_percentile's GK
+    // summary is the MERGEABLE percentile path (map-side partial sketches
+    // merged at reduce — no global sort), the form that replaces a10's
+    // exact percentile at 100 TB. accuracy=1e6 > N makes the rank error
+    // <1 at test scale, so the result is the exact discrete quantile and
+    // the oracle can pin it (quantile_disc in DuckDB).
+    "a12_approx_percentiles" -> ((s, dir) =>
+      Tables.monitorLog(s, dir).groupBy("tile_id")
+        .agg(expr("approx_percentile(mem_rss, 0.5, 1000000)").as("mem_p50"),
+          expr("approx_percentile(mem_rss, 0.9, 1000000)").as("mem_p90"))),
+
     // A11 (extension) — rollup subtotals over (tile, pid): grouping-set
     // aggregation for pipeline reporting
     "a11_rollup_monitor" -> ((s, dir) =>
@@ -193,6 +204,12 @@ object AggOps extends OpModule {
       """SELECT tile_id,
         |       ROUND(quantile_cont(cpu_time_user, 0.5), 6) AS cpu_p50,
         |       ROUND(quantile_cont(cpu_time_user, 0.9), 6) AS cpu_p90
+        |FROM monitor GROUP BY tile_id""".stripMargin),
+
+    "a12_approx_percentiles" -> Sql.query(Sql.monitor)(
+      """SELECT tile_id,
+        |       quantile_disc(mem_rss, 0.5) AS mem_p50,
+        |       quantile_disc(mem_rss, 0.9) AS mem_p90
         |FROM monitor GROUP BY tile_id""".stripMargin),
 
     "a11_rollup_monitor" -> Sql.query(Sql.monitor)(

@@ -114,6 +114,25 @@ object SimilarityOps extends OpModule {
           dot("ea", "eb") / (sqrt(dot("ea", "ea")) * sqrt(dot("eb", "eb"))))
         .filter(col("cos") > 0.3) // ≈p99 of the corpus pair distribution
         .groupBy(col("va").as("vec_id")).agg(count(lit(1)).as("n_neardups"))
+    }),
+
+    // nn5 — the SQL FRONT DOOR for similarity: vector_dot is callable
+    // from plain spark.sql because it is a registered native function
+    // (GraftExtensions at session build, VectorDot.register as runtime
+    // fallback inside emb()). Same scoring as nn1 around a different
+    // query vector, so the two paths cross-check each other.
+    "nn5_sql_vecdot" -> ((s, dir) => {
+      emb(s, dir).createOrReplaceTempView("emb_v")
+      s.sql(
+        """SELECT e.vec_id,
+          |       ROUND(vector_dot(e.emb, q.qe) /
+          |         (sqrt(vector_dot(e.emb, e.emb)) * sqrt(vector_dot(q.qe, q.qe))), 6) AS cos
+          |FROM emb_v e
+          |CROSS JOIN (SELECT emb AS qe FROM emb_v WHERE vec_id = 1) q
+          |ORDER BY vector_dot(e.emb, q.qe) /
+          |  (sqrt(vector_dot(e.emb, e.emb)) * sqrt(vector_dot(q.qe, q.qe)))
+          |  DESC, e.vec_id
+          |LIMIT 10""".stripMargin)
     })
   )
 
@@ -124,6 +143,15 @@ object SimilarityOps extends OpModule {
   def oracles: Map[String, String] = Map(
     "nn1_cosine_topk" -> Sql.query(embSql,
       "q AS (SELECT emb AS qe FROM emb WHERE vec_id = 0)")(
+      s"""SELECT e.vec_id, $cosSql AS cos
+         |FROM emb e, q
+         |ORDER BY list_dot_product(e.emb, q.qe) /
+         |  (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(q.qe, q.qe)))
+         |  DESC, e.vec_id
+         |LIMIT 10""".stripMargin),
+
+    "nn5_sql_vecdot" -> Sql.query(embSql,
+      "q AS (SELECT emb AS qe FROM emb WHERE vec_id = 1)")(
       s"""SELECT e.vec_id, $cosSql AS cos
          |FROM emb e, q
          |ORDER BY list_dot_product(e.emb, q.qe) /

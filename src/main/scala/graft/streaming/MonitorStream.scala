@@ -60,6 +60,19 @@ object MonitorStream extends OpModule {
         .select("user_id")
     }),
 
+    // st4 — watermark-BOUNDED streaming dedup: state for a key is evicted
+    // once the watermark passes its expiry, so state is O(keys per
+    // watermark window) instead of O(all keys ever) — the only dedup form
+    // that survives an unbounded stream (st3's plain dropDuplicates keeps
+    // state forever). Single-batch execution (one parquet file, one
+    // trigger) makes the emitted key set exactly the distinct set.
+    "st4_stream_dedup_watermark" -> ((s, dir) => {
+      val ev = Tables.eventsStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+      runToTable(s, ev, "append").select("user_id", "event_type")
+    }),
+
     // keyed running state via mapGroupsWithState: per-tile peak memory
     "st2_stream_peak_state" -> ((s, dir) => {
       import s.implicits._
@@ -86,6 +99,9 @@ object MonitorStream extends OpModule {
 
     "st3_stream_dedup" ->
       "SELECT DISTINCT user_id FROM events",
+
+    "st4_stream_dedup_watermark" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
 
     "st2_stream_peak_state" -> Sql.query(Sql.monitor)(
       "SELECT tile_id, MAX(mem_rss) AS mem_peak FROM monitor GROUP BY tile_id")

@@ -27,6 +27,33 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch && stream.nonEmpty)
   }
 
+  test("st4: dropDuplicatesWithinWatermark evicts key state once the watermark passes") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val ev = ms.toDF().toDF("epoch", "k")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("k")
+    val q = ev.writeStream.outputMode("append").format("memory")
+      .queryName("wmdedup_demo").start()
+    try {
+      // batch 1: duplicate inside the watermark window → one emitted row
+      ms.addData((0L, "a"), (100L, "a"))
+      q.processAllAvailable()
+      // batch 2: watermark advances to 10000-3600, past a's expiry → evict
+      ms.addData((10000L, "b"))
+      q.processAllAvailable()
+      // batch 3: "a" again — state was dropped, so it re-emits; with plain
+      // dropDuplicates (unbounded state) this row would be suppressed
+      ms.addData((10500L, "a"))
+      q.processAllAvailable()
+      val ks = spark.table("wmdedup_demo").select("k").collect().map(_.getString(0))
+      assert(ks.count(_ == "a") == 2, ks.mkString(","))
+      assert(ks.count(_ == "b") == 1, ks.mkString(","))
+    } finally q.stop()
+  }
+
   test("watermark: append mode emits only windows closed by the watermark") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
