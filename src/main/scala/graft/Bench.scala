@@ -30,19 +30,45 @@ object Bench {
 
     // min of two timed passes per query: the machine is multi-tenant and
     // single-shot timings vary >2x under load; min-of-2 approximates the
-    // uncontended cost
+    // uncontended cost. A crashed query reports -1 (not a fake duration)
+    // so failures are visible in the JSON.
     def time(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
+    }
+    def min2(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val a = time(fn); val b = time(fn)
+      if (a < 0 || b < 0) -1.0 else math.min(a, b)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(time(fn), time(fn))
+      name -> min2(fn)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val failed = results.filter(_._2 < 0).map(_._1)
+    val ok = results.filter(_._2 >= 0)
+    val total = ok.map(_._2).sum
+    def r3(v: Double): String = f"$v%.3f"
+    // The driver keeps only a bounded tail of stdout, so the JSON line must
+    // stay short: report the headline subset inline (one per operator
+    // family); the full per-query map goes to a sidecar file.
+    val headline = Seq("q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
+      "j1_feature_index_join", "j10_binned_spatial_join", "a8_priority_dedup",
+      "w6_asof_join", "dd2_minhash_lsh", "nn1_cosine_topk", "nn4_ivf_ann",
+      "tx2_quality", "mm1_decode_meta", "st1_stream_monitor_agg",
+      "s8_dsv2_tiledir", "pp1_training_pipeline")
+    val resMap = results.toMap
+    val qs = headline.flatMap(h => resMap.get(h).map(v => "\"" + h + "\":" + r3(v)))
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter("BENCH_FULL.json")
+      w.println(s"""{"total":${r3(total)},"failed":$failedJson,"queries":$fullQs,"sf":"$sfDir"}""")
+      w.close()
+    } catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

@@ -49,8 +49,17 @@ object Cli {
       val results = FanoutOps.runWithRetry(s, selected, maxAttempts = restart + 1)
         .collect()
       val failed = results.filter(!_.ok).map(_.tile_id)
+      // sfDir feeds the data-dependent part of the run report: how many
+      // features the successful tiles actually covered (the reference logs
+      // per-tile work in run_cmd, cli.py:94-95)
+      val okTiles = results.filter(_.ok).map(_.tile_id).toSeq
+      val nFeatures =
+        if (okTiles.isEmpty) 0L
+        else Tables.features(s, sfDir)
+          .filter(col("tile_id").isin(okTiles: _*)).count()
       println(s"nr_success=${results.length - failed.length}")
       println(s"failed_tiles=${failed.mkString(",")}")
+      println(s"features_processed=$nFeatures")
       s.stop()
 
     case "export-tile-inputs" :: sfDir :: outDir :: Nil =>

@@ -29,7 +29,9 @@ object DedupOps extends OpModule {
   def h60(prefix: String, c: Column): Column =
     expr(s"cast(conv(substr(md5(concat('$prefix', ${c.toString})), 1, 15), 16, 10) as bigint)")
 
-  private def h60Sql(prefix: String, e: String): String =
+  /** DuckDB-side rendering of [[h60]] — the single source of truth for the
+    * portable hash in oracle SQL (reused by SampleOps/PipelineOps). */
+  def h60Sql(prefix: String, e: String): String =
     s"CAST('0x' || substr(md5('$prefix' || $e), 1, 15) AS BIGINT)"
 
   /** Distinct 3-word shingles per document. */

@@ -55,10 +55,11 @@ object MultimodalOps extends OpModule {
       media(s, dir).as[MediaRow].mapPartitions(_.map { r =>
         var alpha = 0; var space = 0; var digit = 0; var other = 0
         r.payload.foreach { b =>
-          val c = b.toChar
-          if (c.isLetter) alpha += 1
-          else if (c == ' ') space += 1
-          else if (c.isDigit) digit += 1
+          // explicit ASCII ranges, byte-exact vs the oracle's [A-Za-z]/[0-9]
+          // regexes regardless of corpus encoding (non-ASCII bytes → other)
+          if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')) alpha += 1
+          else if (b == ' ') space += 1
+          else if (b >= '0' && b <= '9') digit += 1
           else other += 1
         }
         (r.doc_id, alpha, space, digit, other)

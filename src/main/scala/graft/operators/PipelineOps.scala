@@ -125,7 +125,7 @@ object PipelineOps extends OpModule {
          |            ELSE 'test' END AS split,
          |       lang, COUNT(*) AS n
          |FROM (SELECT lang,
-         |             CAST('0x' || substr(md5('spl:' || text), 1, 15) AS BIGINT) % 100 AS b
+         |             ${DedupOps.h60Sql("spl:", "text")} % 100 AS b
          |      FROM kept) k
          |GROUP BY 1, 2""".stripMargin
     }

