@@ -194,10 +194,22 @@ object DedupOps extends OpModule {
     // generation is bucketed (never all-pairs), verification touches only
     // candidates, and the final anti-join is on a small drop set.
     "dd6_dedup_filter" -> ((s, dir) => {
-      val cands = queries("dd2_minhash_lsh")(s, dir)
-      val verified = queries("dd3_jaccard_pairs")(s, dir)
-      val drops = cands.join(verified, Seq("doc_a", "doc_b"))
-        .filter(col("jaccard") >= 0.5)
+      val cands = queries("dd2_minhash_lsh")(s, dir).persist()
+      val sh = shingles(s, dir).persist()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      // Jaccard verification restricted to LSH candidates: joining the
+      // candidate pairs with each side's shingles keeps the work
+      // candidate-proportional (never the global all-pairs-sharing-a-
+      // shingle relation — at 100 TB that relation is quadratic in the
+      // hot-shingle count, while candidates are bounded by band width).
+      val inter = cands
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      val drops = inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), Seq("doc_b"))
+        .filter(round(col("inter") / (col("sza") + col("szb") - col("inter")), 6) >= 0.5)
         .select(col("doc_b").as("doc_id")).distinct()
       Tables.documents(s, dir).select("doc_id")
         .join(drops, Seq("doc_id"), "left_anti")

@@ -86,19 +86,29 @@ object TextOps extends OpModule {
     // overlap per doc
     "tx6_trigram_langid" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // profile side counts every trigram OCCURRENCE, but only over the
+      // 20% training slice (filter commutes below the explode)
       val tri = Tables.documents(s, dir)
         .filter(length(col("text")) >= 3)
+        .filter(col("doc_id") % 5 === 0)
         .select(col("doc_id"), col("lang"),
-          explode(expr("sequence(0, length(text) - 3)")).as("i"),
-          col("text"))
-        .select(col("doc_id"), col("lang"),
-          expr("substring(text, i + 1, 3)").as("g"))
+          explode(expr(
+            "transform(sequence(0, length(text) - 3), i -> substring(text, i + 1, 3))"))
+            .as("g"))
       val wp = Window.partitionBy("lang").orderBy(col("cnt").desc, col("g"))
-      val profiles = tri.filter(col("doc_id") % 5 === 0)
+      val profiles = tri
         .groupBy("lang", "g").agg(count(lit(1)).as("cnt"))
         .withColumn("rn", row_number().over(wp)).filter(col("rn") <= 20)
         .select(col("lang").as("p_lang"), col("g"))
-      val docg = tri.select("doc_id", "g").distinct()
+      // scoring side needs DISTINCT grams per doc: dedup inside the row
+      // (array_distinct) instead of a corpus-wide distinct() shuffle over
+      // every character position — the full-corpus explode emits only
+      // already-distinct grams
+      val docg = Tables.documents(s, dir)
+        .filter(length(col("text")) >= 3)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(0, length(text) - 3), i -> substring(text, i + 1, 3))")))
+          .as("g"))
       val wd = Window.partitionBy("doc_id").orderBy(col("ov").desc, col("p_lang"))
       docg.join(broadcast(profiles), Seq("g"))
         .groupBy("doc_id", "p_lang").agg(count(lit(1)).as("ov"))

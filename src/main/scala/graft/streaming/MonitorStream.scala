@@ -27,8 +27,16 @@ object MonitorStream extends OpModule {
 
   private def runToTable(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_${nameSeq.incrementAndGet()}"
-    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    // a stateful streaming query materializes one state store per shuffle
+    // partition per batch; at test scale that fixed cost dominates, so run
+    // the micro-batch with few partitions (a real deployment sizes this to
+    // key cardinality — state is per-key either way)
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
     s.table(name)
   }
 
