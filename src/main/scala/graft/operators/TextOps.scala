@@ -29,6 +29,12 @@ object TextOps extends OpModule {
   private def sqlList(words: Seq[String]) =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** BPE-ish pre-tokenizer pattern (tx7): the GPT-2 segmentation idea —
+    * optionally-space-prefixed letter runs, digit runs, punctuation runs,
+    * then bare space runs — restricted to ASCII classes and no lookahead
+    * so Java regex (Spark) and RE2 (DuckDB) tokenize identically. */
+  val BpePattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
   private def tokens(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
@@ -116,6 +122,15 @@ object TextOps extends OpModule {
         .select(col("doc_id"), col("p_lang").as("pred_lang"), col("ov"))
     }),
 
+    // BPE-ish regex tokenization (GPT-2-style segment classes, ASCII
+    // ranges so Java and RE2 regex semantics agree): word / number /
+    // punctuation-run / space-run segments, vs whitespace token count
+    "tx7_bpe_tokens" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        size(expr(s"regexp_extract_all(text, '$BpePattern', 0)")).as("n_bpe"),
+        size(filter(split(col("text"), " "), w => w =!= "")).as("n_ws"))
+        .withColumn("bpe_per_ws", round(col("n_bpe") / col("n_ws"), 6))),
+
     // rolling polynomial hash over the token stream (sequential fold;
     // oracle uses the closed-form SUM(len_i * 31^(n-i)) % p)
     "tx5_rolling_hash" -> ((s, dir) =>
@@ -183,6 +198,16 @@ object TextOps extends OpModule {
         |           ORDER BY ov DESC, p_lang) AS rn
         |  FROM scores) s
         |WHERE rn = 1""".stripMargin,
+
+    "tx7_bpe_tokens" ->
+      s"""SELECT doc_id,
+         |       CAST(len(regexp_extract_all(text, '$BpePattern')) AS INT) AS n_bpe,
+         |       CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+         |            AS INT) AS n_ws,
+         |       ROUND(len(regexp_extract_all(text, '$BpePattern')) /
+         |             len(list_filter(string_split(text, ' '), w -> w <> '')),
+         |             6) AS bpe_per_ws
+         |FROM documents""".stripMargin,
 
     // fold(h -> h*31 + len(w) mod p) == SUM(len_i * 31^(n-i)) mod p by
     // linearity; 31^k table via recursive CTE. Terms stay < 2^47 so the

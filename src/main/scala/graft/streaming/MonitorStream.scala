@@ -81,6 +81,30 @@ object MonitorStream extends OpModule {
       runToTable(s, ev, "append").select("user_id", "event_type")
     }),
 
+    // st5 — stream-static enrichment join: each monitor sample joined to
+    // the static boundaries dimension (broadcast; no stream state at all
+    // — the canonical cheap enrichment at any scale)
+    "st5_stream_static_join" -> ((s, dir) => {
+      val mon = Tables.monitorCols(Tables.eventsStream(s, dir))
+        .select("event_id", "tile_id", "mem_rss")
+      val dims = broadcast(Tables.boundaries(s).select("tile_id", "border"))
+      runToTable(s, mon.join(dims, Seq("tile_id")), "append")
+        .select("event_id", "tile_id", "border", "mem_rss")
+    }),
+
+    // st6 — session windows: per-user sessions closed by a 6-hour
+    // inactivity gap (session_window merges adjacent windows in the state
+    // store; at scale state is O(open sessions), not O(events))
+    "st6_session_windows" -> ((s, dir) => {
+      val ev = Tables.eventsStream(s, dir)
+      val sess = ev.groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      runToTable(s, sess, "complete")
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"), col("sum_value"))
+    }),
+
     // keyed running state via mapGroupsWithState: per-tile peak memory
     "st2_stream_peak_state" -> ((s, dir) => {
       import s.implicits._
@@ -112,6 +136,30 @@ object MonitorStream extends OpModule {
       "SELECT DISTINCT user_id, event_type FROM events",
 
     "st2_stream_peak_state" -> Sql.query(Sql.monitor)(
-      "SELECT tile_id, MAX(mem_rss) AS mem_peak FROM monitor GROUP BY tile_id")
+      "SELECT tile_id, MAX(mem_rss) AS mem_peak FROM monitor GROUP BY tile_id"),
+
+    "st5_stream_static_join" -> Sql.query(Sql.monitor, Sql.boundaries)(
+      """SELECT m.event_id, m.tile_id, b.border, m.mem_rss
+        |FROM monitor m JOIN boundaries b USING (tile_id)""".stripMargin),
+
+    // session_window == gaps-and-islands: a session break is a >6h gap;
+    // window end = last event + gap
+    "st6_session_windows" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                   > INTERVAL 6 HOUR OR
+        |              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM flagged)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |       MAX(ts) + INTERVAL 6 HOUR AS session_end,
+        |       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+        |FROM sessions GROUP BY user_id, sess_id""".stripMargin
   )
 }
