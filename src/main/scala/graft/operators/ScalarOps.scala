@@ -57,7 +57,18 @@ object ScalarOps extends OpModule {
       val a8 = AggOps.queries("a8_priority_dedup")(s, "")
       a8.select(col("tile_id"),
         explode(split(col("file_list"), ",")).as("path"))
-    })
+    }),
+
+    // json family — parse the per-event JSON props column and aggregate
+    // on the extracted field (the reference's JSON schema-registry /
+    // config parsing, controller.py:43-89, as a data-plane operator)
+    "f6_json_props" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), min("k").as("min_k"), max("k").as("max_k"),
+          round(avg("k"), 6).as("avg_k")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -100,6 +111,15 @@ object ScalarOps extends OpModule {
         |      FROM (SELECT *, MIN(priority) OVER (PARTITION BY tile_id) AS minp
         |            FROM elev_index) t
         |      WHERE priority = minp
-        |      GROUP BY tile_id) g""".stripMargin)
+        |      GROUP BY tile_id) g""".stripMargin),
+
+    "f6_json_props" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       MIN(k) AS min_k, MAX(k) AS max_k,
+        |       ROUND(AVG(k), 6) AS avg_k
+        |FROM (SELECT event_type,
+        |             CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |      FROM events) t
+        |GROUP BY event_type""".stripMargin
   )
 }

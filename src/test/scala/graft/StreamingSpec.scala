@@ -76,4 +76,42 @@ class StreamingSpec extends SparkSpec {
       assert(hours == Set(0L, 3600L)) // hour-3 window still open
     } finally q.stop()
   }
+
+  test("st6: session_window merges events within the gap and splits across it") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Double)]
+    val ev = ms.toDF().toDF("epoch", "user_id", "value")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+    val sess = ev.groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = sess.writeStream.outputMode("complete").format("memory")
+      .queryName("sess_demo").start()
+    try {
+      val H = 3600L
+      // user 1: events at 0h, 5h (within gap → merge), 20h (new session);
+      // user 2: one event
+      ms.addData((0L, 1L, 1.0), (5 * H, 1L, 1.0), (20 * H, 1L, 1.0), (0L, 2L, 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_demo")
+        .select(col("user_id"), col("session_window.start").cast("long"),
+          col("session_window.end").cast("long"), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(rows == Set(
+        (1L, 0L, 11 * H, 2L),          // merged: end = last event + gap
+        (1L, 20 * H, 26 * H, 1L),
+        (2L, 0L, 6 * H, 1L)), rows.mkString(","))
+    } finally q.stop()
+  }
+
+  test("st5: stream-static join plan has no stateful operator") {
+    val df = run("st5_stream_static_join")
+    // result equals the batch join
+    val batch = graft.sources.Tables.monitorLog(spark, Sf)
+      .join(graft.sources.Tables.boundaries(spark), Seq("tile_id"))
+      .select("event_id", "tile_id", "border", "mem_rss")
+    assert(df.count() == batch.count())
+    assert(df.except(batch).isEmpty && batch.except(df).isEmpty)
+  }
 }
