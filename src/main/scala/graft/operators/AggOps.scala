@@ -107,6 +107,18 @@ object AggOps extends OpModule {
         countDistinct("tile_id").as("n_tiles"),
         countDistinct("version").as("n_versions"))),
 
+    // A13 (extension) — the 100 TB form of A9: Datasketches HLL
+    // cardinality (mergeable, bounded memory per group, one pass — exact
+    // COUNT DISTINCT shuffles every key). The sketch's coupon phase is
+    // EXACT below k/4 entries (k=2^16 here), so the exact oracle pins it
+    // at test scale; past the threshold it degrades to ~1.6% rse.
+    // (Spark's approx_count_distinct HLL++ lacks an exact phase — off by
+    // one even at 150 keys — hence the Datasketches variant.)
+    "a13_approx_distinct" -> ((s, dir) =>
+      Tables.events(s, dir).groupBy("event_type")
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 16))")
+          .as("n_users"))),
+
     // A10 (extension) — exact percentiles per tile: both engines use
     // linear interpolation, so values agree (rounded for float safety)
     "a10_percentiles" -> ((s, dir) =>
@@ -199,6 +211,10 @@ object AggOps extends OpModule {
     "a9_cardinalities" -> Sql.query(Sql.boundaries)(
       """SELECT COUNT(DISTINCT tile_id) AS n_tiles,
         |       COUNT(DISTINCT version) AS n_versions FROM boundaries""".stripMargin),
+
+    "a13_approx_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "a10_percentiles" -> Sql.query(Sql.monitor)(
       """SELECT tile_id,
