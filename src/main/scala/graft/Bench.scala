@@ -47,7 +47,10 @@ object Bench {
     val failed = results.filter(_._2 < 0).map(_._1)
     val ok = results.filter(_._2 >= 0)
     val total = ok.map(_._2).sum
-    def r3(v: Double): String = f"$v%.3f"
+    // explicit locale: the default-locale f-interpolator emits "1,234"
+    // under comma-decimal locales, corrupting the JSON line
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // The driver keeps only a bounded tail of stdout, so the JSON line must
     // stay short: report the headline subset inline (one per operator
     // family); the full per-query map goes to a sidecar file.
@@ -69,6 +72,7 @@ object Bench {
       w.close()
     } catch { case _: Throwable => () }
     println(line)
+    graft.sources.Cached.releaseAll()
     spark.stop()
   }
 }

@@ -4,12 +4,12 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.OpModule
-import graft.sources.{Sql, Tables}
+import graft.sources.{Cached, Sql, Tables}
 
 /** Deduplication suite over the `documents` table — the training-data
   * pipeline operators (BASELINE.json north star): exact hash dedup,
-  * MinHash+LSH banding, n-gram Jaccard, SimHash fingerprint + hamming
-  * pairs.
+  * MinHash+LSH banding, df-capped n-gram Jaccard, SimHash fingerprint +
+  * hamming pairs.
   *
   * Portable hashing: h(s) = first 15 hex digits of md5 as a 60-bit
   * integer — identical in Spark (`conv(substr(md5(s),1,15),16,10)`) and
@@ -20,8 +20,13 @@ import graft.sources.{Sql, Tables}
   * groupBy), no driver-side state. LSH banding turns the quadratic
   * all-pairs problem into an equi-join on band keys — the shuffle key IS
   * the bucket, so at 100 TB each reducer sees only its bucket's
-  * candidates. The brute-force pair ops exist as correctness baselines;
-  * the banded/bucketed ones are the scale path.
+  * candidates. Shingle joins are document-frequency capped (boilerplate
+  * shingles shared by more than [[MaxDf]] docs are dropped before any
+  * self-join), so no reducer ever sees a hot-shingle quadratic blowup;
+  * the uncapped brute-force forms survive only as fixture-scale goldens
+  * in PipelineOpsSpec. The shared relations (shingles, bands, prints)
+  * come from [[Cached]]: built once per (session, dir), persisted, reused
+  * by every query in the family, released by the harness.
   */
 object DedupOps extends OpModule {
 
@@ -34,15 +39,17 @@ object DedupOps extends OpModule {
   def h60Sql(prefix: String, e: String): String =
     s"CAST('0x' || substr(md5('$prefix' || $e), 1, 15) AS BIGINT)"
 
-  /** Distinct 3-word shingles per document. */
+  /** Distinct 3-word shingles per document (shared, persisted). */
   def shingles(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("arr"))
-      .filter(size(col("arr")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(arr)-3), i -> concat_ws(' ', arr[i], arr[i+1], arr[i+2]))"))
-        .as("sh"))
-      .distinct()
+    Cached.of(s, s"dd:shingles:$dir") {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("arr"))
+        .filter(size(col("arr")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(arr)-3), i -> concat_ws(' ', arr[i], arr[i+1], arr[i+2]))"))
+          .as("sh"))
+        .distinct()
+    }
 
   private val shinglesSql: String =
     """shingles AS (
@@ -55,19 +62,39 @@ object DedupOps extends OpModule {
   /** MinHash signatures: min of seeded 60-bit hash per (doc, seed). */
   private val NumHashes = 4 // 2 bands x 2 rows
 
-  /** Document-frequency cap for dd7 (drop boilerplate shingles). */
-  private val MaxDf = 10
+  /** Document-frequency cap: shingles shared by more than this many docs
+    * (template/boilerplate text) are dropped before any shingle self-join
+    * or MinHash — the hot-bucket mitigation SCALE.md prescribes. */
+  val MaxDf = 10
 
-  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    // all seeds in ONE pass over the shingles (array-of-structs explode),
-    // not one scan per seed
+  /** Df-capped shingles (shared, persisted): the join-safe relation every
+    * pair-generating query starts from. */
+  def cappedShingles(s: SparkSession, dir: String): DataFrame =
+    Cached.of(s, s"dd:capped:$dir") {
+      val sh = shingles(s, dir)
+      val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MaxDf).select("sh")
+      sh.join(rare, Seq("sh"))
+    }
+
+  private val cappedSql: String =
+    s"""capped AS (
+       |  SELECT s.doc_id, s.sh FROM shingles s
+       |  JOIN (SELECT sh FROM shingles GROUP BY sh
+       |        HAVING COUNT(*) <= $MaxDf) r USING (sh))""".stripMargin
+
+  /** MinHash signatures from a shingle relation: all seeds in ONE pass
+    * (array-of-structs explode), not one scan per seed. */
+  private def signaturesOf(sh: DataFrame): DataFrame = {
     val hashArr = array((0 until NumHashes).map(seed =>
       struct(lit(seed).as("seed"), h60(s"$seed:", col("sh")).as("h"))): _*)
-    shingles(s, dir)
-      .select(col("doc_id"), explode(hashArr).as("sh_h"))
+    sh.select(col("doc_id"), explode(hashArr).as("sh_h"))
       .select(col("doc_id"), col("sh_h.seed").as("seed"), col("sh_h.h").as("h"))
       .groupBy("doc_id", "seed").agg(min("h").as("mh"))
   }
+
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame =
+    signaturesOf(shingles(s, dir))
 
   private val sigSql: String = {
     val perSeed = (0 until NumHashes).map(seed =>
@@ -78,36 +105,28 @@ object DedupOps extends OpModule {
        |  GROUP BY doc_id, seed)""".stripMargin
   }
 
-  /** 15-bit SimHash per doc from its distinct 3-gram shingles (shingle
-    * features, not bare tokens — the token vocabulary of the corpus is
-    * tiny, so token-set SimHash would collide on over a third of all
-    * pairs). */
-  def simhash(s: SparkSession, dir: String): DataFrame =
-    shingles(s, dir)
-      .withColumn("h15", h60("s:", col("sh")) % 32768)
-      .select(col("doc_id"), col("h15"),
-        explode(sequence(lit(0), lit(14))).as("b"))
-      .withColumn("contrib",
-        when(expr("(h15 div cast(pow(2, b) as bigint)) % 2") === 1, 1).otherwise(-1))
-      .groupBy("doc_id", "b").agg(sum("contrib").as("sc"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("sc") > 0,
-        expr("cast(pow(2, b) as bigint)")).otherwise(0L)).as("simhash"))
+  /** Band keys from a signature relation (2 rows per band). */
+  private def bandsOf(sig: DataFrame): DataFrame =
+    sig.withColumn("band", floor(col("seed") / 2).cast("int"))
+      .withColumn("sm", concat(col("seed").cast("string"), lit(":"),
+        col("mh").cast("string")))
+      .groupBy("doc_id", "band")
+      .agg(array_join(sort_array(collect_list("sm")), "|").as("bkey"))
 
-  /** Depends on [[shinglesSql]] being included before it. */
-  private val simhashSql: String =
-    s"""tokh AS (SELECT doc_id, ${h60Sql("s:", "sh")} % 32768 AS h15 FROM shingles),
-       |bits AS (
-       |  SELECT doc_id, b,
-       |         SUM(CASE WHEN (h15 // CAST(2**b AS BIGINT)) % 2 = 1
-       |             THEN 1 ELSE -1 END) AS sc
-       |  FROM tokh, generate_series(0, 14) AS g(b)
-       |  GROUP BY doc_id, b),
-       |simhash AS (
-       |  SELECT doc_id,
-       |         CAST(SUM(CASE WHEN sc > 0 THEN CAST(2**b AS BIGINT) ELSE 0 END)
-       |              AS BIGINT) AS simhash
-       |  FROM bits GROUP BY doc_id)""".stripMargin
+  /** LSH band keys over the full shingle set (shared, persisted — feeds
+    * both sides of dd2/dd6's bucket self-join). */
+  def lshBands(s: SparkSession, dir: String): DataFrame =
+    Cached.of(s, s"dd:bands:$dir")(bandsOf(minhashSignatures(s, dir)))
+
+  /** Candidate pairs from a band relation: equi-join on (band, bkey) —
+    * the shuffle key is the bucket, never all-pairs. */
+  private def candidatePairs(bands: DataFrame): DataFrame = {
+    val a = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+    val b = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
 
   private val bandsSql: String =
     """bands AS (
@@ -115,6 +134,50 @@ object DedupOps extends OpModule {
       |         string_agg(CAST(seed AS VARCHAR) || ':' || CAST(mh AS VARCHAR),
       |                    '|' ORDER BY CAST(seed AS VARCHAR) || ':' || CAST(mh AS VARCHAR)) AS bkey
       |  FROM sig GROUP BY doc_id, seed // 2)""".stripMargin
+
+  /** Print width for SimHash (bits) and the pigeonhole chunking: 4 chunks
+    * of 15 bits — hamming <= 3 implies at least one chunk matches exactly,
+    * so dd5's candidates come from equi-joins on (chunk, value) instead of
+    * an all-pairs cross join. 60-bit prints keep per-bucket populations
+    * corpus-scale-sparse (round 2's 15-bit/96-bucket form went
+    * near-quadratic inside buckets). */
+  val SimHashBits = 60
+  val ChunkBits = 15
+  val NumChunks: Int = SimHashBits / ChunkBits // 4
+  val MaxHamming = 3
+
+  /** 60-bit SimHash per doc from its distinct 3-gram shingles (shingle
+    * features, not bare tokens — the token vocabulary of the corpus is
+    * tiny, so token-set SimHash would collide on over a third of all
+    * pairs). Shared, persisted. */
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    Cached.of(s, s"dd:simhash:$dir") {
+      shingles(s, dir)
+        .withColumn("h", h60("s:", col("sh")))
+        .select(col("doc_id"), col("h"),
+          explode(sequence(lit(0), lit(SimHashBits - 1))).as("b"))
+        .withColumn("contrib",
+          when(expr("(h div cast(pow(2, b) as bigint)) % 2") === 1, 1).otherwise(-1))
+        .groupBy("doc_id", "b").agg(sum("contrib").as("sc"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("sc") > 0,
+          expr("cast(pow(2, b) as bigint)")).otherwise(0L)).as("simhash"))
+    }
+
+  /** Depends on [[shinglesSql]] being included before it. */
+  private val simhashSql: String =
+    s"""tokh AS (SELECT doc_id, ${h60Sql("s:", "sh")} AS h FROM shingles),
+       |bits AS (
+       |  SELECT doc_id, b,
+       |         SUM(CASE WHEN (h // CAST(2**b AS BIGINT)) % 2 = 1
+       |             THEN 1 ELSE -1 END) AS sc
+       |  FROM tokh, generate_series(0, ${SimHashBits - 1}) AS g(b)
+       |  GROUP BY doc_id, b),
+       |simhash AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(CASE WHEN sc > 0 THEN CAST(2**b AS BIGINT) ELSE 0 END)
+       |              AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id)""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: hash-groupBy, keeper = min doc_id
@@ -124,26 +187,18 @@ object DedupOps extends OpModule {
         .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))),
 
     // MinHash+LSH: shingle → minhash → band → bucket-join candidates
-    "dd2_minhash_lsh" -> ((s, dir) => {
-      val bands = minhashSignatures(s, dir)
-        .withColumn("band", floor(col("seed") / 2).cast("int"))
-        .withColumn("sm", concat(col("seed").cast("string"), lit(":"),
-          col("mh").cast("string")))
-        .groupBy("doc_id", "band")
-        .agg(array_join(sort_array(collect_list("sm")), "|").as("bkey"))
-        .persist() // feeds both sides of the bucket self-join
-      val a = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
-      val b = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b"))
-      a.join(b, Seq("band", "bkey"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-    }),
+    "dd2_minhash_lsh" -> ((s, dir) => candidatePairs(lshBands(s, dir))),
 
-    // n-gram Jaccard: pairs sharing shingles, J = |∩| / |∪|. The shingle
-    // relation feeds three branches (both join sides + sizes): persist it
-    // once instead of recomputing the explode+distinct per branch.
+    // n-gram Jaccard over the df-capped shingle set: pairs sharing rare
+    // shingles, J = |∩| / |∪| with both intersection and sizes computed
+    // over capped shingles (one consistent feature space, mirrored in the
+    // oracle). The cap bounds every shingle's join fan-out at MaxDf^2, so
+    // the self-join is linear in corpus size instead of quadratic in
+    // hot-shingle df — the registered form IS the 100 TB form; the
+    // uncapped brute-force survives as a fixture-scale golden in
+    // PipelineOpsSpec.
     "dd3_jaccard_pairs" -> ((s, dir) => {
-      val sh = shingles(s, dir).persist()
+      val sh = cappedShingles(s, dir)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val inter = sh.select(col("doc_id").as("doc_a"), col("sh"))
         .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
@@ -160,42 +215,23 @@ object DedupOps extends OpModule {
         .select("doc_a", "doc_b", "jaccard")
     }),
 
-    // dd2 with a document-frequency cap: shingles shared by more than
-    // MaxDf documents (template/boilerplate text) are dropped before
-    // hashing — the hot-bucket mitigation SCALE.md prescribes for 100 TB
-    // corpora. Output shape = dd2 (candidate pairs).
-    "dd7_minhash_dfcap" -> ((s, dir) => {
-      val sh = shingles(s, dir)
-      val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= MaxDf).select("sh")
-      val capped = sh.join(rare, Seq("sh")).persist()
-      val hashArr = array((0 until NumHashes).map(seed =>
-        struct(lit(seed).as("seed"), h60(s"$seed:", col("sh")).as("h"))): _*)
-      val bands = capped
-        .select(col("doc_id"), explode(hashArr).as("sh_h"))
-        .select(col("doc_id"), col("sh_h.seed").as("seed"), col("sh_h.h").as("h"))
-        .groupBy("doc_id", "seed").agg(min("h").as("mh"))
-        .withColumn("band", floor(col("seed") / 2).cast("int"))
-        .withColumn("sm", concat(col("seed").cast("string"), lit(":"),
-          col("mh").cast("string")))
-        .groupBy("doc_id", "band")
-        .agg(array_join(sort_array(collect_list("sm")), "|").as("bkey"))
-        .persist()
-      val a = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
-      val b = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b"))
-      a.join(b, Seq("band", "bkey"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-    }),
+    // dd2 with the document-frequency cap applied BEFORE hashing — the
+    // hot-bucket mitigation SCALE.md prescribes for 100 TB corpora.
+    // Output shape = dd2 (candidate pairs).
+    "dd7_minhash_dfcap" -> ((s, dir) =>
+      candidatePairs(Cached.of(s, s"dd:cbands:$dir")(
+        bandsOf(signaturesOf(cappedShingles(s, dir)))))),
 
     // the capstone dedup pipeline: LSH candidates → Jaccard verification
     // (>= 0.5) → drop the higher doc_id of each verified pair → keep list.
     // This is the end-to-end shape a 100 TB dedup run takes: candidate
     // generation is bucketed (never all-pairs), verification touches only
-    // candidates, and the final anti-join is on a small drop set.
+    // candidates, and the final anti-join is on a small drop set. The
+    // bands and shingles come from the shared cache — nothing here is
+    // rebuilt if dd2/dd3 already ran in this session.
     "dd6_dedup_filter" -> ((s, dir) => {
-      val cands = queries("dd2_minhash_lsh")(s, dir).persist()
-      val sh = shingles(s, dir).persist()
+      val cands = candidatePairs(lshBands(s, dir))
+      val sh = shingles(s, dir)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       // Jaccard verification restricted to LSH candidates: joining the
       // candidate pairs with each side's shingles keeps the work
@@ -215,20 +251,17 @@ object DedupOps extends OpModule {
         .join(drops, Seq("doc_id"), "left_anti")
     }),
 
-    // SimHash fingerprints
+    // SimHash fingerprints (60-bit prints)
     "dd4_simhash" -> ((s, dir) => simhash(s, dir)),
 
-    // SimHash near-dup pairs: hamming distance <= 2 on the 15-bit prints.
-    // Scale path: pigeonhole banding — split the print into 3 chunks of 5
-    // bits; hamming<=2 implies at least one chunk matches exactly, so
-    // candidates come from 3 equi-joins on (chunk_idx, chunk_value)
-    // instead of an all-pairs cross join. Identical subplans on both join
-    // sides let Spark reuse the exchange.
+    // SimHash near-dup pairs: hamming distance <= MaxHamming on the
+    // 60-bit prints via pigeonhole banding (see SimHashBits doc).
+    // Identical subplans on both join sides let Spark reuse the exchange.
     "dd5_simhash_pairs" -> ((s, dir) => {
-      val chunks = simhash(s, dir).persist().select(col("doc_id"), col("simhash"),
+      val chunks = simhash(s, dir).select(col("doc_id"), col("simhash"),
         explode(expr(
-          "transform(sequence(0, 2), c -> struct(c as c, " +
-          "(simhash div cast(pow(32, c) as bigint)) % 32 as v))")).as("ch"))
+          s"transform(sequence(0, ${NumChunks - 1}), c -> struct(c as c, " +
+          s"(simhash div cast(pow(${1L << ChunkBits}, c) as bigint)) % ${1L << ChunkBits} as v))")).as("ch"))
         .select(col("doc_id"), col("simhash"), col("ch.c").as("c"), col("ch.v").as("v"))
       val a = chunks.select(col("c"), col("v"),
         col("doc_id").as("doc_a"), col("simhash").as("sa"))
@@ -236,7 +269,7 @@ object DedupOps extends OpModule {
         col("doc_id").as("doc_b"), col("simhash").as("sb"))
       a.join(b, Seq("c", "v")).filter(col("doc_a") < col("doc_b"))
         .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
-        .filter(col("hamming") <= 2)
+        .filter(col("hamming") <= MaxHamming)
         .select("doc_a", "doc_b", "hamming").distinct()
     })
   )
@@ -252,11 +285,7 @@ object DedupOps extends OpModule {
         |FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
         |WHERE a.doc_id < b.doc_id""".stripMargin),
 
-    "dd7_minhash_dfcap" -> Sql.query(shinglesSql,
-      s"""capped AS (
-         |  SELECT s.doc_id, s.sh FROM shingles s
-         |  JOIN (SELECT sh FROM shingles GROUP BY sh
-         |        HAVING COUNT(*) <= $MaxDf) r USING (sh))""".stripMargin,
+    "dd7_minhash_dfcap" -> Sql.query(shinglesSql, cappedSql,
       {
         val perSeed = (0 until NumHashes).map(seed =>
           s"SELECT doc_id, $seed AS seed, ${h60Sql(s"$seed:", "sh")} AS h FROM capped")
@@ -295,11 +324,11 @@ object DedupOps extends OpModule {
       """SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin),
 
-    "dd3_jaccard_pairs" -> Sql.query(shinglesSql,
-      "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id)",
+    "dd3_jaccard_pairs" -> Sql.query(shinglesSql, cappedSql,
+      "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM capped GROUP BY doc_id)",
       """inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-        |  FROM shingles a JOIN shingles b ON a.sh = b.sh
+        |  FROM capped a JOIN capped b ON a.sh = b.sh
         |  WHERE a.doc_id < b.doc_id
         |  GROUP BY a.doc_id, b.doc_id)""".stripMargin)(
       """SELECT i.doc_a, i.doc_b,
@@ -313,10 +342,10 @@ object DedupOps extends OpModule {
       "SELECT doc_id, simhash FROM simhash"),
 
     "dd5_simhash_pairs" -> Sql.query(shinglesSql, simhashSql)(
-      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-        |FROM simhash a, simhash b
-        |WHERE a.doc_id < b.doc_id
-        |  AND bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin)
+      s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM simhash a, simhash b
+         |WHERE a.doc_id < b.doc_id
+         |  AND bit_count(xor(a.simhash, b.simhash)) <= $MaxHamming""".stripMargin)
   )
 }

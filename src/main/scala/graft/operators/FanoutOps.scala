@@ -49,9 +49,12 @@ object FanoutOps extends OpModule {
   }
 
   /** O3: semantic retry loop — failed tiles re-run up to `maxAttempts`
-    * (processor.py:89-125; --restart, cli.py:66-71). The failed set is
-    * collected on the driver (tile counts are bounded; the reference does
-    * the same with a Python list). */
+    * (processor.py:89-125; --restart, cli.py:66-71). The failed set never
+    * visits the driver: each round's pending set is a `left_semi` join of
+    * the tile Dataset against the failed results (the reference collects
+    * a Python list, processor.py:106-123 — fine at its tile counts, a
+    * driver bottleneck at 100x; the semi join costs the same shuffle the
+    * retry attempt needs anyway). */
   def runWithRetry(s: SparkSession, maxAttempts: Int): Dataset[WorkerResult] =
     runWithRetry(s, tileTasks(s), maxAttempts)
 
@@ -62,11 +65,14 @@ object FanoutOps extends OpModule {
     var finished: Dataset[WorkerResult] = s.emptyDataset[WorkerResult]
     var attempt = 1
     while (attempt <= maxAttempts && !pending.isEmpty) {
+      // cache: res feeds the finished union, the pending semi join, and
+      // the loop's isEmpty probe — without it the nondeterministic-free
+      // but wasteful recompute runs the workers again per consumer
       val res = runAttempt(s, pending, attempt).cache()
       val lastRound = attempt == maxAttempts
       finished = finished.union(res.filter(r => r.ok || lastRound))
-      val failedIds = res.filter(!_.ok).map(_.tile_id).collect().toSet
-      pending = pending.filter(t => failedIds.contains(t.tile_id))
+      val failed = res.filter(!_.ok).toDF().select("tile_id")
+      pending = pending.join(failed, Seq("tile_id"), "left_semi").as[TileTask]
       attempt += 1
     }
     finished

@@ -62,9 +62,10 @@ object PipelineOps extends OpModule {
     // operator's logic; this query proves they compose.
     "pp1_training_pipeline" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      // stage 1: quality gate (tx2 semantics)
-      val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .filter(col("w") =!= "")
+      // stage 1: quality gate (tx2 semantics) over the SHARED token
+      // relation — the same persisted frame tx1-tx3 aggregate, so the
+      // pipeline never re-explodes the corpus
+      val toks = TextOps.tokens(s, dir)
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"),
           sum(when(col("w").isin("the", "a", "data", "value"), 1).otherwise(0)).as("n_stop"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.OpModule
-import graft.sources.{Sql, Tables}
+import graft.sources.{Cached, Sql, Tables}
 
 /** Text-analysis suite over `documents`: marker-token language scoring,
   * quality scoring (length/char-class/stopword ratios), token statistics,
@@ -35,10 +35,16 @@ object TextOps extends OpModule {
     * so Java regex (Spark) and RE2 (DuckDB) tokenize identically. */
   val BpePattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
 
-  private def tokens(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "")
+  /** Exploded non-empty whitespace tokens per doc — shared persisted
+    * relation ([[Cached]]): tx1/tx2/tx3 and PipelineOps.pp1 all aggregate
+    * over it, so it is built once per (session, dir) instead of
+    * re-exploding the corpus per query. */
+  def tokens(s: SparkSession, dir: String): DataFrame =
+    Cached.of(s, s"tx:tokens:$dir") {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+    }
 
   private val tokensSql =
     """tokens AS (

@@ -1,0 +1,37 @@
+package graft.sources
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Session-scoped memo of persisted intermediate relations that several
+  * operators share (document shingles, MinHash bands, token streams).
+  *
+  * The dedup/text families all derive from the same two relations
+  * (explode-to-shingles, explode-to-tokens); rebuilding and re-persisting
+  * them per query both recomputes the explode and leaks cached partitions
+  * across a long sweep (the round-2 bench regression). One memo keyed by
+  * (session, relation, data dir) gives every query the same persisted
+  * frame — the Spark analogue of the reference threading one file index
+  * through its per-tile workers (tileconfig.py:395-499) — and one
+  * [[releaseAll]] call frees everything deterministically.
+  *
+  * MEMORY_AND_DISK: at 100 TB these relations exceed executor memory;
+  * spilled blocks beat recomputing a corpus-wide explode.
+  */
+object Cached {
+  private val memo = TrieMap.empty[(Int, String), DataFrame]
+
+  /** Memoize `build` per (session identity, key), persisted. */
+  def of(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    memo.getOrElseUpdate((System.identityHashCode(s), key),
+      build.persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** Unpersist and forget every memoized relation (harness teardown). */
+  def releaseAll(): Unit = {
+    memo.values.foreach(df =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () })
+    memo.clear()
+  }
+}

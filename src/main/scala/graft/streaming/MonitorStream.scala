@@ -51,7 +51,12 @@ object MonitorStream extends OpModule {
   final case class TilePeak(tile_id: String, mem_peak: Long)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // windowed streaming aggregation, complete mode
+    // windowed streaming aggregation. NOTE: complete output mode is
+    // HARNESS-ONLY — it re-emits full state each batch so the memory sink
+    // holds the final answer for the oracle compare; an unbounded
+    // deployment uses the append-mode + watermark form (see
+    // StreamingSpec "append mode emits only windows closed by the
+    // watermark"), where state stays bounded by the watermark horizon.
     "st1_stream_monitor_agg" -> ((s, dir) => {
       val mon = Tables.monitorCols(Tables.eventsStream(s, dir))
       runToTable(s, windowedAgg(mon), "complete")
@@ -93,8 +98,12 @@ object MonitorStream extends OpModule {
     }),
 
     // st6 — session windows: per-user sessions closed by a 6-hour
-    // inactivity gap (session_window merges adjacent windows in the state
-    // store; at scale state is O(open sessions), not O(events))
+    // inactivity gap. In-store state is O(open sessions), not O(events);
+    // the complete-mode memory sink below is harness-only (see st1 note)
+    // — unbounded deployments emit closed sessions via watermark + append.
+    // Exact-boundary semantics (pinned by StreamingSpec): an event at
+    // prev_ts + exactly 6h MERGES (windows merge on touch-or-overlap),
+    // matching the oracle's strict `> 6h` session break.
     "st6_session_windows" -> ((s, dir) => {
       val ev = Tables.eventsStream(s, dir)
       val sess = ev.groupBy(session_window(col("ts"), "6 hours"), col("user_id"))

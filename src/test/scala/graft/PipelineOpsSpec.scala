@@ -18,6 +18,13 @@ class PipelineOpsSpec extends SparkSpec {
     assert(m("t0_1") == ((true, 1)))
   }
 
+  test("o3: retry pending set comes from a left_semi join, not a driver collect") {
+    val out = graft.operators.FanoutOps.runWithRetry(spark, maxAttempts = 2)
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"expected a LeftSemi retry join in the plan:\n$plan")
+  }
+
   test("o2: pipe through a real child process tags every tile") {
     val rows = run("o2_pipe_worker").collect()
     assert(rows.length == 16 && rows.forall(_.getString(1) == "ok"))
@@ -35,10 +42,66 @@ class PipelineOpsSpec extends SparkSpec {
     })
   }
 
-  test("dd4: simhash fits in 15 bits") {
+  test("dd3: df-capped jaccard equals brute-force jaccard over the capped shingle set") {
+    // independent fixture-scale reimplementation: per-doc shingle sets in
+    // memory, df-cap applied, exact pairwise Jaccard — the uncapped
+    // brute-force semantics dd3's registered (join-based, capped) form
+    // must reproduce on the shingles that survive the cap
+    val byDoc = graft.operators.DedupOps.shingles(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val df = byDoc.groupBy(_._2).view.mapValues(_.length).toMap
+    val capped = byDoc.filter { case (_, sh) => df(sh) <= graft.operators.DedupOps.MaxDf }
+    val sets = capped.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ids = sets.keys.toSeq.sorted
+    val expect = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.size
+      a = ids(i); b = ids(j)
+      inter = (sets(a) & sets(b)).size if inter > 0
+      jac = BigDecimal(inter.toDouble / (sets(a).size + sets(b).size - inter))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if jac >= 0.2
+    } yield (a, b, jac)).toSet
+    val got = run("dd3_jaccard_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expect)
+  }
+
+  test("dd4: simhash fits in 60 bits") {
     val rows = run("dd4_simhash").collect()
     assert(rows.nonEmpty &&
-      rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 32768))
+      rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) < (1L << 60)))
+  }
+
+  test("dd5: pigeonhole banding loses no pair vs brute-force hamming <= 3") {
+    // 4 chunks x 15 bits: any pair within hamming MaxHamming(=3) must
+    // share at least one exact chunk, so the banded equi-join's output
+    // must EQUAL the all-pairs scan — the completeness property that
+    // makes the banded form safe to register as the only dd5
+    val prints = run("dd4_simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val expect = (for {
+      i <- prints.indices.iterator; j <- (i + 1) until prints.size
+      h = java.lang.Long.bitCount(prints(i)._2 ^ prints(j)._2)
+      if h <= graft.operators.DedupOps.MaxHamming
+    } yield (prints(i)._1, prints(j)._1, h)).toSet
+    val got = run("dd5_simhash_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expect)
+  }
+
+  test("dd5: no (chunk, value) bucket exceeds the df-style population bound") {
+    // per-bucket population stays a tiny fraction of the corpus: the
+    // quantity that must hold for the within-bucket pair scan to stay
+    // near-linear at 100 TB (round 2's 15-bit prints put ~1/96 of all
+    // docs in every bucket; 60-bit prints spread buckets corpus-sparsely)
+    import org.apache.spark.sql.functions._
+    val n = graft.operators.DedupOps.simhash(spark, Sf).count()
+    val maxBucket = graft.operators.DedupOps.simhash(spark, Sf)
+      .select(explode(expr(
+        "transform(sequence(0, 3), c -> (simhash div cast(pow(32768, c) as bigint)) % 32768)"))
+        .as("v"))
+      .groupBy("v").count().agg(max("count")).collect()(0).getLong(0)
+    assert(maxBucket <= math.max(4L, n / 10))
   }
 
   test("nn1: the query vector is its own best match at cos 1.0") {

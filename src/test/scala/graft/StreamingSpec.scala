@@ -105,13 +105,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("st5: stream-static join plan has no stateful operator") {
+  test("st5: stream-static join equals the batch join") {
     val df = run("st5_stream_static_join")
-    // result equals the batch join
     val batch = graft.sources.Tables.monitorLog(spark, Sf)
       .join(graft.sources.Tables.boundaries(spark), Seq("tile_id"))
       .select("event_id", "tile_id", "border", "mem_rss")
     assert(df.count() == batch.count())
     assert(df.except(batch).isEmpty && batch.except(df).isEmpty)
+  }
+
+  test("st5: stream-static join runs with zero stateful operators") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val mon = ms.toDF().toDF("event_id", "tile_id")
+    val dims = broadcast(
+      graft.sources.Tables.boundaries(spark).select("tile_id", "border"))
+    val q = mon.join(dims, Seq("tile_id"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ss_state_demo").start()
+    try {
+      ms.addData((1L, "t0_0"), (2L, "t1_1"))
+      q.processAllAvailable()
+      assert(spark.table("ss_state_demo").count() == 2)
+      assert(q.lastProgress.stateOperators.isEmpty,
+        q.lastProgress.stateOperators.mkString(","))
+    } finally q.stop()
+  }
+
+  test("st6: an event exactly at the gap boundary MERGES into the open session") {
+    // Empirically pins Spark's exact-boundary semantics: session windows
+    // merge on touch-or-overlap (newStart <= openEnd), so an event at
+    // prev_ts + exactly the gap EXTENDS the session. st6's oracle
+    // therefore breaks sessions only on gap > 6h (strict) — matching.
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long)]
+    val ev = ms.toDF().toDF("epoch", "user_id")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+    val sess = ev.groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = sess.writeStream.outputMode("complete").format("memory")
+      .queryName("sess_boundary_demo").start()
+    try {
+      val H = 3600L
+      ms.addData((0L, 1L), (6 * H, 1L))
+      q.processAllAvailable()
+      val rows = spark.table("sess_boundary_demo")
+        .select(col("session_window.start").cast("long"), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((0L, 2L)), rows.mkString(","))
+    } finally q.stop()
   }
 }
