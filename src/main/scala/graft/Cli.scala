@@ -19,8 +19,22 @@ import graft.sources.Tables
   *                                     — monitor analytics to CSV (the
   *                                       data behind rss.pdf/cpu.pdf,
   *                                       cli.py:178-192)
+  *   register-config <name> <path> [--registry dir]
+  *                                     — register a config schema
+  *                                       (register_schema, cli.py:146-158)
+  *   list-configs [--registry dir]     — list registered schemas
+  *                                       (list_schemas, cli.py:161-166)
+  *   remove-config <name> [--registry dir]
+  *                                     — remove a schema
+  *                                       (remove_schema, cli.py:169-175)
   */
 object Cli {
+  private def registryDir(rest: List[String]): java.nio.file.Path =
+    java.nio.file.Paths.get(rest.sliding(2).collectFirst {
+      case "--registry" :: d :: Nil => d
+    }.getOrElse(sys.env.getOrElse("GRAFT_REGISTRY_DIR",
+      sys.props("user.home") + "/.graft/schemas")))
+
   private def session(): SparkSession = SparkSession.builder()
     .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
     .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
@@ -92,9 +106,28 @@ object Cli {
       println(s"wrote $outDir/rss and $outDir/cpu")
       s.stop()
 
+    // schema-registry surface: pure file operations, no Spark session
+    case "register-config" :: name :: path :: rest =>
+      val reg = new graft.model.ConfigRegistry(registryDir(rest))
+      val fname = reg.register(name, java.nio.file.Paths.get(path))
+      println(s"Registered the configuration schema '$fname' as '$name'")
+
+    case "list-configs" :: rest =>
+      val reg = new graft.model.ConfigRegistry(registryDir(rest))
+      println("Registered schemas:")
+      reg.db.toSeq.sorted.foreach { case (n, f) => println(s"  $n -> $f") }
+
+    case "remove-config" :: name :: rest =>
+      val reg = new graft.model.ConfigRegistry(registryDir(rest))
+      if (reg.remove(name))
+        println(s"Removed the configuration schema '$name'")
+      else
+        println(s"Schema '$name' not in the database, not removing anything")
+
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
-      System.err.println("commands: list-queries | run | export-tile-inputs | plot-monitor-log")
+      System.err.println("commands: list-queries | run | export-tile-inputs | " +
+        "plot-monitor-log | register-config | list-configs | remove-config")
       sys.exit(2)
   }
 }

@@ -59,6 +59,22 @@ object ScalarOps extends OpModule {
         explode(split(col("file_list"), ",")).as("path"))
     }),
 
+    // map family — the reference's dict plumbing (tileconfig.py:598 file
+    // index dicts, controller.py:359-368 directory mappings) as a
+    // map-typed column: per tile, a map of elevation version → file
+    // count, probed with element_at (missing key → NULL, like dict.get)
+    "f7_map_index" -> ((s, _) => {
+      val counts = Tables.elevIndex(s)
+        .groupBy("tile_id", "dir_version").agg(count(lit(1)).as("cnt"))
+      counts.groupBy("tile_id")
+        .agg(map_from_entries(sort_array(
+          collect_list(struct(col("dir_version"), col("cnt"))))).as("m"))
+        .select(col("tile_id"),
+          size(col("m")).as("n_versions"),
+          element_at(col("m"), lit(2)).as("v2_files"),
+          element_at(col("m"), lit(3)).as("v3_files"))
+    }),
+
     // json family — parse the per-event JSON props column and aggregate
     // on the extracted field (the reference's JSON schema-registry /
     // config parsing, controller.py:43-89, as a data-plane operator)
@@ -112,6 +128,16 @@ object ScalarOps extends OpModule {
         |            FROM elev_index) t
         |      WHERE priority = minp
         |      GROUP BY tile_id) g""".stripMargin),
+
+    // f7: independent formulation — conditional aggregation instead of a
+    // map type; element_at's missing-key NULL must equal the absent CASE
+    "f7_map_index" -> Sql.query(Sql.elevFiles, Sql.elevIndex)(
+      """SELECT tile_id, CAST(COUNT(*) AS INT) AS n_versions,
+        |       MAX(CASE WHEN dir_version = 2 THEN cnt END) AS v2_files,
+        |       MAX(CASE WHEN dir_version = 3 THEN cnt END) AS v3_files
+        |FROM (SELECT tile_id, dir_version, COUNT(*) AS cnt
+        |      FROM elev_index GROUP BY tile_id, dir_version) g
+        |GROUP BY tile_id""".stripMargin),
 
     "f6_json_props" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -112,6 +112,27 @@ object SourceSinkOps extends OpModule {
         .agg(count(lit(1)).as("n_pts"), sum("z").as("sum_z"), max("x").as("max_x"))
     }),
 
+    // K5 — DB table write + read-back over a REAL JDBC boundary (the
+    // reference's PostgreSQL layer-per-LoD sink, worker.py:449-455,
+    // 505-545). No network DB exists offline, so the target is embedded
+    // Derby — same spark.write.jdbc / spark.read.jdbc codepath a
+    // PostgreSQL deployment uses, different URL. At scale the writer is
+    // per-partition parallel JDBC batches; the 16-row dim table here just
+    // exercises the path.
+    "k5_jdbc_roundtrip" -> ((s, dir) => {
+      sys.props.getOrElseUpdate("derby.stream.error.file", "/tmp/graft_derby.log")
+      val dbPath = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_k5_db_${dir.hashCode}").getPath
+      val url = s"jdbc:derby:$dbPath;create=true"
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      Tables.boundaries(s)
+        .select("tile_id", "tx", "ty", "version", "border")
+        .write.mode("overwrite").jdbc(url, "tile_index", props)
+      s.read.jdbc(url, "tile_index", props)
+        .select("tile_id", "tx", "ty", "version", "border")
+    }),
+
     // O7 — statistics maintenance: VACUUM ANALYZE → ANALYZE TABLE COMPUTE
     // STATISTICS (db.py:79-99); surfaces the row count the CBO will use
     "o7_analyze_stats" -> ((s, _) => {
@@ -162,6 +183,10 @@ object SourceSinkOps extends OpModule {
          |        filename=true))
          |WHERE tile_id IN ('t1_1','t2_2','t3_0')
          |GROUP BY tile_id""".stripMargin,
+
+    // k5: what comes back over JDBC must be exactly the dimension table
+    "k5_jdbc_roundtrip" -> Sql.query(Sql.boundaries)(
+      "SELECT tile_id, tx, ty, version, border FROM boundaries"),
 
     // o7: the row count ANALYZE wrote into the catalog must equal the
     // relation's true cardinality — checked as data, not catalog text

@@ -133,6 +133,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("k5: JDBC write + read-back over embedded Derby preserves the dim table") {
+    val back = run("k5_jdbc_roundtrip").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getBoolean(4)))
+      .toSet
+    val expect = graft.model.TileGrid.tiles
+      .map(t => (t.tile_id, t.tx, t.ty, t.version, t.border)).toSet
+    assert(back == expect)
+  }
+
+  test("f7: map-typed file index probes like dict.get (missing key -> null)") {
+    val rows = run("f7_map_index").collect()
+      .map(r => r.getString(0) ->
+        ((r.getInt(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(rows.size == 16)
+    // west interior tiles (tx=0) have only version-2 coverage → v3 NULL
+    assert(rows("t0_0")._3.isEmpty && rows("t0_0")._2.nonEmpty)
+    // east interior tiles (tx=3) have only version-3 coverage → v2 NULL
+    assert(rows("t3_0")._2.isEmpty && rows("t3_0")._3.nonEmpty)
+    // border tiles carry both probed versions (plus legacy v1 coverage)
+    assert(rows("t1_1")._1 >= 2 && rows("t1_1")._2.nonEmpty && rows("t1_1")._3.nonEmpty)
+  }
+
   test("k2: per-tile export roundtrip preserves feature counts") {
     val total = run("k2_pertile_export").agg(sum("n_features")).collect()(0).getLong(0)
     val expect = spark.read.parquet(s"$Sf/orders.parquet").count()
