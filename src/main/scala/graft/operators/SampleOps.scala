@@ -40,7 +40,28 @@ object SampleOps extends OpModule {
           when(col("bucket") < 80, "train")
             .when(col("bucket") < 90, "val")
             .otherwise("test"))
-        .groupBy("split").agg(count(lit(1)).as("n")))
+        .groupBy("split").agg(count(lit(1)).as("n"))),
+
+    // corpus rebalancing: cap each language at K docs, chosen by hash
+    // order (the language-downsampling step of a multilingual training
+    // mix). Skew-safe two-phase top-K: languages are pathologically
+    // skewed partition keys at corpus scale (English = half the corpus),
+    // so phase 1 ranks within (lang, input partition) — a well-spread
+    // key — and keeps <= K per partition; only those survivors (<= K x
+    // numPartitions rows per lang, data-size independent) reach the
+    // final per-lang rank. Same result as the single hot-partition
+    // window, never a single-reducer language.
+    "ds4_lang_rebalance" -> ((s, dir) => {
+      val K = 200
+      val order = Seq(h60("bal:", col("text")), col("doc_id"))
+      val pre = Window.partitionBy(col("lang"), spark_partition_id())
+        .orderBy(order: _*)
+      val fin = Window.partitionBy("lang").orderBy(order: _*)
+      Tables.documents(s, dir)
+        .withColumn("prn", row_number().over(pre)).filter(col("prn") <= K)
+        .withColumn("rn", row_number().over(fin)).filter(col("rn") <= K)
+        .select("lang", "doc_id")
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -62,6 +83,16 @@ object SampleOps extends OpModule {
          |            ELSE 'test' END AS split,
          |       COUNT(*) AS n
          |FROM (SELECT ${h60Sql("spl:", "text")} % 100 AS b FROM documents) t
-         |GROUP BY 1""".stripMargin
+         |GROUP BY 1""".stripMargin,
+
+    // the oracle is the single-window formulation — the two-phase
+    // pre-rank must be result-identical to it
+    "ds4_lang_rebalance" ->
+      s"""SELECT lang, doc_id FROM (
+         |  SELECT lang, doc_id,
+         |         ROW_NUMBER() OVER (PARTITION BY lang
+         |           ORDER BY ${h60Sql("bal:", "text")}, doc_id) AS rn
+         |  FROM documents) t
+         |WHERE rn <= 200""".stripMargin
   )
 }

@@ -116,6 +116,25 @@ object SimilarityOps extends OpModule {
         .groupBy(col("va").as("vec_id")).agg(count(lit(1)).as("n_neardups"))
     }),
 
+    // nn6 — BATCH top-k: many query vectors scored in one pass (the
+    // serving/eval shape — one job for the whole query batch, not a
+    // query loop). The query batch broadcasts; ranking is a window per
+    // qid, so the shuffle key is the query id — at corpus scale the
+    // batch is large and the key well-distributed (8 ids here).
+    "nn6_batch_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("emb").as("qe"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      e.crossJoin(broadcast(q))
+        .withColumn("cos",
+          dot("emb", "qe") / (sqrt(dot("emb", "emb")) * sqrt(dot("qe", "qe"))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cos"))
+    }),
+
     // nn5 — the SQL FRONT DOOR for similarity: vector_dot is callable
     // from plain spark.sql because it is a registered native function
     // (GraftExtensions at session build, VectorDot.register as runtime
@@ -187,6 +206,17 @@ object SimilarityOps extends OpModule {
          |  (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(q.qe, q.qe)))
          |  DESC, e.vec_id
          |LIMIT 5""".stripMargin),
+
+    "nn6_batch_topk" -> Sql.query(embSql,
+      "q AS (SELECT vec_id AS qid, emb AS qe FROM emb WHERE vec_id < 8)")(
+      s"""SELECT qid, vec_id, cos FROM (
+         |  SELECT q.qid, e.vec_id, $cosSql AS cos,
+         |         ROW_NUMBER() OVER (PARTITION BY q.qid
+         |           ORDER BY list_dot_product(e.emb, q.qe) /
+         |             (sqrt(list_dot_product(e.emb, e.emb)) *
+         |              sqrt(list_dot_product(q.qe, q.qe))) DESC, e.vec_id) AS rn
+         |  FROM emb e, q) t
+         |WHERE rn <= 3""".stripMargin),
 
     "nn3_bucket_neardup" -> Sql.query(embSql, bucketsSql)(
       """SELECT a.vec_id AS vec_id, COUNT(*) AS n_neardups

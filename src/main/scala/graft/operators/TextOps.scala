@@ -142,7 +142,28 @@ object TextOps extends OpModule {
     "tx5_rolling_hash" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
         expr("aggregate(split(text, ' '), 0L, " +
-          "(h, w) -> (h * 31 + length(w)) % 1000000007)").as("rh")))
+          "(h, w) -> (h * 31 + length(w)) % 1000000007)").as("rh"))),
+
+    // intra-document repetition signals (the Gopher-style repetition
+    // quality gates): fraction of duplicated word-trigrams and the share
+    // of the single most repeated trigram. Two-level groupBy — (doc,
+    // gram) counts then per-doc rollup — both keyed on doc_id, so the
+    // shuffle is perfectly document-parallel at any corpus size.
+    "tx8_repetition" -> ((s, dir) => {
+      val tri = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("arr"))
+        .filter(size(col("arr")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(arr)-3), i -> concat_ws(' ', arr[i], arr[i+1], arr[i+2]))"))
+          .as("g"))
+      tri.groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(sum("cnt").as("n_tri"), count(lit(1)).as("n_distinct"),
+          max("cnt").as("max_cnt"))
+        .select(col("doc_id"),
+          round(lit(1) - col("n_distinct") / col("n_tri"), 6).as("dup_frac"),
+          round(col("max_cnt") / col("n_tri"), 6).as("top_frac"))
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -214,6 +235,19 @@ object TextOps extends OpModule {
          |             len(list_filter(string_split(text, ' '), w -> w <> '')),
          |             6) AS bpe_per_ws
          |FROM documents""".stripMargin,
+
+    "tx8_repetition" ->
+      """WITH tri AS (
+        |  SELECT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS g
+        |  FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 2)) AS i
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS arr
+        |              FROM documents) d0
+        |        WHERE len(arr) >= 3) d),
+        |per AS (SELECT doc_id, g, COUNT(*) AS cnt FROM tri GROUP BY doc_id, g)
+        |SELECT doc_id,
+        |       ROUND(1 - COUNT(*) / SUM(cnt), 6) AS dup_frac,
+        |       ROUND(MAX(cnt) / SUM(cnt), 6) AS top_frac
+        |FROM per GROUP BY doc_id""".stripMargin,
 
     // fold(h -> h*31 + len(w) mod p) == SUM(len_i * 31^(n-i)) mod p by
     // linearity; 31^k table via recursive CTE. Terms stay < 2^47 so the

@@ -104,6 +104,13 @@ object Tables {
   def monitorLog(spark: SparkSession, dir: String): DataFrame =
     monitorCols(events(spark, dir))
 
+  /** Streaming read of the documents table — the ingest-side source of
+    * the streaming training-data pipeline (pp2). */
+  def documentsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(spark.read.parquet(s"$dir/documents.parquet").schema)
+      .parquet(s"$dir/documents.parque*")
+
   /** Streaming read of the events table (file stream source over the same
     * parquet), with the same nanos→µs timestamp handling as [[events]]. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {

@@ -114,6 +114,27 @@ object MonitorStream extends OpModule {
           col("n_events"), col("sum_value"))
     }),
 
+    // pp2 — STREAMING ingest pipeline for training data: the arriving
+    // document stream passes a stateless quality gate (per-row column
+    // expressions only — no aggregation state) and then exact streaming
+    // dedup on the content hash. Emits the clean distinct content set.
+    // State is one hash per distinct doc; the watermark-bounded variant
+    // (st4's dropDuplicatesWithinWatermark) is the unbounded-stream form
+    // once documents carry an event time.
+    "pp2_stream_ingest" -> ((s, dir) => {
+      val docs = Tables.documentsStream(s, dir)
+      val words = split(col("text"), " ")
+      val clean = docs
+        .withColumn("n_tokens", size(filter(words, w => w =!= "")))
+        .withColumn("n_stop", size(filter(words,
+          w => w.isin("the", "a", "data", "value"))))
+        .filter(col("n_tokens") >= 10 &&
+          col("n_stop") / col("n_tokens") < 0.5)
+        .select(md5(col("text")).as("text_hash"))
+        .dropDuplicates("text_hash")
+      runToTable(s, clean, "append").select("text_hash")
+    }),
+
     // keyed running state via mapGroupsWithState: per-tile peak memory
     "st2_stream_peak_state" -> ((s, dir) => {
       import s.implicits._
@@ -143,6 +164,14 @@ object MonitorStream extends OpModule {
 
     "st4_stream_dedup_watermark" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    "pp2_stream_ingest" ->
+      """SELECT DISTINCT md5(text) AS text_hash
+        |FROM documents
+        |WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) >= 10
+        |  AND len(list_filter(string_split(text, ' '),
+        |          w -> w IN ('the', 'a', 'data', 'value'))) /
+        |      len(list_filter(string_split(text, ' '), w -> w <> '')) < 0.5""".stripMargin,
 
     "st2_stream_peak_state" -> Sql.query(Sql.monitor)(
       "SELECT tile_id, MAX(mem_rss) AS mem_peak FROM monitor GROUP BY tile_id"),

@@ -155,6 +155,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows("t1_1")._1 >= 2 && rows("t1_1")._2.nonEmpty && rows("t1_1")._3.nonEmpty)
   }
 
+  test("tx8: repetition fractions live in [0, 1] and top >= uniform share") {
+    val rows = run("tx8_repetition").collect()
+    assert(rows.nonEmpty && rows.forall { r =>
+      val d = r.getDouble(1); val t = r.getDouble(2)
+      d >= 0.0 && d <= 1.0 && t > 0.0 && t <= 1.0 && t >= d / (1.0 max 1.0)
+    })
+  }
+
+  test("nn6: every query vector's best batch match is itself at cos 1.0") {
+    val byQ = run("nn6_batch_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    assert(byQ.keySet == (0L until 8L).toSet)
+    byQ.foreach { case (qid, rows) =>
+      val best = rows.maxBy(_._3)
+      assert(best._2 == qid && math.abs(best._3 - 1.0) < 1e-9,
+        s"qid=$qid best=$best")
+    }
+  }
+
+  test("ds4: two-phase per-lang top-K equals the single-window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.DedupOps.h60
+    val w = Window.partitionBy("lang")
+      .orderBy(h60("bal:", col("text")), col("doc_id"))
+    val single = spark.read.parquet(s"$Sf/documents.parquet")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 200)
+      .select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val twoPhase = run("ds4_lang_rebalance").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(twoPhase == single && twoPhase.nonEmpty)
+  }
+
   test("k2: per-tile export roundtrip preserves feature counts") {
     val total = run("k2_pertile_export").agg(sum("n_features")).collect()(0).getLong(0)
     val expect = spark.read.parquet(s"$Sf/orders.parquet").count()
