@@ -86,6 +86,14 @@ object TileSelectOps extends OpModule {
     // P13/S3 — LIMIT 0 column probe (db.py:105-111)
     "p13_limit_probe" -> ((s, dir) => Tables.lineitem(s, dir).limit(0)),
 
+    // S2 — dict-row fetch: one keyed row with every column, the
+    // RealDictCursor single-record get of the reference (db.py:113-133,
+    // tile boundary fetch tileconfig.py:557-573). The Spark form is a
+    // key-filtered full projection — at scale this is a partition-pruned
+    // / pushed-filter point lookup, never a collect.
+    "s2_row_fetch" -> ((s, _) =>
+      Tables.boundaries(s).filter(col("tile_id") === "t2_1")),
+
     // W3 — deterministic work-list shuffle: multiplicative-hash key over
     // the selected tiles (reference uses random.shuffle for load
     // balancing, tileconfig.py:139-141; we keep the semantics but make it
@@ -140,6 +148,9 @@ object TileSelectOps extends OpModule {
          |  AND dir_version IS NULL""".stripMargin),
 
     "p13_limit_probe" -> "SELECT * FROM lineitem LIMIT 0",
+
+    "s2_row_fetch" -> Sql.query(Sql.boundaries)(
+      "SELECT * FROM boundaries WHERE tile_id = 't2_1'"),
 
     "w3_det_shuffle" -> Sql.query(Sql.boundaries)(
       s"""SELECT tile_id, ((tx * 31 + ty) * 2654435761) % 97 AS shuffle_key
