@@ -6,6 +6,22 @@ import org.apache.spark.sql.functions._
   * tests (tests/test_tiles.py:168-175, 209-217). */
 class EdgeCaseSpec extends SparkSpec {
 
+  test("empty corpus: the whole dedup/text family returns empty, never throws") {
+    // a 100 TB pipeline routinely hits empty partitions/shards; every
+    // corpus operator must degrade to an empty result
+    val emptyDir = new java.io.File(sys.props("java.io.tmpdir"), "graft_empty_sf").getPath
+    for (t <- Seq("documents", "embeddings")) {
+      spark.read.parquet(s"$Sf/$t.parquet").limit(0)
+        .write.mode("overwrite").parquet(s"$emptyDir/$t.parquet")
+    }
+    for (q <- Seq("dd1_exact_dedup", "dd2_minhash_lsh", "dd3_jaccard_pairs",
+        "dd4_simhash", "dd5_simhash_pairs", "dd6_dedup_filter",
+        "dd7_minhash_dfcap", "tx1_langid", "tx8_repetition",
+        "ds1_hash_sample", "ds4_lang_rebalance", "nn3_bucket_neardup")) {
+      assert(run(q, emptyDir).count() == 0, s"$q not empty on empty corpus")
+    }
+  }
+
   test("requesting only unknown tiles yields an empty selection, not an error") {
     val df = graft.sources.Tables.boundaries(spark)
       .filter(col("tile_id").isin("t9_9", "nope"))

@@ -47,6 +47,43 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
   }
 
+  test("dedup/ANN family: every pair-generating plan is equi-join only — no nested loops") {
+    // the 100 TB contract of SCALE.md: candidate generation is ALWAYS a
+    // hash/sort-merge equi-join on a bucket/band/chunk key, never a
+    // cartesian or broadcast-nested-loop pair enumeration
+    for (q <- Seq("dd2_minhash_lsh", "dd3_jaccard_pairs", "dd5_simhash_pairs",
+        "dd6_dedup_filter", "dd7_minhash_dfcap", "nn3_bucket_neardup")) {
+      val plan = executedPlan(q)
+      assert(!plan.contains("CartesianProduct"), s"$q has a cartesian product:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q has a nested loop join:\n$plan")
+      assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin") ||
+        plan.contains("InMemoryTableScan"), s"$q: no equi-join found:\n$plan")
+    }
+  }
+
+  test("nn6: the query batch is the broadcast side; corpus side never shuffles for the join") {
+    val plan = executedPlan("nn6_batch_topk")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query batch should broadcast:\n$plan")
+    // ranking shuffles on qid only — no shuffle of the corpus for the join itself
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("ds4: two-phase top-K shuffles on the salted (lang, partition) key first") {
+    val df = run("ds4_lang_rebalance")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // phase 1 partitions by (lang, SPARK_PARTITION_ID) — the well-spread
+    // key; phase 2 by lang over the pre-capped survivors only
+    assert(plan.contains("SPARK_PARTITION_ID"), s"missing salted pre-rank:\n$plan")
+    // the pre-rank exchange carries (lang, <salt>) — a 2-key partitioning
+    // (the salt surfaces as a projected attr like _w0) — while the final
+    // rank exchanges on lang alone over the pre-capped survivors
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.exists(_.matches(".*hashpartitioning\\(lang#\\d+, [^,)]+, \\d+\\).*")),
+      exchanges.mkString("\n"))
+  }
+
   test("per-tile read of a tile-partitioned layout prunes to one partition") {
     val out = new java.io.File(sys.props("java.io.tmpdir"), "graft_prune").getPath
     graft.sources.Tables.features(spark, Sf)

@@ -133,6 +133,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows in append mode emit only sessions closed by the watermark") {
+    // the unbounded-stream form of st6: watermark + append — a session is
+    // emitted exactly once, when the watermark passes its close; state
+    // holds only open sessions
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long)]
+    val ev = ms.toDF().toDF("epoch", "user_id")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+      .withWatermark("ts", "1 hour")
+    val sess = ev.groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = sess.writeStream.outputMode("append").format("memory")
+      .queryName("sess_append_demo").start()
+    try {
+      val H = 3600L
+      // batch 1: one session for user 1 — still open, nothing emitted
+      ms.addData((0L, 1L), (2 * H, 1L))
+      q.processAllAvailable()
+      assert(spark.table("sess_append_demo").count() == 0)
+      // batch 2: event far past the close+watermark → session 1 emitted
+      ms.addData((20 * H, 1L))
+      q.processAllAvailable()
+      val rows = spark.table("sess_append_demo")
+        .select(col("user_id"), col("session_window.start").cast("long"),
+          col("n_events")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set((1L, 0L, 2L)), rows.mkString(","))
+      // the open session (20h) is in state, not in the sink
+    } finally q.stop()
+  }
+
   test("st6: an event exactly at the gap boundary MERGES into the open session") {
     // Empirically pins Spark's exact-boundary semantics: session windows
     // merge on touch-or-overlap (newStart <= openEnd), so an event at
