@@ -95,7 +95,12 @@ object TextOps extends OpModule {
     // char-trigram language ID (the real n-gram heuristic): per-lang
     // trigram profiles learned from a training subset (doc_id%5==0,
     // top-20 by frequency, deterministic tie-break), then argmax profile
-    // overlap per doc
+    // overlap per doc. Scoring never explodes the corpus: each doc's
+    // distinct grams stay an in-row array, the (langs × 20-gram) profiles
+    // broadcast as arrays, and the overlap is a per-row array_intersect
+    // — so the only corpus-wide shuffle left is the final per-doc argmax
+    // (min_by on a (-overlap, lang) struct, no window pass). At 100 TB
+    // the scoring side is embarrassingly map-parallel.
     "tx6_trigram_langid" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       // profile side counts every trigram OCCURRENCE, but only over the
@@ -108,24 +113,26 @@ object TextOps extends OpModule {
             "transform(sequence(0, length(text) - 3), i -> substring(text, i + 1, 3))"))
             .as("g"))
       val wp = Window.partitionBy("lang").orderBy(col("cnt").desc, col("g"))
-      val profiles = tri
-        .groupBy("lang", "g").agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(wp)).filter(col("rn") <= 20)
-        .select(col("lang").as("p_lang"), col("g"))
-      // scoring side needs DISTINCT grams per doc: dedup inside the row
-      // (array_distinct) instead of a corpus-wide distinct() shuffle over
-      // every character position — the full-corpus explode emits only
-      // already-distinct grams
+      // the trained per-lang profile is a model artifact: built once per
+      // (session, dir), persisted, reused (the broadcast side of scoring)
+      val profiles = Cached.of(s, s"tx:profiles:$dir") {
+        tri.groupBy("lang", "g").agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(wp)).filter(col("rn") <= 20)
+          .groupBy(col("lang").as("p_lang"))
+          .agg(collect_set("g").as("pg"))
+      }
       val docg = Tables.documents(s, dir)
         .filter(length(col("text")) >= 3)
-        .select(col("doc_id"), explode(array_distinct(expr(
-          "transform(sequence(0, length(text) - 3), i -> substring(text, i + 1, 3))")))
-          .as("g"))
-      val wd = Window.partitionBy("doc_id").orderBy(col("ov").desc, col("p_lang"))
-      docg.join(broadcast(profiles), Seq("g"))
-        .groupBy("doc_id", "p_lang").agg(count(lit(1)).as("ov"))
-        .withColumn("rn", row_number().over(wd)).filter(col("rn") === 1)
-        .select(col("doc_id"), col("p_lang").as("pred_lang"), col("ov"))
+        .select(col("doc_id"), array_distinct(expr(
+          "transform(sequence(0, length(text) - 3), i -> substring(text, i + 1, 3))"))
+          .as("dg"))
+      docg.crossJoin(broadcast(profiles))
+        .withColumn("ov", size(array_intersect(col("dg"), col("pg"))).cast("long"))
+        .filter(col("ov") > 0)
+        .groupBy("doc_id")
+        .agg(
+          min_by(col("p_lang"), struct((-col("ov")).as("no"), col("p_lang"))).as("pred_lang"),
+          min_by(col("ov"), struct((-col("ov")).as("no"), col("p_lang"))).as("ov"))
     }),
 
     // BPE-ish regex tokenization (GPT-2-style segment classes, ASCII
