@@ -61,6 +61,42 @@ object BenchQueries extends OpModule {
         .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
           .as("revenue"))),
 
+    // TPC-H Q14 shape: promotion revenue share for one month — broadcast
+    // part join + a ratio of two aggregates. Ratio is computed over the
+    // 2-decimal-rounded sums on BOTH engines so the float summation
+    // order cannot flip the 6-decimal output.
+    "q14_promo_revenue" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-03-01 00:00:00")) &&
+                col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+      val p = Tables.part(s, dir).select("p_partkey", "p_type")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(sum(when(col("p_type").startsWith("PROMO"),
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)), 2)
+            .as("promo_rev"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("total_rev"))
+        .select(
+          round(lit(100) * col("promo_rev") / col("total_rev"), 6).as("promo_pct"),
+          col("promo_rev"), col("total_rev"))
+    }),
+
+    // TPC-H Q7 shape: revenue by supplier nation — the supplier-side
+    // dimension chain (both dimensions broadcast; one fact shuffle for
+    // the final group-by only)
+    "q7_supplier_nation" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+      l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // TPC-H Q5 shape: revenue per nation through the full dimension star
     "q5_nation_revenue" -> ((s, dir) => {
       val l = Tables.lineitem(s, dir)
@@ -110,6 +146,27 @@ object BenchQueries extends OpModule {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """SELECT ROUND(100 * promo_rev / total_rev, 6) AS promo_pct,
+        |       promo_rev, total_rev
+        |FROM (
+        |  SELECT ROUND(SUM(CASE WHEN p_type LIKE 'PROMO%'
+        |                   THEN l_extendedprice * (1 - l_discount)
+        |                   ELSE 0 END), 2) AS promo_rev,
+        |         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01') t""".stripMargin,
+
+    "q7_supplier_nation" ->
+      """SELECT n_name,
+        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
 
     "q5_nation_revenue" ->
       """SELECT r_name, n_name,

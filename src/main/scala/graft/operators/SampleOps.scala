@@ -61,6 +61,22 @@ object SampleOps extends OpModule {
         .withColumn("prn", row_number().over(pre)).filter(col("prn") <= K)
         .withColumn("rn", row_number().over(fin)).filter(col("rn") <= K)
         .select("lang", "doc_id")
+    }),
+
+    // ds4's selection again, as a single bounded-heap AGGREGATION: the
+    // custom TopKByHash Aggregator keeps <= K elements per buffer, so the
+    // map-side partial pass caps every (lang x partition) slice at K and
+    // the shuffle carries K·partitions rows per language — no window, no
+    // per-key full sort, skew-immune by construction. Must produce
+    // exactly ds4's rows (same oracle; cross-checked in specs).
+    "ds5_topk_agg" -> ((s, dir) => {
+      import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+      import graft.functions.{KeyedId, TopKByHash}
+      val tk = udaf(new TopKByHash(200), ExpressionEncoder[KeyedId]())
+      Tables.documents(s, dir)
+        .select(col("lang"), h60("bal:", col("text")).as("ord"), col("doc_id").as("id"))
+        .groupBy("lang").agg(tk(col("ord"), col("id")).as("ids"))
+        .select(col("lang"), explode(col("ids")).as("doc_id"))
     })
   )
 
@@ -88,6 +104,16 @@ object SampleOps extends OpModule {
     // the oracle is the single-window formulation — the two-phase
     // pre-rank must be result-identical to it
     "ds4_lang_rebalance" ->
+      s"""SELECT lang, doc_id FROM (
+         |  SELECT lang, doc_id,
+         |         ROW_NUMBER() OVER (PARTITION BY lang
+         |           ORDER BY ${h60Sql("bal:", "text")}, doc_id) AS rn
+         |  FROM documents) t
+         |WHERE rn <= 200""".stripMargin,
+
+    // identical selection contract as ds4 — the aggregator must reproduce
+    // the window formulation exactly
+    "ds5_topk_agg" ->
       s"""SELECT lang, doc_id FROM (
          |  SELECT lang, doc_id,
          |         ROW_NUMBER() OVER (PARTITION BY lang

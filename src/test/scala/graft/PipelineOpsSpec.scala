@@ -189,6 +189,14 @@ class PipelineOpsSpec extends SparkSpec {
     assert(twoPhase == single && twoPhase.nonEmpty)
   }
 
+  test("ds5: bounded-heap aggregator reproduces ds4's window selection exactly") {
+    val viaAgg = run("ds5_topk_agg").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val viaWindow = run("ds4_lang_rebalance").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(viaAgg == viaWindow && viaAgg.nonEmpty)
+  }
+
   test("k2: per-tile export roundtrip preserves feature counts") {
     val total = run("k2_pertile_export").agg(sum("n_features")).collect()(0).getLong(0)
     val expect = spark.read.parquet(s"$Sf/orders.parquet").count()

@@ -38,6 +38,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("TopKByHash merge is assoc/comm with identity and equals sort-take") {
+    import graft.functions.{KeyedId, TopKByHash}
+    val agg = new TopKByHash(3)
+    val genIds = Gen.listOfN(8, for {
+      o <- Gen.choose(-100L, 100L); i <- Gen.choose(0L, 50L)
+    } yield KeyedId(o, i))
+    forAll(genIds, genIds, genIds) { (a0, b0, c0) =>
+      // buffers must be reachable states (capped) for closure to hold
+      val (a, b, c) = (agg.merge(agg.zero, a0), agg.merge(agg.zero, b0),
+        agg.merge(agg.zero, c0))
+      assert(agg.merge(a, agg.merge(b, c)) == agg.merge(agg.merge(a, b), c))
+      assert(agg.merge(a, b) == agg.merge(b, a))
+      assert(agg.merge(a, agg.zero) == a)
+      // model: global sort-take over the union
+      assert(agg.finish(agg.merge(a, b)) ==
+        (a ++ b).sortBy(e => (e.ord, e.id)).take(3).map(_.id))
+    }
+  }
+
   test("VectorDot.eval equals the reference fold for arbitrary vectors") {
     val genVec = Gen.listOfN(16, Gen.choose(-10.0, 10.0))
     samples(genVec, 50).zip(samples(genVec, 50).reverse).foreach { case (a, b) =>
