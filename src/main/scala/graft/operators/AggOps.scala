@@ -119,6 +119,20 @@ object AggOps extends OpModule {
         .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 16))")
           .as("n_users"))),
 
+    // A14 (extension) — pivot: the lang × split contingency matrix of
+    // the training mix (the report every corpus-curation run ends with).
+    // `pivot` with EXPLICIT values keeps the plan a single-pass
+    // aggregation — no extra distinct-scan job to discover columns, which
+    // is the difference between one pass and two at 100 TB.
+    "a14_pivot_splits" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("bucket", DedupOps.h60("spl:", col("text")) % 100)
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test"))
+        .groupBy("lang").pivot("split", Seq("train", "val", "test"))
+        .count().na.fill(0L)),
+
     // A10 (extension) — exact percentiles per tile: both engines use
     // linear interpolation, so values agree (rounded for float safety)
     "a10_percentiles" -> ((s, dir) =>
@@ -215,6 +229,18 @@ object AggOps extends OpModule {
     "a13_approx_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // a14: conditional aggregation — the pivot must equal the hand-built
+    // contingency matrix
+    "a14_pivot_splits" -> {
+      val b = graft.operators.DedupOps.h60Sql("spl:", "text")
+      s"""SELECT lang,
+         |       CAST(SUM(CASE WHEN b < 80 THEN 1 ELSE 0 END) AS BIGINT) AS train,
+         |       CAST(SUM(CASE WHEN b >= 80 AND b < 90 THEN 1 ELSE 0 END) AS BIGINT) AS val,
+         |       CAST(SUM(CASE WHEN b >= 90 THEN 1 ELSE 0 END) AS BIGINT) AS test
+         |FROM (SELECT lang, $b % 100 AS b FROM documents) t
+         |GROUP BY lang""".stripMargin
+    },
 
     "a10_percentiles" -> Sql.query(Sql.monitor)(
       """SELECT tile_id,

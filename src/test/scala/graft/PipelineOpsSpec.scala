@@ -25,6 +25,25 @@ class PipelineOpsSpec extends SparkSpec {
       s"expected a LeftSemi retry join in the plan:\n$plan")
   }
 
+  test("o8: Observation metrics ride along the fan-out job (run-report counters)") {
+    // the reference tallies nr_success/failed_tiles on the driver after
+    // the pool drains (processor.py:99-125); the Spark-native form is an
+    // Observation — metrics accumulate DURING the job, no second pass
+    import org.apache.spark.sql.Observation
+    val obs = Observation("graft_run_report")
+    val res = graft.operators.FanoutOps
+      .runAttempt(spark, graft.operators.FanoutOps.tileTasks(spark), attempt = 2)
+      .toDF()
+      .observe(obs, count(lit(1)).as("n_tiles"),
+        sum(when(col("ok"), 1).otherwise(0)).as("n_ok"))
+    res.collect()
+    val m = obs.get
+    // 4 of 16 tiles fail permanently ((tx*4+ty)%5==0); attempt 2 clears
+    // all transients
+    assert(m("n_tiles") == 16L, m)
+    assert(m("n_ok") == 12L, m)
+  }
+
   test("o2: pipe through a real child process tags every tile") {
     val rows = run("o2_pipe_worker").collect()
     assert(rows.length == 16 && rows.forall(_.getString(1) == "ok"))
