@@ -24,5 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
       (exprs: Seq[Expression]) => VectorDot(exprs(0), exprs(1))))
+    // optimizer tier: emptiness tests on array intersections become
+    // early-exit overlap probes (see the rule's exactness guard)
+    ext.injectOptimizerRule(_ => graft.plans.ArraysOverlapRewrite)
   }
 }

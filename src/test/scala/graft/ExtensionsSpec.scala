@@ -26,6 +26,30 @@ class ExtensionsSpec extends AnyFunSuite {
       // bound to the native expression → visible in the analyzed plan
       assert(df.queryExecution.analyzed.toString.contains("vectordot"),
         df.queryExecution.analyzed.toString)
+
+      // injected optimizer rule: intersection-emptiness test rewritten to
+      // an early-exit overlap probe — only when elements are provably
+      // non-null (coalesce-backed array qualifies; parquet-backed so the
+      // optimizer cannot constant-fold the whole relation away)
+      import org.apache.spark.sql.functions.{array, coalesce, col, expr, lit}
+      val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val rewritten = docs
+        .select(col("doc_id"), array(coalesce(col("lang"), lit("?"))).as("v"))
+        .filter(expr("size(array_intersect(v, array('en','de'))) > 0"))
+      val opt = rewritten.queryExecution.optimizedPlan.toString
+      assert(opt.contains("arrays_overlap"), opt)
+      assert(!opt.contains("array_intersect"), opt)
+      assert(rewritten.count() ==
+        docs.filter(coalesce(col("lang"), lit("?")).isin("en", "de")).count())
+
+      // nullable-element arrays must NOT be rewritten (semantics differ
+      // when a null element is present): array(nullable col) declares
+      // containsNull, so the guard blocks the rule
+      val guarded = docs
+        .select(array(col("lang")).as("v"))
+        .filter(expr("size(array_intersect(v, array('en'))) > 0"))
+      val gopt = guarded.queryExecution.optimizedPlan.toString
+      assert(gopt.contains("array_intersect"), gopt)
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
