@@ -82,6 +82,29 @@ object MultimodalOps extends OpModule {
       }.toDF("doc_id", "orig_len", "new_len", "resized_md5")
     }),
 
+    // embedding extraction in BATCHES: the mapInPandas batch shape —
+    // rows flow through mapPartitions in bounded groups (grouped(64)), a
+    // whole batch is featurized at once, results stream back out. The
+    // fake featurizer (byte sums folded mod 8 — integer, so
+    // oracle-exact) stands where an ONNX/codec batch call would run;
+    // swapping it changes no plumbing, batching, or schema.
+    "mm5_embed_batch" -> ((s, dir) => {
+      import s.implicits._
+      media(s, dir).filter(length(col("payload")) >= 1)
+        .as[MediaRow].mapPartitions { it =>
+          it.grouped(64).flatMap { batch =>
+            batch.map { r =>
+              val acc = new Array[Long](8)
+              var i = 0
+              while (i < r.payload.length) {
+                acc(i % 8) += (r.payload(i) & 0xff); i += 1
+              }
+              (r.doc_id, acc.toSeq)
+            }
+          }
+        }.toDF("doc_id", "feat")
+    }),
+
     // frame sampling: every 5th frame of n_bytes/100 frames per doc
     "mm2_frame_sample" -> ((s, dir) => {
       import s.implicits._
@@ -118,6 +141,22 @@ object MultimodalOps extends OpModule {
         |FROM (SELECT doc_id, text,
         |             unnest(generate_series(1, strlen(text), 5)) AS i
         |      FROM documents) t
+        |GROUP BY doc_id""".stripMargin,
+
+    // mm5: positional byte sums per residue class — ord() of each ASCII
+    // char; docs shorter than 8 bytes still produce all 8 (zero) lanes
+    // via the residue generate_series
+    "mm5_embed_batch" ->
+      """SELECT doc_id, list(s ORDER BY k) AS feat
+        |FROM (
+        |  SELECT d.doc_id, g.k,
+        |         CAST(COALESCE(SUM(ord(substr(d.text, b.i, 1))), 0) AS BIGINT) AS s
+        |  FROM (SELECT doc_id, text FROM documents WHERE strlen(text) >= 1) d
+        |  CROSS JOIN generate_series(0, 7) AS g(k)
+        |  LEFT JOIN (SELECT doc_id, unnest(generate_series(1, strlen(text))) AS i
+        |             FROM documents) b
+        |    ON b.doc_id = d.doc_id AND (b.i - 1) % 8 = g.k
+        |  GROUP BY d.doc_id, g.k) t
         |GROUP BY doc_id""".stripMargin,
 
     "mm2_frame_sample" ->

@@ -135,6 +135,31 @@ object MonitorStream extends OpModule {
       runToTable(s, clean, "append").select("text_hash")
     }),
 
+    // st7 — foreachBatch FILE sink: each micro-batch lands as parquet
+    // through the exactly-once-per-batch hook (K6's durable form — the
+    // reference appends monitor samples to a TSV, recorder.py:50-72; at
+    // scale the landing zone is a table the next pipeline stage reads).
+    // The query returns the read-back of the landed files, so the whole
+    // write path sits inside the correctness gate.
+    "st7_foreachbatch_sink" -> ((s, dir) => {
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_st7_${dir.hashCode}").getPath
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      val mon = Tables.monitorCols(Tables.eventsStream(s, dir))
+        .select("event_id", "tile_id", "mem_rss")
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = mon.writeStream.outputMode("append")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            batch.write.mode("append").parquet(out)
+            ()
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+      s.read.parquet(out)
+    }),
+
     // keyed running state via mapGroupsWithState: per-tile peak memory
     "st2_stream_peak_state" -> ((s, dir) => {
       import s.implicits._
@@ -175,6 +200,9 @@ object MonitorStream extends OpModule {
 
     "st2_stream_peak_state" -> Sql.query(Sql.monitor)(
       "SELECT tile_id, MAX(mem_rss) AS mem_peak FROM monitor GROUP BY tile_id"),
+
+    "st7_foreachbatch_sink" -> Sql.query(Sql.monitor)(
+      "SELECT event_id, tile_id, mem_rss FROM monitor"),
 
     "st5_stream_static_join" -> Sql.query(Sql.monitor, Sql.boundaries)(
       """SELECT m.event_id, m.tile_id, b.border, m.mem_rss
