@@ -29,6 +29,15 @@ import graft.sources.Tables
   *                                       (remove_schema, cli.py:169-175)
   */
 object Cli {
+  /** Reuse an already-running session (tests, notebooks) and only stop
+    * sessions this CLI created itself. */
+  private def withSession(body: SparkSession => Unit): Unit = {
+    val reused = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+    val s = reused.getOrElse(session())
+    s.sparkContext.setLogLevel("WARN")
+    try body(s) finally if (reused.isEmpty) s.stop()
+  }
+
   private def registryDir(rest: List[String]): java.nio.file.Path =
     java.nio.file.Paths.get(rest.sliding(2).collectFirst {
       case "--registry" :: d :: Nil => d
@@ -54,57 +63,54 @@ object Cli {
         case "--restart" :: n :: Nil => n.toInt }.getOrElse(0)
       val tiles = rest.sliding(2).collectFirst {
         case "--tiles" :: t :: Nil => t }.getOrElse("all")
-      val s = session()
-      s.sparkContext.setLogLevel("WARN")
-      val all = FanoutOps.tileTasks(s)
-      val selected =
-        if (tiles == "all") all
-        else all.filter(col("tile_id").isin(tiles.split(",").toSeq: _*))
-      val results = FanoutOps.runWithRetry(s, selected, maxAttempts = restart + 1)
-        .collect()
-      val failed = results.filter(!_.ok).map(_.tile_id)
-      // sfDir feeds the data-dependent part of the run report: how many
-      // features the successful tiles actually covered (the reference logs
-      // per-tile work in run_cmd, cli.py:94-95)
-      val okTiles = results.filter(_.ok).map(_.tile_id).toSeq
-      val nFeatures =
-        if (okTiles.isEmpty) 0L
-        else Tables.features(s, sfDir)
-          .filter(col("tile_id").isin(okTiles: _*)).count()
-      println(s"nr_success=${results.length - failed.length}")
-      println(s"failed_tiles=${failed.mkString(",")}")
-      println(s"features_processed=$nFeatures")
-      s.stop()
+      withSession { s =>
+        val all = FanoutOps.tileTasks(s)
+        val selected =
+          if (tiles == "all") all
+          else all.filter(col("tile_id").isin(tiles.split(",").toSeq: _*))
+        val results = FanoutOps.runWithRetry(s, selected, maxAttempts = restart + 1)
+          .collect()
+        val failed = results.filter(!_.ok).map(_.tile_id)
+        // sfDir feeds the data-dependent part of the run report: how many
+        // features the successful tiles actually covered (the reference logs
+        // per-tile work in run_cmd, cli.py:94-95)
+        val okTiles = results.filter(_.ok).map(_.tile_id).toSeq
+        val nFeatures =
+          if (okTiles.isEmpty) 0L
+          else Tables.features(s, sfDir)
+            .filter(col("tile_id").isin(okTiles: _*)).count()
+        println(s"nr_success=${results.length - failed.length}")
+        println(s"failed_tiles=${failed.mkString(",")}")
+        println(s"features_processed=$nFeatures")
+      }
 
     case "export-tile-inputs" :: sfDir :: outDir :: Nil =>
-      val s = session()
-      s.sparkContext.setLogLevel("WARN")
-      Tables.features(s, sfDir)
-        .write.mode("overwrite").partitionBy("tile_id")
-        .parquet(s"$outDir/footprints")
-      SparkEntry.queries("k3_merge_payloads")(s, sfDir)
-        .write.mode("overwrite").parquet(s"$outDir/merged_payloads")
-      println(s"exported to $outDir")
-      s.stop()
+      withSession { s =>
+        Tables.features(s, sfDir)
+          .write.mode("overwrite").partitionBy("tile_id")
+          .parquet(s"$outDir/footprints")
+        SparkEntry.queries("k3_merge_payloads")(s, sfDir)
+          .write.mode("overwrite").parquet(s"$outDir/merged_payloads")
+        println(s"exported to $outDir")
+      }
 
     case "plot-monitor-log" :: tsv :: outDir :: Nil =>
-      val s = session()
-      s.sparkContext.setLogLevel("WARN")
-      import org.apache.spark.sql.types._
-      val schema = StructType(Seq(
-        StructField("ts", TimestampType), StructField("tile_id", StringType),
-        StructField("pid", IntegerType), StructField("cpu_user", DoubleType),
-        StructField("cpu_sys", DoubleType), StructField("mem_rss", LongType)))
-      val log = s.read.option("sep", "\t").schema(schema).csv(tsv)
-        .withColumn("cpu_total", col("cpu_user") + col("cpu_sys"))
-        .withColumn("mem_mb", col("mem_rss") / lit(1e6))
-      // rss.pdf data: per-tile memory series; cpu.pdf data: max per tile
-      log.select("ts", "tile_id", "mem_mb")
-        .write.mode("overwrite").option("header", "true").csv(s"$outDir/rss")
-      log.groupBy("tile_id").agg(max("cpu_total").as("cpu_max"))
-        .write.mode("overwrite").option("header", "true").csv(s"$outDir/cpu")
-      println(s"wrote $outDir/rss and $outDir/cpu")
-      s.stop()
+      withSession { s =>
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("ts", TimestampType), StructField("tile_id", StringType),
+          StructField("pid", IntegerType), StructField("cpu_user", DoubleType),
+          StructField("cpu_sys", DoubleType), StructField("mem_rss", LongType)))
+        val log = s.read.option("sep", "\t").schema(schema).csv(tsv)
+          .withColumn("cpu_total", col("cpu_user") + col("cpu_sys"))
+          .withColumn("mem_mb", col("mem_rss") / lit(1e6))
+        // rss.pdf data: per-tile memory series; cpu.pdf data: max per tile
+        log.select("ts", "tile_id", "mem_mb")
+          .write.mode("overwrite").option("header", "true").csv(s"$outDir/rss")
+        log.groupBy("tile_id").agg(max("cpu_total").as("cpu_max"))
+          .write.mode("overwrite").option("header", "true").csv(s"$outDir/cpu")
+        println(s"wrote $outDir/rss and $outDir/cpu")
+      }
 
     // schema-registry surface: pure file operations, no Spark session
     case "register-config" :: name :: path :: rest =>
