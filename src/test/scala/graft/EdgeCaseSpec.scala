@@ -22,6 +22,32 @@ class EdgeCaseSpec extends SparkSpec {
     }
   }
 
+  test("corrupt TSV rows are isolated in PERMISSIVE mode, not fatal") {
+    // a 100 TB log scan WILL contain malformed lines; the declared-schema
+    // read must quarantine them (null row + corrupt-record column), never
+    // abort the job — the S7 scan's failure mode
+    import org.apache.spark.sql.types._
+    val tsv = new java.io.File(sys.props("java.io.tmpdir"), "graft_corrupt.tsv")
+    java.nio.file.Files.write(tsv.toPath,
+      ("2024-01-01 00:00:00\tt0_0\t100\t1.5\t0.5\t1000\n" +
+       "NOT_A_TIMESTAMP\tt0_1\tNaN\toops\n" + // malformed line
+       "2024-01-01 00:01:00\tt0_2\t101\t2.5\t1.0\t2000\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("tile_id", StringType),
+      StructField("pid", IntegerType), StructField("cpu_user", DoubleType),
+      StructField("cpu_sys", DoubleType), StructField("mem_rss", LongType),
+      StructField("_corrupt", StringType)))
+    val df = spark.read.option("sep", "\t")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .schema(schema).csv(tsv.getPath).cache()
+    assert(df.count() == 3)
+    assert(df.filter(col("_corrupt").isNotNull).count() == 1)
+    assert(df.filter(col("_corrupt").isNull).agg(sum("mem_rss"))
+      .collect()(0).getLong(0) == 3000L)
+    df.unpersist()
+  }
+
   test("requesting only unknown tiles yields an empty selection, not an error") {
     val df = graft.sources.Tables.boundaries(spark)
       .filter(col("tile_id").isin("t9_9", "nope"))
