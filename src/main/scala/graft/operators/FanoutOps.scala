@@ -48,6 +48,19 @@ object FanoutOps extends OpModule {
       WorkerResult(t.tile_id, workerSucceeds(t, attempt), attempt)))
   }
 
+  /** Fan-out over an ARBITRARY worker function with exception capture: a
+    * worker that throws marks ITS tile failed instead of failing the
+    * Spark task (and with it every tile in the partition) — the
+    * reference wraps each future the same way
+    * (processor.py:106-123, test_processor.py:45-57). */
+  def runAttemptSafe(s: SparkSession, tiles: Dataset[TileTask], attempt: Int)(
+      work: (TileTask, Int) => Boolean): Dataset[WorkerResult] = {
+    import s.implicits._
+    tiles.mapPartitions(_.map(t =>
+      WorkerResult(t.tile_id,
+        scala.util.Try(work(t, attempt)).getOrElse(false), attempt)))
+  }
+
   /** O3: semantic retry loop — failed tiles re-run up to `maxAttempts`
     * (processor.py:89-125; --restart, cli.py:66-71). The failed set never
     * visits the driver: each round's pending set is a `left_semi` join of

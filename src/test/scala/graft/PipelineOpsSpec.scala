@@ -44,6 +44,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(m("n_ok") == 12L, m)
   }
 
+  test("o1: a throwing worker fails its own tile, not the whole job (processor exception capture)") {
+    val res = graft.operators.FanoutOps.runAttemptSafe(
+      spark, graft.operators.FanoutOps.tileTasks(spark), attempt = 1) { (t, _) =>
+        if (t.tile_id == "t2_2") throw new RuntimeException("worker crashed")
+        true
+      }.collect()
+    assert(res.length == 16)
+    assert(res.filter(!_.ok).map(_.tile_id).toSeq == Seq("t2_2"))
+  }
+
+  test("k5: connecting to a nonexistent JDBC database raises, not hangs (db failure semantics)") {
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val ex = intercept[Exception] {
+      spark.read.jdbc("jdbc:derby:/tmp/graft_no_such_db_here", "t", props).count()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("o2: pipe through a real child process tags every tile") {
     val rows = run("o2_pipe_worker").collect()
     assert(rows.length == 16 && rows.forall(_.getString(1) == "ok"))
