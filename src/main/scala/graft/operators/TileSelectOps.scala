@@ -19,6 +19,25 @@ import graft.sources.{Sql, Tables}
 object TileSelectOps extends OpModule {
   import TileGrid.{ExtentXMin, ExtentYMin, ExtentXMax, ExtentYMax}
 
+  /** Front-door tile selection with the reference's argument contract
+    * (tileconfig.py DbTiles.configure, test_tiles.py:168-176): exactly
+    * one of `extent` / `tiles` must be given — both or neither is an
+    * error; the literal list `Seq("all")` selects every tile. */
+  def select(s: SparkSession, extent: Option[(Int, Int, Int, Int)] = None,
+      tiles: Option[Seq[String]] = None): DataFrame = {
+    require(extent.isDefined != tiles.isDefined,
+      "provide exactly one of extent or tiles (tiles=Seq(\"all\") for everything)")
+    val b = Tables.boundaries(s)
+    (extent, tiles) match {
+      case (Some((x1, y1, x2, y2)), _) =>
+        b.filter(col("xmin") <= x2 && col("xmax") >= x1 &&
+                 col("ymin") <= y2 && col("ymax") >= y1)
+      case (_, Some(Seq("all"))) => b
+      case (_, Some(ts)) => b.filter(col("tile_id").isin(ts: _*))
+      case _ => throw new IllegalArgumentException("unreachable")
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // P1 — all tile IDs: SELECT DISTINCT tile FROM boundaries
     // (tileconfig.py:211-224)

@@ -48,6 +48,23 @@ class EdgeCaseSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("select() enforces the reference's extent-xor-tiles contract") {
+    import graft.operators.TileSelectOps
+    // both → error; neither → error (test_tiles.py:168-176)
+    intercept[IllegalArgumentException] {
+      TileSelectOps.select(spark, Some((0, 0, 1, 1)), Some(Seq("t0_0")))
+    }
+    intercept[IllegalArgumentException] { TileSelectOps.select(spark) }
+    // the literal "all" list selects everything; an extent selects the
+    // overlapping block; an explicit list selects itself
+    assert(TileSelectOps.select(spark, tiles = Some(Seq("all"))).count() == 16)
+    assert(TileSelectOps.select(spark,
+      extent = Some((graft.model.TileGrid.ExtentXMin, graft.model.TileGrid.ExtentYMin,
+        graft.model.TileGrid.ExtentXMax, graft.model.TileGrid.ExtentYMax))).count() == 9)
+    assert(TileSelectOps.select(spark,
+      tiles = Some(Seq("t0_0", "t3_3"))).count() == 2)
+  }
+
   test("requesting only unknown tiles yields an empty selection, not an error") {
     val df = graft.sources.Tables.boundaries(spark)
       .filter(col("tile_id").isin("t9_9", "nope"))
