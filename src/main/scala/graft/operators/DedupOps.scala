@@ -30,9 +30,15 @@ import graft.sources.{Cached, Sql, Tables}
   */
 object DedupOps extends OpModule {
 
-  /** 60-bit portable hash of a string column with a seed prefix. */
+  /** 60-bit portable hash of a string column with a seed prefix — the
+    * codegen'd [[graft.functions.Hash60]] expression (value-identical to
+    * the SQL `conv(substr(md5(..),1,15),16,10)` form, without the three
+    * per-row string allocations; equality pinned in PropertySpec). */
   def h60(prefix: String, c: Column): Column =
-    expr(s"cast(conv(substr(md5(concat('$prefix', ${c.toString})), 1, 15), 16, 10) as bigint)")
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.Hash60(
+        org.apache.spark.sql.GraftColumnBridge.expression(
+          concat(lit(prefix), c))))
 
   /** DuckDB-side rendering of [[h60]] — the single source of truth for the
     * portable hash in oracle SQL (reused by SampleOps/PipelineOps). */

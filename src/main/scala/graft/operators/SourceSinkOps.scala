@@ -133,6 +133,20 @@ object SourceSinkOps extends OpModule {
         .select("tile_id", "tx", "ty", "version", "border")
     }),
 
+    // K10 — columnar-format breadth: the same per-tile export through
+    // ORC (the second columnar format a lake deployment meets; identical
+    // writer API, different codec). Round-trip read-back is the check.
+    "k10_orc_roundtrip" -> ((s, dir) => {
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_k10_${dir.hashCode}").getPath
+      Tables.features(s, dir)
+        .select("o_orderkey", "o_totalprice", "tile_id")
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out).groupBy("tile_id")
+        .agg(count(lit(1)).as("n_features"),
+          round(sum("o_totalprice"), 2).as("total_price"))
+    }),
+
     // O7 — statistics maintenance: VACUUM ANALYZE → ANALYZE TABLE COMPUTE
     // STATISTICS (db.py:79-99); surfaces the row count the CBO will use
     "o7_analyze_stats" -> ((s, _) => {
@@ -183,6 +197,11 @@ object SourceSinkOps extends OpModule {
          |        filename=true))
          |WHERE tile_id IN ('t1_1','t2_2','t3_0')
          |GROUP BY tile_id""".stripMargin,
+
+    "k10_orc_roundtrip" -> Sql.query(Sql.feat)(
+      """SELECT tile_id, COUNT(*) AS n_features,
+        |       ROUND(SUM(o_totalprice), 2) AS total_price
+        |FROM feat GROUP BY tile_id""".stripMargin),
 
     // k5: what comes back over JDBC must be exactly the dimension table
     "k5_jdbc_roundtrip" -> Sql.query(Sql.boundaries)(

@@ -38,6 +38,21 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("Hash60 equals the SQL conv(substr(md5)) formulation for arbitrary strings") {
+    import org.apache.spark.sql.functions.{expr => sqlExpr}
+    import spark.implicits._
+    val genStr = Gen.listOfN(24,
+      Gen.frequency(8 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', ':', 'é', '中')))
+      .map(_.mkString)
+    val inputs = samples(genStr, 80) :+ "" :+ "0:exact"
+    val df = inputs.toDF("s")
+      .withColumn("fast", graft.operators.DedupOps.h60("p:", col("s")))
+      .withColumn("slow", sqlExpr(
+        "cast(conv(substr(md5(concat('p:', s)), 1, 15), 16, 10) as bigint)"))
+    assert(df.filter(col("fast") =!= col("slow")).count() == 0)
+    assert(df.filter(col("fast") < 0).count() == 0) // 60-bit → non-negative
+  }
+
   test("TopKByHash merge is assoc/comm with identity and equals sort-take") {
     import graft.functions.{KeyedId, TopKByHash}
     val agg = new TopKByHash(3)
