@@ -21,16 +21,36 @@ final case class KeyedId(ord: Long, id: Long)
   * Selection semantics match the hash-order sampling family (SampleOps):
   * ascending (ord, id) — deterministic, rand()-free.
   *
-  * The buffer is a sorted Seq capped at K (K is small in every use —
-  * sample/rebalance caps); merge is associative and commutative, so
-  * partial aggregation stays sound (property-tested in PropertySpec).
+  * The buffer is a Seq capped at K, kept sorted ascending by (ord, id)
+  * as an invariant (K is small in every use — sample/rebalance caps);
+  * merge is associative and commutative, so partial aggregation stays
+  * sound (property-tested in PropertySpec). The per-row `reduce` never
+  * re-sorts: a full buffer rejects a non-qualifying row in O(1) (the
+  * overwhelmingly common case once the heap warms up) and otherwise
+  * shift-inserts at the ordered position; only `merge` walks both
+  * (already sorted) halves.
   */
 final class TopKByHash(k: Int) extends Aggregator[KeyedId, Seq[KeyedId], Seq[Long]] {
-  private def cap(s: Seq[KeyedId]): Seq[KeyedId] =
-    s.sortBy(e => (e.ord, e.id)).take(k)
+  private def lt(x: KeyedId, y: KeyedId): Boolean =
+    x.ord < y.ord || (x.ord == y.ord && x.id < y.id)
   override def zero: Seq[KeyedId] = Seq.empty
-  override def reduce(b: Seq[KeyedId], a: KeyedId): Seq[KeyedId] = cap(b :+ a)
-  override def merge(x: Seq[KeyedId], y: Seq[KeyedId]): Seq[KeyedId] = cap(x ++ y)
+  override def reduce(b: Seq[KeyedId], a: KeyedId): Seq[KeyedId] =
+    if (b.length >= k && !lt(a, b.last)) b
+    else {
+      val i = b.indexWhere(e => lt(a, e)) match { case -1 => b.length; case n => n }
+      val ins = (b.take(i) :+ a) ++ b.drop(i)
+      if (ins.length > k) ins.take(k) else ins
+    }
+  override def merge(x: Seq[KeyedId], y: Seq[KeyedId]): Seq[KeyedId] = {
+    // merge-walk two sorted runs, emitting at most k
+    val out = scala.collection.mutable.ArrayBuffer.empty[KeyedId]
+    var i = 0; var j = 0
+    while (out.length < k && (i < x.length || j < y.length)) {
+      if (j >= y.length || (i < x.length && lt(x(i), y(j)))) { out += x(i); i += 1 }
+      else { out += y(j); j += 1 }
+    }
+    out.toSeq
+  }
   override def finish(r: Seq[KeyedId]): Seq[Long] = r.map(_.id)
   override def bufferEncoder: Encoder[Seq[KeyedId]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[KeyedId]]()

@@ -87,7 +87,10 @@ object MultimodalOps extends OpModule {
     // whole batch is featurized at once, results stream back out. The
     // fake featurizer (byte sums folded mod 8 — integer, so
     // oracle-exact) stands where an ONNX/codec batch call would run;
-    // swapping it changes no plumbing, batching, or schema.
+    // swapping it changes no plumbing, batching, or schema. The vector
+    // leaves the query as a CSV string so the correctness harness can
+    // hash it (array columns are unhashable for its comparator); the
+    // in-flight type is the real Array[Long].
     "mm5_embed_batch" -> ((s, dir) => {
       import s.implicits._
       media(s, dir).filter(length(col("payload")) >= 1)
@@ -103,6 +106,7 @@ object MultimodalOps extends OpModule {
             }
           }
         }.toDF("doc_id", "feat")
+        .select(col("doc_id"), concat_ws(",", col("feat")).as("feat_csv"))
     }),
 
     // frame sampling: every 5th frame of n_bytes/100 frames per doc
@@ -145,9 +149,10 @@ object MultimodalOps extends OpModule {
 
     // mm5: positional byte sums per residue class — ord() of each ASCII
     // char; docs shorter than 8 bytes still produce all 8 (zero) lanes
-    // via the residue generate_series
+    // via the residue generate_series. CSV-joined so the comparator can
+    // hash the row (lists are unhashable on the harness side).
     "mm5_embed_batch" ->
-      """SELECT doc_id, list(s ORDER BY k) AS feat
+      """SELECT doc_id, string_agg(CAST(s AS VARCHAR), ',' ORDER BY k) AS feat_csv
         |FROM (
         |  SELECT d.doc_id, g.k,
         |         CAST(COALESCE(SUM(ord(substr(d.text, b.i, 1))), 0) AS BIGINT) AS s

@@ -20,7 +20,13 @@ import org.apache.spark.sql.types.ArrayType
   * null (`arrays_overlap` returns null for a no-match-with-null-element
   * case where `size(intersect) > 0` returns false), so the rule fires
   * only when both element types are non-nullable. Null ARRAYS agree in
-  * both forms (null in → null out). Pinned in ExtensionsSpec.
+  * both forms (null in → null out) ONLY under modern size semantics
+  * (size(null) = null); with `spark.sql.legacy.sizeOfNull` in effect
+  * size(null) = -1 makes the predicate false where overlap yields null,
+  * which differs in projection contexts — so the rule also requires the
+  * Size node's legacySizeOfNull = false, unless both inputs are
+  * statically non-nullable (no null array can reach the node). Pinned in
+  * ExtensionsSpec.
   */
 object ArraysOverlapRewrite extends Rule[LogicalPlan] {
 
@@ -31,8 +37,9 @@ object ArraysOverlapRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case GreaterThan(Size(ArrayIntersect(a, b), _), Literal(0, _))
-          if nonNullElements(a) && nonNullElements(b) =>
+      case GreaterThan(Size(ArrayIntersect(a, b), legacyNullSize), Literal(0, _))
+          if nonNullElements(a) && nonNullElements(b) &&
+            (!legacyNullSize || (!a.nullable && !b.nullable)) =>
         ArraysOverlap(a, b)
     }
 }

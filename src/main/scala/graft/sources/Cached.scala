@@ -21,12 +21,19 @@ import org.apache.spark.storage.StorageLevel
   * spilled blocks beat recomputing a corpus-wide explode.
   */
 object Cached {
-  private val memo = TrieMap.empty[(Int, String), DataFrame]
+  private val memo = TrieMap.empty[(SparkSession, String), DataFrame]
 
-  /** Memoize `build` per (session identity, key), persisted. */
-  def of(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    memo.getOrElseUpdate((System.identityHashCode(s), key),
+  /** Memoize `build` per (session, key), persisted. The session REFERENCE
+    * is part of the key — unlike a bare identity hash code (not unique;
+    * a post-GC collision would hand out a frame bound to a dead session),
+    * reference equality disambiguates hash collisions. Entries whose
+    * owning session has stopped are purged on the way in, so the memo
+    * never pins a stopped session's plans past the next use. */
+  def of(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    memo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    memo.getOrElseUpdate((s, key),
       build.persist(StorageLevel.MEMORY_AND_DISK))
+  }
 
   /** Unpersist and forget every memoized relation (harness teardown). */
   def releaseAll(): Unit = {

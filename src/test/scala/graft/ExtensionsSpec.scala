@@ -50,6 +50,29 @@ class ExtensionsSpec extends AnyFunSuite {
         .filter(expr("size(array_intersect(v, array('en'))) > 0"))
       val gopt = guarded.queryExecution.optimizedPlan.toString
       assert(gopt.contains("array_intersect"), gopt)
+
+      // legacy size(null) = -1 semantics: for a NULLABLE array input the
+      // two forms disagree (size-form -> false, overlap -> null), so the
+      // rule must not fire; a non-nullable input still rewrites (no null
+      // array can reach the node)
+      s.conf.set("spark.sql.ansi.enabled", "false")
+      s.conf.set("spark.sql.legacy.sizeOfNull", "true")
+      try {
+        import org.apache.spark.sql.functions.when
+        val legacyNullable = docs
+          .select(when(col("doc_id") % 2 === 0, array(lit("en"))).as("v"))
+          .filter(expr("size(array_intersect(v, array('en'))) > 0"))
+        val lopt = legacyNullable.queryExecution.optimizedPlan.toString
+        assert(lopt.contains("array_intersect"), lopt)
+        val legacyNonNull = docs
+          .select(array(coalesce(col("lang"), lit("?"))).as("v"))
+          .filter(expr("size(array_intersect(v, array('en','de'))) > 0"))
+        val nopt = legacyNonNull.queryExecution.optimizedPlan.toString
+        assert(nopt.contains("arrays_overlap"), nopt)
+      } finally {
+        s.conf.unset("spark.sql.legacy.sizeOfNull")
+        s.conf.unset("spark.sql.ansi.enabled")
+      }
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()

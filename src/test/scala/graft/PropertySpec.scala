@@ -60,9 +60,10 @@ class PropertySpec extends SparkSpec {
       o <- Gen.choose(-100L, 100L); i <- Gen.choose(0L, 50L)
     } yield KeyedId(o, i))
     forAll(genIds, genIds, genIds) { (a0, b0, c0) =>
-      // buffers must be reachable states (capped) for closure to hold
-      val (a, b, c) = (agg.merge(agg.zero, a0), agg.merge(agg.zero, b0),
-        agg.merge(agg.zero, c0))
+      // buffers must be reachable states (sorted + capped, i.e. built by
+      // reduce as the Aggregator contract does) for closure to hold
+      val fold = (xs: Seq[KeyedId]) => xs.foldLeft(agg.zero)(agg.reduce)
+      val (a, b, c) = (fold(a0), fold(b0), fold(c0))
       assert(agg.merge(a, agg.merge(b, c)) == agg.merge(agg.merge(a, b), c))
       assert(agg.merge(a, b) == agg.merge(b, a))
       assert(agg.merge(a, agg.zero) == a)
