@@ -97,6 +97,46 @@ object BenchQueries extends OpModule {
           count(lit(1)).as("n_items"))
     }),
 
+    // TPC-H Q10 shape: returned-item revenue ranking — fact⋈fact on the
+    // order key, both dimensions broadcast, top-k over the (already
+    // tiny) per-customer aggregate. Sorting happens after aggregation on
+    // the 2-decimal-rounded revenue, so the order is engine-independent.
+    "q10_returned_items" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+                col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q18 shape: large-volume orders — a HAVING-filtered aggregate
+    // over the fact drives a semi-selective join back to orders. The
+    // quantity sums are exact in double (integer-valued addends), so no
+    // rounding is needed and the big-key set is engine-identical.
+    "q18_big_orders" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("tot_qty"))
+        .filter(col("tot_qty") > 300)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir).select("c_custkey", "c_name")
+      o.join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("tot_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
     // TPC-H Q5 shape: revenue per nation through the full dimension star
     "q5_nation_revenue" -> ((s, dir) => {
       val l = Tables.lineitem(s, dir)
@@ -167,6 +207,31 @@ object BenchQueries extends OpModule {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "q18_big_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, tot_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, SUM(l_quantity) AS tot_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING SUM(l_quantity) > 300) b
+        |  ON o_orderkey = b.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
 
     "q5_nation_revenue" ->
       """SELECT r_name, n_name,

@@ -57,6 +57,65 @@ object PipelineOps extends OpModule {
           col("m_id").as("c_event_id"), col("m_val").as("c_value"))
     }),
 
+    // temporal RANGE JOIN (beyond-reference training-pipeline op): count
+    // all clicks (any user) inside each purchase's 30-minute attribution
+    // window. Spark has no range-join optimizer: the naive theta form
+    // becomes a broadcast-nested-loop over |purchases|×|clicks|. The
+    // scale form bins time into cells of exactly the window width: every
+    // window covers ≤ 2 cells (explode to both), every point exactly 1,
+    // so candidate generation is a pure EQUI-join shuffle on the cell id
+    // and the residual BETWEEN touches only same-cell pairs — the
+    // temporal twin of j10's binned spatial join. Each qualifying pair
+    // is matched exactly once (a point's single cell is one of the
+    // window's two), so no distinct pass is needed. The oracle is
+    // DuckDB's native IEJoin range join — an independent algorithm.
+    "w7_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event_id"), col("ts").as("p_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("ts").as("c_ts"))
+      def cellOf(t: org.apache.spark.sql.Column) =
+        floor(unix_timestamp(t) / 1800L)
+      val pb = p.withColumn("cell",
+        explode(array(cellOf(col("p_ts")), cellOf(col("p_ts")) + 1)))
+      val cb = c.withColumn("cell", cellOf(col("c_ts")))
+      val counts = pb.join(cb, Seq("cell"))
+        .filter(col("c_ts") >= col("p_ts") &&
+          col("c_ts") < col("p_ts") + expr("INTERVAL 30 MINUTES"))
+        .groupBy("p_event_id").agg(count(lit(1)).as("n_clicks"))
+      p.select("p_event_id").join(counts, Seq("p_event_id"), "left")
+        .select(col("p_event_id"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+    }),
+
+    // doc-level embedding pipeline: documents ⋈ embeddings → quality
+    // gate → IVF assignment (nearest shared centroid, broadcast) →
+    // per-(lang, list) corpus profile. The index-build/assign/profile
+    // flow of an embedding-curation job: centroids are the nn4 coarse
+    // quantizer built over the FULL corpus (the offline index), only
+    // gated docs are assigned. At 100 TB the centroid table is O(nlists)
+    // — always broadcast — and assignment is a map-side argmax, so the
+    // only shuffle is the final profile group-by.
+    "pp3_embed_pipeline" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = SimilarityOps.emb(s, dir)
+      val gated = Tables.documents(s, dir).filter(col("n_chars") >= 200)
+        .join(e, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("lang"), col("emb"))
+      val cent = SimilarityOps.centroids(e)
+        .select(col("label").as("c_label"), col("centroid"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("csim").desc, col("c_label"))
+      gated.crossJoin(broadcast(cent))
+        .withColumn("csim", SimilarityOps.dot("emb", "centroid"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("lang", "c_label")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("csim"), 6).as("avg_sim"))
+    }),
+
     // end-to-end pipeline: quality filter → near-dup removal → split
     // assignment → per-split/lang counts. Each stage is the registered
     // operator's logic; this query proves they compose.
@@ -104,6 +163,33 @@ object PipelineOps extends OpModule {
         |FROM purchases p
         |ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
+    "w7_range_join" ->
+      """WITH p AS (SELECT event_id AS p_event_id, ts AS p_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT ts AS c_ts FROM events WHERE event_type = 'click')
+        |SELECT p.p_event_id, COUNT(c.c_ts) AS n_clicks
+        |FROM p LEFT JOIN c
+        |  ON c.c_ts >= p.p_ts AND c.c_ts < p.p_ts + INTERVAL 30 MINUTE
+        |GROUP BY p.p_event_id""".stripMargin,
+
+    "pp3_embed_pipeline" -> Sql.query(SimilarityOps.embSql,
+      SimilarityOps.centSql,
+      """gated AS (
+        |  SELECT d.doc_id, d.lang, e.emb
+        |  FROM documents d JOIN emb e ON e.vec_id = d.doc_id
+        |  WHERE d.n_chars >= 200)""".stripMargin,
+      """scored AS (
+        |  SELECT g.doc_id, g.lang, c.label AS c_label,
+        |         list_dot_product(g.emb, c.centroid) AS csim,
+        |         ROW_NUMBER() OVER (PARTITION BY g.doc_id
+        |           ORDER BY list_dot_product(g.emb, c.centroid) DESC,
+        |                    c.label) AS rn
+        |  FROM gated g CROSS JOIN cent c)""".stripMargin)(
+      """SELECT lang, c_label, COUNT(*) AS n_docs,
+        |       ROUND(AVG(csim), 6) AS avg_sim
+        |FROM scored WHERE rn = 1
+        |GROUP BY lang, c_label""".stripMargin),
 
     "pp1_training_pipeline" -> {
       // reuse dd6's CTE chain for the keep list, then apply the quality

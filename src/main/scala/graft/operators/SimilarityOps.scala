@@ -29,14 +29,33 @@ object SimilarityOps extends OpModule {
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> cast(x as double))").as("emb"))
 
-  private val embSql =
+  val embSql: String =
     "emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings)"
+
+  /** Per-label centroids — the IVF coarse quantizer (nn4, pp3). Entries
+    * rounded to 6 decimals so both engines hold bit-identical centroids. */
+  def centroids(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("emb")).as(Seq("i", "x")))
+      .groupBy("label", "i").agg(round(avg("x"), 6).as("cx"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(i, cx))), p -> p.cx)")
+        .as("centroid"))
+
+  /** DuckDB counterpart of [[centroids]]. */
+  val centSql: String =
+    """cent AS (
+      |  SELECT label, array_agg(cx ORDER BY i) AS centroid
+      |  FROM (SELECT label, i, ROUND(AVG(emb[i]), 6) AS cx
+      |        FROM emb, generate_series(1, 64) AS g(i)
+      |        GROUP BY label, i) c
+      |  GROUP BY label)""".stripMargin
 
   /** Sequential dot product of two array<double> columns — the codegen'd
     * [[graft.functions.VectorDot]] expression (bit-identical to the
     * interpreted `aggregate(zip_with(...))` fold, ~10x less per-row
     * overhead). Registration happens in each query fn. */
-  private def dot(a: String, b: String) = expr(s"vector_dot($a, $b)")
+  def dot(a: String, b: String): org.apache.spark.sql.Column =
+    expr(s"vector_dot($a, $b)")
 
   /** Sign-bit LSH bucket from the first 8 dimensions. */
   private val bucketExpr =
@@ -86,11 +105,7 @@ object SimilarityOps extends OpModule {
     // the corpus is scanned per query.
     "nn4_ivf_ann" -> ((s, dir) => {
       val e = emb(s, dir)
-      val cent = e.select(col("label"), posexplode(col("emb")).as(Seq("i", "x")))
-        .groupBy("label", "i").agg(round(avg("x"), 6).as("cx"))
-        .groupBy("label")
-        .agg(expr("transform(array_sort(collect_list(struct(i, cx))), p -> p.cx)")
-          .as("centroid"))
+      val cent = centroids(e)
       val q = e.filter(col("vec_id") === 0).select(col("emb").as("qe"))
       val probe = cent.crossJoin(broadcast(q))
         .withColumn("csim", dot("centroid", "qe"))
@@ -187,13 +202,7 @@ object SimilarityOps extends OpModule {
          |  DESC, e.vec_id
          |LIMIT 5""".stripMargin),
 
-    "nn4_ivf_ann" -> Sql.query(embSql,
-      """cent AS (
-        |  SELECT label, array_agg(cx ORDER BY i) AS centroid
-        |  FROM (SELECT label, i, ROUND(AVG(emb[i]), 6) AS cx
-        |        FROM emb, generate_series(1, 64) AS g(i)
-        |        GROUP BY label, i) c
-        |  GROUP BY label)""".stripMargin,
+    "nn4_ivf_ann" -> Sql.query(embSql, centSql,
       "q AS (SELECT emb AS qe FROM emb WHERE vec_id = 0)",
       """probe AS (
         |  SELECT c.label, q.qe

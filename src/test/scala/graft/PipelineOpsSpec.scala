@@ -235,6 +235,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(viaAgg == viaWindow && viaAgg.nonEmpty)
   }
 
+  test("w7: binned range join equals the naive theta-join formulation") {
+    // the scale form (cell equi-join + residual) must reproduce the
+    // direct range predicate exactly — including zero-click purchases
+    val ev = graft.sources.Tables.events(spark, Sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click").select(col("ts").as("c_ts"))
+    val naive = p.join(c,
+        col("c_ts") >= col("p_ts") &&
+        col("c_ts") < col("p_ts") + expr("INTERVAL 30 MINUTES"), "left")
+      .groupBy("p_event_id").agg(count(col("c_ts")).as("n_clicks"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val binned = run("w7_range_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(binned == naive && binned.nonEmpty)
+    assert(binned.values.exists(_ > 0) && binned.values.exists(_ == 0))
+  }
+
+  test("pp3: every gated doc is assigned to exactly one list") {
+    val n = run("pp3_embed_pipeline").agg(sum("n_docs")).collect()(0).getLong(0)
+    val expect = spark.read.parquet(s"$Sf/documents.parquet")
+      .filter(col("n_chars") >= 200)
+      .join(spark.read.parquet(s"$Sf/embeddings.parquet"),
+        col("doc_id") === col("vec_id")).count()
+    assert(n == expect && n > 0)
+  }
+
   test("k2: per-tile export roundtrip preserves feature counts") {
     val total = run("k2_pertile_export").agg(sum("n_features")).collect()(0).getLong(0)
     val expect = spark.read.parquet(s"$Sf/orders.parquet").count()

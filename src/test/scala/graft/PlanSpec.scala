@@ -61,6 +61,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("w7: binned range join plans as an equi-join on the time cell — no nested loop") {
+    val plan = executedPlan("w7_range_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"w7: no equi-join found:\n$plan")
+  }
+
+  test("pp3: centroid assignment broadcasts the O(nlists) quantizer side") {
+    val plan = executedPlan("pp3_embed_pipeline")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"centroids should broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("nn6: the query batch is the broadcast side; corpus side never shuffles for the join") {
     val plan = executedPlan("nn6_batch_topk")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
