@@ -56,7 +56,8 @@ object Bench {
     // family); the full per-query map goes to a sidecar file.
     val headline = Seq("q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
       "j1_feature_index_join", "j10_binned_spatial_join", "a8_priority_dedup",
-      "w6_asof_join", "dd2_minhash_lsh", "nn1_cosine_topk", "nn4_ivf_ann",
+      "w6_asof_join", "w7_range_join", "dd2_minhash_lsh", "nn1_cosine_topk",
+      "nn4_ivf_ann", "pp3_embed_pipeline",
       "tx2_quality", "mm1_decode_meta", "st1_stream_monitor_agg",
       "s8_dsv2_tiledir", "pp1_training_pipeline")
     val resMap = results.toMap
