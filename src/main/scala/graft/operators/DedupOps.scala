@@ -257,6 +257,24 @@ object DedupOps extends OpModule {
         .join(drops, Seq("doc_id"), "left_anti")
     }),
 
+    // cross-doc duplication profile: per doc, the fraction of its
+    // distinct shingles shared with at least one other document — the
+    // corpus contamination diagnostic that decides whether a source
+    // needs near-dedup at all. Shingle df is a partial-aggregated
+    // groupBy and the probe is one equi-join on the shingle key (the
+    // shared persisted relation) — linear in corpus size, no pair
+    // enumeration anywhere.
+    "dd8_shingle_dupfrac" -> ((s, dir) => {
+      val sh = shingles(s, dir)
+      val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      sh.join(dfreq, Seq("sh"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup"))
+        .select(col("doc_id"), col("n_shingles"),
+          round(col("n_dup") / col("n_shingles"), 6).as("dup_frac"))
+    }),
+
     // SimHash fingerprints (60-bit prints)
     "dd4_simhash" -> ((s, dir) => simhash(s, dir)),
 
@@ -343,6 +361,14 @@ object DedupOps extends OpModule {
         |JOIN sizes sa ON sa.doc_id = i.doc_a
         |JOIN sizes sb ON sb.doc_id = i.doc_b
         |WHERE ROUND(i.inter / (sa.sz + sb.sz - i.inter), 6) >= 0.2""".stripMargin),
+
+    "dd8_shingle_dupfrac" -> Sql.query(shinglesSql,
+      "dfreq AS (SELECT sh, COUNT(*) AS df FROM shingles GROUP BY sh)")(
+      """SELECT s.doc_id, COUNT(*) AS n_shingles,
+        |       ROUND(CAST(SUM(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |             / COUNT(*), 6) AS dup_frac
+        |FROM shingles s JOIN dfreq d USING (sh)
+        |GROUP BY s.doc_id""".stripMargin),
 
     "dd4_simhash" -> Sql.query(shinglesSql, simhashSql)(
       "SELECT doc_id, simhash FROM simhash"),

@@ -63,6 +63,25 @@ object SampleOps extends OpModule {
         .select("lang", "doc_id")
     }),
 
+    // mixture sampling: per-source keep rates — the data-mix step of a
+    // pretraining pipeline (up/down-weight each source deterministically).
+    // The rate derives from the source id (srcN -> (N % 4 + 1)/4, i.e.
+    // 0.25/0.5/0.75/1.0), and membership is a content-hash threshold
+    // test: rand()-free, stable under repartitioning and retries, and
+    // exactly reproducible by the oracle. Pure map-side decision + one
+    // partial-aggregated groupBy on source.
+    "ds6_mixture_sample" -> ((s, dir) => {
+      val rate = (expr("cast(substr(source, 4) as int)") % 4 + 1) / lit(4.0)
+      Tables.documents(s, dir)
+        .withColumn("rate", rate)
+        .withColumn("keep",
+          (h60("mix:", col("text")) % 1000000L).cast("double") <
+            col("rate") * 1000000)
+        .groupBy("source")
+        .agg(max("rate").as("rate"), count(lit(1)).as("n_total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+    }),
+
     // ds4's selection again, as a single bounded-heap AGGREGATION: the
     // custom TopKByHash Aggregator keeps <= K elements per buffer, so the
     // map-side partial pass caps every (lang x partition) slice at K and
@@ -110,6 +129,15 @@ object SampleOps extends OpModule {
          |           ORDER BY ${h60Sql("bal:", "text")}, doc_id) AS rn
          |  FROM documents) t
          |WHERE rn <= 200""".stripMargin,
+
+    "ds6_mixture_sample" ->
+      s"""SELECT source,
+         |       MAX((CAST(substr(source, 4) AS INT) % 4 + 1) / 4.0) AS rate,
+         |       COUNT(*) AS n_total,
+         |       CAST(SUM(CASE WHEN ${h60Sql("mix:", "text")} % 1000000 <
+         |                 ((CAST(substr(source, 4) AS INT) % 4 + 1) / 4.0) * 1000000
+         |            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM documents GROUP BY source""".stripMargin,
 
     // identical selection contract as ds4 — the aggregator must reproduce
     // the window formulation exactly

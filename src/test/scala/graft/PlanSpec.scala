@@ -76,6 +76,29 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("runtime bloom filter prunes the fat side of a selective fact-fact shuffle join") {
+    // at 100 TB a selective dimension-side predicate should reach the
+    // fact scan as a runtime bloom filter (Spark's InjectRuntimeFilter),
+    // cutting the fact shuffle to candidate rows; thresholds here only
+    // unlock the optimization at fixture scale
+    val conf = spark.conf
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val l = spark.read.parquet(s"$Sf/lineitem.parquet")
+      val o = spark.read.parquet(s"$Sf/orders.parquet")
+        .filter(col("o_totalprice") > 400000)
+      val j = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("bloom_filter"),
+        s"no runtime bloom filter injected:\n$plan")
+    } finally {
+      conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("nn6: the query batch is the broadcast side; corpus side never shuffles for the join") {
     val plan = executedPlan("nn6_batch_topk")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
