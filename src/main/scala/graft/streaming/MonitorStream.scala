@@ -160,6 +160,32 @@ object MonitorStream extends OpModule {
       s.read.parquet(out)
     }),
 
+    // st8 — stream-STREAM interval join: each purchase matched to the
+    // same user's clicks in the preceding 30 minutes, both sides
+    // watermarked. The time-bound join condition is what makes this
+    // survive an unbounded run: Spark evicts click/purchase state once
+    // the watermark passes the 30-minute horizon, so state is O(events
+    // per watermark window) per side — the attribution join of a live
+    // ingest pipeline (w7 is its batch twin). Inner join emits exactly
+    // the matched pairs, so the oracle is the plain batch range join.
+    "st8_stream_stream_join" -> ((s, dir) => {
+      val clicks = Tables.eventsStream(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("c_id"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = Tables.eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") < col("c_ts") + expr("INTERVAL 30 MINUTES"))
+      runToTable(s, joined, "append").select("c_id", "p_id")
+    }),
+
     // keyed running state via mapGroupsWithState: per-tile peak memory
     "st2_stream_peak_state" -> ((s, dir) => {
       import s.implicits._
@@ -200,6 +226,13 @@ object MonitorStream extends OpModule {
 
     "st2_stream_peak_state" -> Sql.query(Sql.monitor)(
       "SELECT tile_id, MAX(mem_rss) AS mem_peak FROM monitor GROUP BY tile_id"),
+
+    "st8_stream_stream_join" ->
+      """SELECT c.event_id AS c_id, p.event_id AS p_id
+        |FROM events c JOIN events p
+        |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.user_id = c.user_id
+        | AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE""".stripMargin,
 
     "st7_foreachbatch_sink" -> Sql.query(Sql.monitor)(
       "SELECT event_id, tile_id, mem_rss FROM monitor"),

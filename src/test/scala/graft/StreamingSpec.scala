@@ -165,6 +165,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st8: stream-stream join evicts both sides' state past the watermark horizon") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mc = MemoryStream[(Long, Long)] // (epoch, user)
+    val mp = MemoryStream[(Long, Long)]
+    val clicks = mc.toDF().toDF("epoch", "user_id")
+      .withColumn("c_ts", timestamp_seconds(col("epoch"))).drop("epoch")
+      .withWatermark("c_ts", "10 seconds")
+    val purchases = mp.toDF().toDF("epoch", "p_user")
+      .withColumn("p_ts", timestamp_seconds(col("epoch"))).drop("epoch")
+      .withWatermark("p_ts", "10 seconds")
+    val j = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+      col("p_ts") >= col("c_ts") &&
+      col("p_ts") < col("c_ts") + expr("INTERVAL 30 SECONDS"))
+    val q = j.writeStream.outputMode("append").format("memory")
+      .queryName("ss_join_demo").start()
+    try {
+      // a matching pair emits, and both rows are buffered for further
+      // matches (epochs offset from 0 — an event time equal to the
+      // initial watermark would be treated as late)
+      mc.addData((1000L, 1L)); mp.addData((1010L, 1L))
+      q.processAllAvailable()
+      assert(spark.table("ss_join_demo").count() == 1)
+      // watermark jumps far past the first pair's join horizon → its
+      // state must be evicted; only the two new rows may stay buffered.
+      // Without the time-bound condition this would grow monotonically.
+      mc.addData((10000L, 2L)); mp.addData((10010L, 2L))
+      q.processAllAvailable()
+      assert(spark.table("ss_join_demo").count() == 2)
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows == 2, s"expected 2 buffered rows, got $stateRows")
+    } finally q.stop()
+  }
+
   test("st6: an event exactly at the gap boundary MERGES into the open session") {
     // Empirically pins Spark's exact-boundary semantics: session windows
     // merge on touch-or-overlap (newStart <= openEnd), so an event at
