@@ -95,12 +95,15 @@ object TextOps extends OpModule {
     // char-trigram language ID (the real n-gram heuristic): per-lang
     // trigram profiles learned from a training subset (doc_id%5==0,
     // top-20 by frequency, deterministic tie-break), then argmax profile
-    // overlap per doc. Scoring never explodes the corpus: each doc's
-    // distinct grams stay an in-row array, the (langs × 20-gram) profiles
-    // broadcast as arrays, and the overlap is a per-row array_intersect
-    // — so the only corpus-wide shuffle left is the final per-doc argmax
-    // (min_by on a (-overlap, lang) struct, no window pass). At 100 TB
-    // the scoring side is embarrassingly map-parallel.
+    // overlap per doc. Scoring never materializes a single corpus
+    // trigram: |doc_grams ∩ profile| == the number of profile grams that
+    // occur in the text as substrings (every length-3 substring IS a
+    // trigram), so the score is `instr` probes of the O(langs × 20)
+    // broadcast profile against the raw text — no per-doc trigram
+    // arrays, no explode. The only corpus-wide shuffles are the
+    // partial-aggregated per-(doc, lang) counts and the final per-doc
+    // argmax (min_by on a (-overlap, lang) struct, no window pass).
+    // At 100 TB the scoring side is embarrassingly map-parallel.
     "tx6_trigram_langid" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       // profile side counts every trigram OCCURRENCE, but only over the
@@ -118,17 +121,14 @@ object TextOps extends OpModule {
       val profiles = Cached.of(s, s"tx:profiles:$dir") {
         tri.groupBy("lang", "g").agg(count(lit(1)).as("cnt"))
           .withColumn("rn", row_number().over(wp)).filter(col("rn") <= 20)
-          .groupBy(col("lang").as("p_lang"))
-          .agg(collect_set("g").as("pg"))
+          .select(col("lang").as("p_lang"), col("g"))
       }
-      val docg = Tables.documents(s, dir)
+      Tables.documents(s, dir)
         .filter(length(col("text")) >= 3)
-        .select(col("doc_id"), array_distinct(expr(
-          "transform(sequence(0, length(text) - 3), i -> substring(text, i + 1, 3))"))
-          .as("dg"))
-      docg.crossJoin(broadcast(profiles))
-        .withColumn("ov", size(array_intersect(col("dg"), col("pg"))).cast("long"))
-        .filter(col("ov") > 0)
+        .select("doc_id", "text")
+        .crossJoin(broadcast(profiles))
+        .filter(instr(col("text"), col("g")) > 0)
+        .groupBy("doc_id", "p_lang").agg(count(lit(1)).as("ov"))
         .groupBy("doc_id")
         .agg(
           min_by(col("p_lang"), struct((-col("ov")).as("no"), col("p_lang"))).as("pred_lang"),
