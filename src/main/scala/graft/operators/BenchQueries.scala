@@ -97,6 +97,23 @@ object BenchQueries extends OpModule {
           count(lit(1)).as("n_items"))
     }),
 
+    // TPC-H Q4 shape: order-priority counts gated by an EXISTS over the
+    // other fact — the left-semi join form (no lineitem columns surface,
+    // so the probe side carries keys only and duplicates never multiply
+    // the count). Oracle uses a literal EXISTS subquery — an independent
+    // formulation DuckDB decorrelates its own way.
+    "q4_order_priority" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+                col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-06-01 00:00:00")))
+        .select("l_orderkey")
+      o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
     // TPC-H Q10 shape: returned-item revenue ranking — fact⋈fact on the
     // order key, both dimensions broadcast, top-k over the (already
     // tiny) per-customer aggregate. Sorting happens after aggregation on
@@ -207,6 +224,16 @@ object BenchQueries extends OpModule {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate >= TIMESTAMP '1996-06-01')
+        |GROUP BY o_orderpriority""".stripMargin,
 
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, n_name,

@@ -10,14 +10,16 @@ class EdgeCaseSpec extends SparkSpec {
     // a 100 TB pipeline routinely hits empty partitions/shards; every
     // corpus operator must degrade to an empty result
     val emptyDir = new java.io.File(sys.props("java.io.tmpdir"), "graft_empty_sf").getPath
-    for (t <- Seq("documents", "embeddings")) {
+    for (t <- Seq("documents", "embeddings", "events")) {
       spark.read.parquet(s"$Sf/$t.parquet").limit(0)
         .write.mode("overwrite").parquet(s"$emptyDir/$t.parquet")
     }
     for (q <- Seq("dd1_exact_dedup", "dd2_minhash_lsh", "dd3_jaccard_pairs",
         "dd4_simhash", "dd5_simhash_pairs", "dd6_dedup_filter",
-        "dd7_minhash_dfcap", "tx1_langid", "tx8_repetition",
-        "ds1_hash_sample", "ds4_lang_rebalance", "nn3_bucket_neardup")) {
+        "dd7_minhash_dfcap", "dd8_shingle_dupfrac", "tx1_langid",
+        "tx6_trigram_langid", "tx8_repetition", "ds1_hash_sample",
+        "ds4_lang_rebalance", "ds6_mixture_sample", "nn3_bucket_neardup",
+        "pp3_embed_pipeline", "w7_range_join")) {
       assert(run(q, emptyDir).count() == 0, s"$q not empty on empty corpus")
     }
   }
