@@ -11,6 +11,33 @@ import graft.sources.{Sql, Tables}
   * pipeline assembled from the individual operators. */
 object PipelineOps extends OpModule {
 
+  /** Binned point-in-interval join core (w7): counts `c_ts` points in
+    * [p_ts, p_ts + 30 min) per interval row, including zero-point
+    * intervals. Cell width equals the window width, so every interval
+    * covers at most 2 cells (exploded to both) and every point exactly 1
+    * — candidate generation is a pure equi-join on the cell id, and each
+    * qualifying pair arises exactly once (a point's single cell is one
+    * of the window's two; no distinct pass). Sub-second timestamps are
+    * safe: binning truncates to seconds but the residual compares full
+    * timestamps, and a window starting at fractional second X.f still
+    * only reaches cells floor(X/w) and floor(X/w)+1 (lemma
+    * property-tested in PropertySpec over µs-jittered inputs).
+    * `p` must have columns (p_event_id, p_ts); `c` must have (c_ts). */
+  def binnedWindowCounts(p: DataFrame, c: DataFrame): DataFrame = {
+    def cellOf(t: org.apache.spark.sql.Column) =
+      floor(unix_timestamp(t) / 1800L)
+    val pb = p.withColumn("cell",
+      explode(array(cellOf(col("p_ts")), cellOf(col("p_ts")) + 1)))
+    val cb = c.withColumn("cell", cellOf(col("c_ts")))
+    val counts = pb.join(cb, Seq("cell"))
+      .filter(col("c_ts") >= col("p_ts") &&
+        col("c_ts") < col("p_ts") + expr("INTERVAL 30 MINUTES"))
+      .groupBy("p_event_id").agg(count(lit(1)).as("n_clicks"))
+    p.select("p_event_id").join(counts, Seq("p_event_id"), "left")
+      .select(col("p_event_id"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // SQL front door: the reference's native interface is composed SQL
     // (tileconfig.py everywhere); spark.sql over registered views runs
@@ -71,22 +98,11 @@ object PipelineOps extends OpModule {
     // DuckDB's native IEJoin range join — an independent algorithm.
     "w7_range_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-      val p = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("p_event_id"), col("ts").as("p_ts"))
-      val c = ev.filter(col("event_type") === "click")
-        .select(col("ts").as("c_ts"))
-      def cellOf(t: org.apache.spark.sql.Column) =
-        floor(unix_timestamp(t) / 1800L)
-      val pb = p.withColumn("cell",
-        explode(array(cellOf(col("p_ts")), cellOf(col("p_ts")) + 1)))
-      val cb = c.withColumn("cell", cellOf(col("c_ts")))
-      val counts = pb.join(cb, Seq("cell"))
-        .filter(col("c_ts") >= col("p_ts") &&
-          col("c_ts") < col("p_ts") + expr("INTERVAL 30 MINUTES"))
-        .groupBy("p_event_id").agg(count(lit(1)).as("n_clicks"))
-      p.select("p_event_id").join(counts, Seq("p_event_id"), "left")
-        .select(col("p_event_id"),
-          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+      binnedWindowCounts(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_event_id"), col("ts").as("p_ts")),
+        ev.filter(col("event_type") === "click")
+          .select(col("ts").as("c_ts")))
     }),
 
     // doc-level embedding pipeline: documents ⋈ embeddings → quality

@@ -73,6 +73,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("w7 binning lemma: cell equi-join + residual equals the direct range join on µs-jittered times") {
+    // the claim doing the work at scale: a window starting at ANY
+    // fractional second still only reaches its start cell and the next
+    // one, so the equi-join misses no pair and duplicates none
+    import spark.implicits._
+    import graft.operators.PipelineOps
+    val genTs = for {
+      s0 <- Gen.choose(0L, 7200L); us <- Gen.choose(0L, 999999L)
+    } yield s0 * 1000000L + us
+    val pRows = samples(genTs, 40).zipWithIndex
+      .map { case (t, i) => (i.toLong, t + 999983L) } // decorrelate sides
+    val cRows = samples(genTs, 120)
+    val p = pRows.toDF("p_event_id", "us")
+      .select(col("p_event_id"), expr("timestamp_micros(us)").as("p_ts"))
+    val c = cRows.toDF("us")
+      .select(expr("timestamp_micros(us)").as("c_ts"))
+    val naive = p.join(c,
+        col("c_ts") >= col("p_ts") &&
+        col("c_ts") < col("p_ts") + expr("INTERVAL 30 MINUTES"), "left")
+      .groupBy("p_event_id").agg(count(col("c_ts")).as("n_clicks"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val binned = PipelineOps.binnedWindowCounts(p, c).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(binned == naive && binned.values.exists(_ > 0))
+  }
+
   test("VectorDot.eval equals the reference fold for arbitrary vectors") {
     val genVec = Gen.listOfN(16, Gen.choose(-10.0, 10.0))
     samples(genVec, 50).zip(samples(genVec, 50).reverse).foreach { case (a, b) =>
