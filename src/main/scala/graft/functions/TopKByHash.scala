@@ -35,7 +35,8 @@ final class TopKByHash(k: Int) extends Aggregator[KeyedId, Seq[KeyedId], Seq[Lon
     x.ord < y.ord || (x.ord == y.ord && x.id < y.id)
   override def zero: Seq[KeyedId] = Seq.empty
   override def reduce(b: Seq[KeyedId], a: KeyedId): Seq[KeyedId] =
-    if (b.length >= k && !lt(a, b.last)) b
+    if (k <= 0) b // degenerate cap: stay empty, as sortBy.take(k) did
+    else if (b.length >= k && !lt(a, b.last)) b
     else {
       val i = b.indexWhere(e => lt(a, e)) match { case -1 => b.length; case n => n }
       val ins = (b.take(i) :+ a) ++ b.drop(i)

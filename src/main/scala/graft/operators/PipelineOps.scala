@@ -111,22 +111,25 @@ object PipelineOps extends OpModule {
     // flow of an embedding-curation job: centroids are the nn4 coarse
     // quantizer built over the FULL corpus (the offline index), only
     // gated docs are assigned. At 100 TB the centroid table is O(nlists)
-    // — always broadcast — and assignment is a map-side argmax, so the
-    // only shuffle is the final profile group-by.
+    // — collected to ONE broadcast row of (label, centroid) structs —
+    // and assignment is a genuinely map-side argmax (array_max over the
+    // per-row scored array; no per-doc window, no doc_id exchange), so
+    // the only corpus-wide shuffle is the final profile group-by.
+    // Negating the label inside the max struct makes ties (csim DESC,
+    // label ASC) match the oracle's ROW_NUMBER ordering.
     "pp3_embed_pipeline" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val e = SimilarityOps.emb(s, dir)
       val gated = Tables.documents(s, dir).filter(col("n_chars") >= 200)
         .join(e, col("doc_id") === col("vec_id"))
         .select(col("doc_id"), col("lang"), col("emb"))
-      val cent = SimilarityOps.centroids(e)
-        .select(col("label").as("c_label"), col("centroid"))
-      val w = Window.partitionBy("doc_id")
-        .orderBy(col("csim").desc, col("c_label"))
-      gated.crossJoin(broadcast(cent))
-        .withColumn("csim", SimilarityOps.dot("emb", "centroid"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      val centArr = SimilarityOps.centroids(e)
+        .agg(collect_list(struct(col("label"), col("centroid"))).as("cents"))
+      gated.crossJoin(broadcast(centArr))
+        .withColumn("best", expr(
+          "array_max(transform(cents, c -> " +
+          "struct(vector_dot(emb, c.centroid) AS csim, -c.label AS nl)))"))
+        .select(col("lang"), (-col("best.nl")).as("c_label"),
+          col("best.csim").as("csim"))
         .groupBy("lang", "c_label")
         .agg(count(lit(1)).as("n_docs"),
           round(avg("csim"), 6).as("avg_sim"))

@@ -192,6 +192,9 @@ class StreamingSpec extends SparkSpec {
       // watermark jumps far past the first pair's join horizon → its
       // state must be evicted; only the two new rows may stay buffered.
       // Without the time-bound condition this would grow monotonically.
+      // (Relies on processAllAvailable running the watermark-commit
+      // cleanup batch — shouldRunAnotherBatch fires on watermark
+      // advancement in this Spark; empirically stable here.)
       mc.addData((10000L, 2L)); mp.addData((10010L, 2L))
       q.processAllAvailable()
       assert(spark.table("ss_join_demo").count() == 2)
