@@ -114,6 +114,23 @@ object MonitorStream extends OpModule {
           col("n_events"), col("sum_value"))
     }),
 
+    // st9 — session windows in APPEND mode: the production form st6's
+    // doc points to. Only sessions CLOSED by the watermark are emitted
+    // (exactly once, when the watermark passes session_end); sessions
+    // still open at end-of-stream stay in state and never reach the
+    // sink. The oracle mirrors that: gaps-and-islands sessions whose
+    // end (last event + gap) precedes the final watermark
+    // (max ts - 1 hour).
+    "st9_session_append" -> ((s, dir) => {
+      val ev = Tables.eventsStream(s, dir).withWatermark("ts", "1 hour")
+      val sess = ev.groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      runToTable(s, sess, "append")
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"), col("n_events"))
+    }),
+
     // pp2 — STREAMING ingest pipeline for training data: the arriving
     // document stream passes a stateless quality gate (per-row column
     // expressions only — no aggregation state) and then exact streaming
@@ -240,6 +257,26 @@ object MonitorStream extends OpModule {
     "st5_stream_static_join" -> Sql.query(Sql.monitor, Sql.boundaries)(
       """SELECT m.event_id, m.tile_id, b.border, m.mem_rss
         |FROM monitor m JOIN boundaries b USING (tile_id)""".stripMargin),
+
+    "st9_session_append" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                   > INTERVAL 6 HOUR OR
+        |              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM flagged)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |       MAX(ts) + INTERVAL 6 HOUR AS session_end,
+        |       COUNT(*) AS n_events
+        |FROM sessions GROUP BY user_id, sess_id
+        |HAVING MAX(ts) + INTERVAL 6 HOUR <
+        |       (SELECT MAX(ts) FROM events) - INTERVAL 1 HOUR""".stripMargin,
 
     // session_window == gaps-and-islands: a session break is a >6h gap;
     // window end = last event + gap
