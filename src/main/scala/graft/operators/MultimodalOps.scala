@@ -109,6 +109,25 @@ object MultimodalOps extends OpModule {
         .select(col("doc_id"), concat_ws(",", col("feat")).as("feat_csv"))
     }),
 
+    // modality routing: the dispatch stage of a heterogeneous-payload
+    // pipeline — classify each opaque payload by its leading byte (the
+    // magic-bytes sniff real decoders start with) and profile each
+    // route. Pure map-side classification + one partial-aggregated
+    // groupBy; at 100 TB the route key also becomes the write-side
+    // partition for per-modality downstream jobs.
+    "mm6_modality_route" -> ((s, dir) =>
+      media(s, dir)
+        .withColumn("b0",
+          conv(hex(substring(col("payload"), 1, 1)), 16, 10).cast("int"))
+        .withColumn("route",
+          when(col("b0").between('a'.toInt, 'f'.toInt), "fmt_a")
+            .when(col("b0").between('g'.toInt, 'm'.toInt), "fmt_b")
+            .when(col("b0").between('n'.toInt, 's'.toInt), "fmt_c")
+            .otherwise("fmt_d"))
+        .groupBy("route")
+        .agg(count(lit(1)).as("n"),
+          round(avg(length(col("payload"))), 6).as("avg_bytes"))),
+
     // frame sampling: every 5th frame of n_bytes/100 frames per doc
     "mm2_frame_sample" -> ((s, dir) => {
       import s.implicits._
@@ -163,6 +182,17 @@ object MultimodalOps extends OpModule {
         |    ON b.doc_id = d.doc_id AND (b.i - 1) % 8 = g.k
         |  GROUP BY d.doc_id, g.k) t
         |GROUP BY doc_id""".stripMargin,
+
+    // ord() of the first char == the first UTF-8 byte for ASCII corpora
+    "mm6_modality_route" ->
+      """SELECT CASE WHEN b0 BETWEEN 97 AND 102 THEN 'fmt_a'
+        |            WHEN b0 BETWEEN 103 AND 109 THEN 'fmt_b'
+        |            WHEN b0 BETWEEN 110 AND 115 THEN 'fmt_c'
+        |            ELSE 'fmt_d' END AS route,
+        |       COUNT(*) AS n,
+        |       ROUND(AVG(strlen(text)), 6) AS avg_bytes
+        |FROM (SELECT ord(substr(text, 1, 1)) AS b0, text FROM documents) t
+        |GROUP BY 1""".stripMargin,
 
     "mm2_frame_sample" ->
       """SELECT doc_id, CAST(f AS INT) AS frame_id

@@ -135,6 +135,30 @@ object PipelineOps extends OpModule {
           round(avg("csim"), 6).as("avg_sim"))
     }),
 
+    // batch sessionization — lag-break + cumulative-sum session ids,
+    // the batch twin of st6's streaming session_window (and a third
+    // independent algorithm against the same gaps-and-islands oracle:
+    // streaming merge-on-touch, batch window composition, and DuckDB
+    // islands must all agree). Two window passes + the rollup, all
+    // partitioned on user_id — one shuffle, no global sort. Ties at
+    // equal ts are order-safe: a zero gap never breaks a session, so
+    // the session assignment is deterministic regardless of tie order.
+    "w8_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("prev", lag("ts", 1).over(w))
+        .withColumn("brk", when(col("prev").isNull ||
+          col("ts") > col("prev") + expr("INTERVAL 6 HOURS"), 1).otherwise(0))
+        .withColumn("sess_id", sum("brk").over(cum))
+        .groupBy("user_id", "sess_id")
+        .agg(min("ts").as("session_start"),
+          (max("ts") + expr("INTERVAL 6 HOURS")).as("session_end"),
+          count(lit(1)).as("n_events"))
+        .select("user_id", "session_start", "session_end", "n_events")
+    }),
+
     // end-to-end pipeline: quality filter → near-dup removal → split
     // assignment → per-split/lang counts. Each stage is the registered
     // operator's logic; this query proves they compose.
@@ -209,6 +233,24 @@ object PipelineOps extends OpModule {
         |       ROUND(AVG(csim), 6) AS avg_sim
         |FROM scored WHERE rn = 1
         |GROUP BY lang, c_label""".stripMargin),
+
+    "w8_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                   > INTERVAL 6 HOUR OR
+        |              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM flagged)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |       MAX(ts) + INTERVAL 6 HOUR AS session_end,
+        |       COUNT(*) AS n_events
+        |FROM sessions GROUP BY user_id, sess_id""".stripMargin,
 
     "pp1_training_pipeline" -> {
       // reuse dd6's CTE chain for the keep list, then apply the quality

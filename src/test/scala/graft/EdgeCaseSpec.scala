@@ -80,6 +80,24 @@ class EdgeCaseSpec extends SparkSpec {
     assert(statuses("t0_0") == "found")
   }
 
+  test("dynamic partition overwrite replaces only re-run tiles, never the rest") {
+    // the K2 write semantics a per-tile re-run needs at scale: static
+    // overwrite mode would wipe every tile's output; dynamic mode
+    // replaces exactly the partitions present in the new write
+    import spark.implicits._
+    val out = new java.io.File(sys.props("java.io.tmpdir"), "graft_dpo").getPath
+    Seq(("t0_0", "orig0"), ("t1_1", "orig1")).toDF("tile_id", "v")
+      .write.partitionBy("tile_id").mode("overwrite").parquet(out)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      Seq(("t1_1", "rerun")).toDF("tile_id", "v")
+        .write.partitionBy("tile_id").mode("overwrite").parquet(out)
+    } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    val back = spark.read.parquet(out).select("tile_id", "v").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(back == Map("t0_0" -> "orig0", "t1_1" -> "rerun"))
+  }
+
   test("mm4: strided resize keeps ceil(n/5) bytes") {
     val bad = run("mm4_resize_stride")
       .filter(col("new_len") =!= expr("cast(ceil(orig_len / 5.0) as int)"))
