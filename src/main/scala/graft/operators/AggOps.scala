@@ -63,7 +63,8 @@ object AggOps extends OpModule {
     "a3_monitor_by_tile" -> ((s, dir) =>
       Tables.monitorLog(s, dir).groupBy("tile_id")
         .agg(count(lit(1)).as("n_samples"),
-          round(sum("cpu_time_user"), 4).as("cpu_user_total"),
+          // order-independent float sum — see Exact
+          Exact.decSum(col("cpu_time_user"), 4).as("cpu_user_total"),
           max("mem_rss").as("mem_peak"))),
 
     // A4 — max per group (recorder.py:127)
@@ -170,7 +171,8 @@ object AggOps extends OpModule {
       Tables.monitorLog(s, dir)
         .groupBy(col("tile_id"), date_trunc("hour", col("ts")).as("hour"))
         .agg(count(lit(1)).as("n"),
-          round(sum("cpu_time_user"), 4).as("cpu_total"),
+          // order-independent float sum — see Exact
+          Exact.decSum(col("cpu_time_user"), 4).as("cpu_total"),
           max("mem_rss").as("mem_peak"))),
 
     // W5 — per-tile ordered deltas (the monitor series' derivative)
@@ -195,7 +197,8 @@ object AggOps extends OpModule {
 
     "a3_monitor_by_tile" -> Sql.query(Sql.monitor)(
       """SELECT tile_id, COUNT(*) AS n_samples,
-        |       ROUND(SUM(cpu_time_user), 4) AS cpu_user_total,
+        |       CAST(ROUND(SUM(CAST(cpu_time_user AS DECIMAL(18,4))), 4) AS DOUBLE)
+        |         AS cpu_user_total,
         |       MAX(mem_rss) AS mem_peak
         |FROM monitor GROUP BY tile_id""".stripMargin),
 
@@ -266,7 +269,8 @@ object AggOps extends OpModule {
 
     "w4_monitor_resample" -> Sql.query(Sql.monitor)(
       """SELECT tile_id, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
-        |       ROUND(SUM(cpu_time_user), 4) AS cpu_total,
+        |       CAST(ROUND(SUM(CAST(cpu_time_user AS DECIMAL(18,4))), 4) AS DOUBLE)
+        |         AS cpu_total,
         |       MAX(mem_rss) AS mem_peak
         |FROM monitor GROUP BY tile_id, date_trunc('hour', ts)""".stripMargin),
 

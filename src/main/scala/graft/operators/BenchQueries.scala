@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.OpModule
 import graft.sources.Tables
+import Exact.{dec, decSum, decSumExpr}
 
 /** Headline analytical queries in the TPC-H mold over the fact tables —
   * the throughput showcase for Bench (classic scan-agg, join-agg-topk,
@@ -14,10 +15,25 @@ import graft.sources.Tables
   * carries only per-partition partials). q3 joins two facts on their
   * natural key and broadcasts nothing; ordering happens on the already
   * tiny aggregate. q5 stars lineitem against orders and three dimension
-  * tables, every dimension broadcast. Monetary sums are rounded to 2
-  * decimals on both engines (float summation order differs).
+  * tables, every dimension broadcast.
+  *
+  * Every monetary sum goes through [[Exact]]: DECIMAL(18,4) addends,
+  * exact decimal sum, round, cast to double. Rounding a DOUBLE sum to
+  * 2 decimals is NOT order-safe — round 4's gate caught q10's rank-8
+  * revenue at exactly 307843.595, where Spark's and DuckDB's summation
+  * orders rounded to opposite cents (and revenue is an ORDER BY key,
+  * so at other scales top-k membership itself could flip). Decimal
+  * arithmetic makes the result identical in every summation order.
   */
 object BenchQueries extends OpModule {
+
+  /** Exact per-row revenue term: DECIMAL(18,4) price × (1 − discount). */
+  private def revenue = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+
+  /** The oracle-side mirror of [[revenue]] summed and rounded to 2. */
+  private val RevSql =
+    "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
+      "(1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1 shape: pricing summary report
@@ -26,10 +42,12 @@ object BenchQueries extends OpModule {
         .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
+          // quantity is integer-valued: its double sum is exact (and
+          // order-independent) far past this scale, so sum/avg need no
+          // decimal detour — see Exact's scaladoc
           sum("l_quantity").as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("sum_disc_price"),
+          decSum(col("l_extendedprice"), 2).as("sum_base_price"),
+          decSumExpr(revenue, 2).as("sum_disc_price"),
           round(avg("l_quantity"), 6).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
@@ -44,8 +62,7 @@ object BenchQueries extends OpModule {
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"))
+        .agg(decSumExpr(revenue, 2).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     }),
@@ -58,13 +75,13 @@ object BenchQueries extends OpModule {
                 col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
                 col("l_discount").between(0.05, 0.07) &&
                 col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+        .agg(decSumExpr(dec(col("l_extendedprice")) * dec(col("l_discount")), 2)
           .as("revenue"))),
 
     // TPC-H Q14 shape: promotion revenue share for one month — broadcast
-    // part join + a ratio of two aggregates. Ratio is computed over the
-    // 2-decimal-rounded sums on BOTH engines so the float summation
-    // order cannot flip the 6-decimal output.
+    // part join + a ratio of two aggregates. Both sums are exact-decimal
+    // (order-independent); the ratio then divides two bit-identical
+    // doubles, so the 6-decimal output cannot diverge between engines.
     "q14_promo_revenue" -> ((s, dir) => {
       val l = Tables.lineitem(s, dir)
         .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-03-01 00:00:00")) &&
@@ -72,11 +89,9 @@ object BenchQueries extends OpModule {
       val p = Tables.part(s, dir).select("p_partkey", "p_type")
       l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .agg(
-          round(sum(when(col("p_type").startsWith("PROMO"),
-            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)), 2)
-            .as("promo_rev"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("total_rev"))
+          decSumExpr(when(col("p_type").startsWith("PROMO"), revenue)
+            .otherwise(lit(0)), 2).as("promo_rev"),
+          decSumExpr(revenue, 2).as("total_rev"))
         .select(
           round(lit(100) * col("promo_rev") / col("total_rev"), 6).as("promo_pct"),
           col("promo_rev"), col("total_rev"))
@@ -92,8 +107,7 @@ object BenchQueries extends OpModule {
       l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"),
+        .agg(decSumExpr(revenue, 2).as("revenue"),
           count(lit(1)).as("n_items"))
     }),
 
@@ -116,8 +130,9 @@ object BenchQueries extends OpModule {
 
     // TPC-H Q10 shape: returned-item revenue ranking — fact⋈fact on the
     // order key, both dimensions broadcast, top-k over the (already
-    // tiny) per-customer aggregate. Sorting happens after aggregation on
-    // the 2-decimal-rounded revenue, so the order is engine-independent.
+    // tiny) per-customer aggregate. Revenue is the ORDER BY key, so it
+    // MUST be the exact-decimal sum: the round-4 gate caught this exact
+    // query flipping a cent (sum = 307843.595) under double summation.
     "q10_returned_items" -> ((s, dir) => {
       val l = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
       val o = Tables.orders(s, dir)
@@ -129,8 +144,7 @@ object BenchQueries extends OpModule {
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"))
+        .agg(decSumExpr(revenue, 2).as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     }),
@@ -166,18 +180,18 @@ object BenchQueries extends OpModule {
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"),
+        .agg(decSumExpr(revenue, 2).as("revenue"),
           count(lit(1)).as("n_items"))
     })
   )
 
   def oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
+      s"""SELECT l_returnflag, l_linestatus,
         |       SUM(l_quantity) AS sum_qty,
-        |       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |         AS sum_base_price,
+        |       $RevSql AS sum_disc_price,
         |       ROUND(AVG(l_quantity), 6) AS avg_qty,
         |       COUNT(*) AS count_order
         |FROM lineitem
@@ -185,8 +199,8 @@ object BenchQueries extends OpModule {
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "q3_top_orders" ->
-      """SELECT o_orderkey, o_orderdate, o_orderpriority,
-        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      s"""SELECT o_orderkey, o_orderdate, o_orderpriority,
+        |       $RevSql AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -197,7 +211,9 @@ object BenchQueries extends OpModule {
         |LIMIT 10""".stripMargin,
 
     "q6_forecast_revenue" ->
-      """SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+      """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |                      CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |         AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -205,20 +221,21 @@ object BenchQueries extends OpModule {
         |  AND l_quantity < 24""".stripMargin,
 
     "q14_promo_revenue" ->
-      """SELECT ROUND(100 * promo_rev / total_rev, 6) AS promo_pct,
+      s"""SELECT ROUND(100 * promo_rev / total_rev, 6) AS promo_pct,
         |       promo_rev, total_rev
         |FROM (
-        |  SELECT ROUND(SUM(CASE WHEN p_type LIKE 'PROMO%'
-        |                   THEN l_extendedprice * (1 - l_discount)
-        |                   ELSE 0 END), 2) AS promo_rev,
-        |         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+        |  SELECT CAST(ROUND(SUM(CASE WHEN p_type LIKE 'PROMO%'
+        |                   THEN CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |                        (1 - CAST(l_discount AS DECIMAL(18,4)))
+        |                   ELSE 0 END), 2) AS DOUBLE) AS promo_rev,
+        |         $RevSql AS total_rev
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
         |    AND l_shipdate < TIMESTAMP '1996-04-01') t""".stripMargin,
 
     "q7_supplier_nation" ->
-      """SELECT n_name,
-        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      s"""SELECT n_name,
+        |       $RevSql AS revenue,
         |       COUNT(*) AS n_items
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -236,8 +253,8 @@ object BenchQueries extends OpModule {
         |GROUP BY o_orderpriority""".stripMargin,
 
     "q10_returned_items" ->
-      """SELECT c_custkey, c_name, n_name,
-        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      s"""SELECT c_custkey, c_name, n_name,
+        |       $RevSql AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -261,8 +278,8 @@ object BenchQueries extends OpModule {
         |LIMIT 100""".stripMargin,
 
     "q5_nation_revenue" ->
-      """SELECT r_name, n_name,
-        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      s"""SELECT r_name, n_name,
+        |       $RevSql AS revenue,
         |       COUNT(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey

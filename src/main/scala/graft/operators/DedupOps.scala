@@ -272,6 +272,10 @@ object DedupOps extends OpModule {
         .agg(count(lit(1)).as("n_shingles"),
           sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup"))
         .select(col("doc_id"), col("n_shingles"),
+          // int/int ratio is order-safe: both counts are exact, both
+          // engines divide the same two longs into the same double, and
+          // both ROUND half-up at exact decimal boundaries (see Exact's
+          // scaladoc) — unlike float SUMs, nothing here is order-dependent
           round(col("n_dup") / col("n_shingles"), 6).as("dup_frac"))
     }),
 

@@ -122,7 +122,8 @@ object FanoutOps extends OpModule {
         .write.mode("overwrite").partitionBy("tile_id").parquet(out)
       s.read.parquet(out).groupBy("tile_id")
         .agg(count(lit(1)).as("n_features"),
-          round(sum("o_totalprice"), 2).as("total_price"))
+          // order-independent money sum — see Exact
+          Exact.decSum(col("o_totalprice"), 2).as("total_price"))
     })
   )
 
@@ -142,7 +143,8 @@ object FanoutOps extends OpModule {
 
     "k2_pertile_export" -> Sql.query(Sql.feat)(
       """SELECT tile_id, COUNT(*) AS n_features,
-        |       ROUND(SUM(o_totalprice), 2) AS total_price
+        |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |         AS total_price
         |FROM feat GROUP BY tile_id""".stripMargin)
   )
 }

@@ -126,6 +126,8 @@ object MultimodalOps extends OpModule {
             .otherwise("fmt_d"))
         .groupBy("route")
         .agg(count(lit(1)).as("n"),
+          // avg over integer byte lengths is order-safe: the int sum is
+          // exact in double (no float-order hazard; see Exact's scaladoc)
           round(avg(length(col("payload"))), 6).as("avg_bytes"))),
 
     // frame sampling: every 5th frame of n_bytes/100 frames per doc

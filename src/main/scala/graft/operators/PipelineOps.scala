@@ -132,7 +132,9 @@ object PipelineOps extends OpModule {
           col("best.csim").as("csim"))
         .groupBy("lang", "c_label")
         .agg(count(lit(1)).as("n_docs"),
-          round(avg("csim"), 6).as("avg_sim"))
+          // csim is a full-precision double: avg must sum in decimal to
+          // be order-independent — see Exact.decAvg
+          Exact.decAvg(col("csim"), 6).as("avg_sim"))
     }),
 
     // batch sessionization — lag-break + cumulative-sum session ids,
@@ -230,7 +232,8 @@ object PipelineOps extends OpModule {
         |                    c.label) AS rn
         |  FROM gated g CROSS JOIN cent c)""".stripMargin)(
       """SELECT lang, c_label, COUNT(*) AS n_docs,
-        |       ROUND(AVG(csim), 6) AS avg_sim
+        |       ROUND(CAST(ROUND(SUM(CAST(csim AS DECIMAL(28,12))), 8) AS DOUBLE)
+        |             / COUNT(*), 6) AS avg_sim
         |FROM scored WHERE rn = 1
         |GROUP BY lang, c_label""".stripMargin),
 

@@ -144,7 +144,8 @@ object SourceSinkOps extends OpModule {
         .write.mode("overwrite").orc(out)
       s.read.orc(out).groupBy("tile_id")
         .agg(count(lit(1)).as("n_features"),
-          round(sum("o_totalprice"), 2).as("total_price"))
+          // order-independent money sum — see Exact
+          Exact.decSum(col("o_totalprice"), 2).as("total_price"))
     }),
 
     // O7 — statistics maintenance: VACUUM ANALYZE → ANALYZE TABLE COMPUTE
@@ -200,7 +201,8 @@ object SourceSinkOps extends OpModule {
 
     "k10_orc_roundtrip" -> Sql.query(Sql.feat)(
       """SELECT tile_id, COUNT(*) AS n_features,
-        |       ROUND(SUM(o_totalprice), 2) AS total_price
+        |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |         AS total_price
         |FROM feat GROUP BY tile_id""".stripMargin),
 
     // k5: what comes back over JDBC must be exactly the dimension table

@@ -107,7 +107,12 @@ object MonitorStream extends OpModule {
     "st6_session_windows" -> ((s, dir) => {
       val ev = Tables.eventsStream(s, dir)
       val sess = ev.groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
-        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+        .agg(count(lit(1)).as("n_events"),
+          // order-independent float sum (streaming partials merge in
+          // arrival order — decimal makes the result order-free); see
+          // graft.operators.Exact
+          round(sum(col("value").cast("decimal(18,4)")), 2).cast("double")
+            .as("sum_value"))
       runToTable(s, sess, "complete")
         .select(col("user_id"), col("session_window.start").as("session_start"),
           col("session_window.end").as("session_end"),
@@ -295,7 +300,9 @@ object MonitorStream extends OpModule {
         |  FROM flagged)
         |SELECT user_id, MIN(ts) AS session_start,
         |       MAX(ts) + INTERVAL 6 HOUR AS session_end,
-        |       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+        |       COUNT(*) AS n_events,
+        |       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |         AS sum_value
         |FROM sessions GROUP BY user_id, sess_id""".stripMargin
   )
 }
