@@ -121,11 +121,12 @@ object MonitorStream extends OpModule {
 
     // st9 — session windows in APPEND mode: the production form st6's
     // doc points to. Only sessions CLOSED by the watermark are emitted
-    // (exactly once, when the watermark passes session_end); sessions
-    // still open at end-of-stream stay in state and never reach the
-    // sink. The oracle mirrors that: gaps-and-islands sessions whose
-    // end (last event + gap) precedes the final watermark
-    // (max ts - 1 hour).
+    // (exactly once, when the watermark REACHES session_end — the
+    // boundary is INCLUSIVE: end == watermark already emits, pinned by
+    // StreamingSpec's equality test); sessions still open at
+    // end-of-stream stay in state and never reach the sink. The oracle
+    // mirrors that: gaps-and-islands sessions whose end (last event +
+    // gap) is <= the final watermark (max ts - 1 hour).
     "st9_session_append" -> ((s, dir) => {
       val ev = Tables.eventsStream(s, dir).withWatermark("ts", "1 hour")
       val sess = ev.groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
@@ -280,7 +281,7 @@ object MonitorStream extends OpModule {
         |       MAX(ts) + INTERVAL 6 HOUR AS session_end,
         |       COUNT(*) AS n_events
         |FROM sessions GROUP BY user_id, sess_id
-        |HAVING MAX(ts) + INTERVAL 6 HOUR <
+        |HAVING MAX(ts) + INTERVAL 6 HOUR <=
         |       (SELECT MAX(ts) FROM events) - INTERVAL 1 HOUR""".stripMargin,
 
     // session_window == gaps-and-islands: a session break is a >6h gap;
