@@ -45,17 +45,18 @@ object DedupOps extends OpModule {
   def h60Sql(prefix: String, e: String): String =
     s"CAST('0x' || substr(md5('$prefix' || $e), 1, 15) AS BIGINT)"
 
+  /** Distinct 3-word shingles from any (doc_id, text) frame. */
+  def shinglesOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("arr"))
+      .filter(size(col("arr")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(arr)-3), i -> concat_ws(' ', arr[i], arr[i+1], arr[i+2]))"))
+        .as("sh"))
+      .distinct()
+
   /** Distinct 3-word shingles per document (shared, persisted). */
   def shingles(s: SparkSession, dir: String): DataFrame =
-    Cached.of(s, s"dd:shingles:$dir") {
-      Tables.documents(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("arr"))
-        .filter(size(col("arr")) >= 3)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(arr)-3), i -> concat_ws(' ', arr[i], arr[i+1], arr[i+2]))"))
-          .as("sh"))
-        .distinct()
-    }
+    Cached.of(s, s"dd:shingles:$dir")(shinglesOf(Tables.documents(s, dir)))
 
   private val shinglesSql: String =
     """shingles AS (
@@ -65,8 +66,31 @@ object DedupOps extends OpModule {
       |              FROM documents) d0
       |        WHERE len(arr) >= 3) d)""".stripMargin
 
+  /** LSH parameterization: `numHashes` MinHash seeds split into `bands`
+    * bands of `numHashes / bands` rows. A pair with shingle-Jaccard j
+    * becomes a candidate with probability 1 − (1 − j^r)^b — the banding
+    * math is identical at every setting; only the precision/recall
+    * trade-off moves. [[Fixture]] (4 hashes, 2×2) keeps the oracle SQL
+    * small and the 500-doc gate fast; a production corpus wants
+    * [[Production]] (128 hashes, 16 bands × 8 rows — the MinHashLSH
+    * literature's workhorse setting, ~0.77 Jaccard threshold), which is
+    * a constant change, not a rewrite — LshSpec exercises the same
+    * pipeline at both settings. */
+  final case class LshConfig(numHashes: Int, bands: Int) {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand: Int = numHashes / bands
+  }
+  object LshConfig {
+    val Fixture: LshConfig = LshConfig(numHashes = 4, bands = 2)
+    val Production: LshConfig = LshConfig(numHashes = 128, bands = 16)
+  }
+
+  /** The gate's setting — every registered query and its oracle SQL is
+    * generated from this one constant. */
+  private val Lsh = LshConfig.Fixture
+
   /** MinHash signatures: min of seeded 60-bit hash per (doc, seed). */
-  private val NumHashes = 4 // 2 bands x 2 rows
+  private val NumHashes = Lsh.numHashes
 
   /** Document-frequency cap: shingles shared by more than this many docs
     * (template/boilerplate text) are dropped before any shingle self-join
@@ -91,8 +115,8 @@ object DedupOps extends OpModule {
 
   /** MinHash signatures from a shingle relation: all seeds in ONE pass
     * (array-of-structs explode), not one scan per seed. */
-  private def signaturesOf(sh: DataFrame): DataFrame = {
-    val hashArr = array((0 until NumHashes).map(seed =>
+  private def signaturesOf(sh: DataFrame, cfg: LshConfig = Lsh): DataFrame = {
+    val hashArr = array((0 until cfg.numHashes).map(seed =>
       struct(lit(seed).as("seed"), h60(s"$seed:", col("sh")).as("h"))): _*)
     sh.select(col("doc_id"), explode(hashArr).as("sh_h"))
       .select(col("doc_id"), col("sh_h.seed").as("seed"), col("sh_h.h").as("h"))
@@ -111,9 +135,9 @@ object DedupOps extends OpModule {
        |  GROUP BY doc_id, seed)""".stripMargin
   }
 
-  /** Band keys from a signature relation (2 rows per band). */
-  private def bandsOf(sig: DataFrame): DataFrame =
-    sig.withColumn("band", floor(col("seed") / 2).cast("int"))
+  /** Band keys from a signature relation (cfg.rowsPerBand rows each). */
+  private def bandsOf(sig: DataFrame, cfg: LshConfig = Lsh): DataFrame =
+    sig.withColumn("band", floor(col("seed") / cfg.rowsPerBand).cast("int"))
       .withColumn("sm", concat(col("seed").cast("string"), lit(":"),
         col("mh").cast("string")))
       .groupBy("doc_id", "band")
@@ -123,6 +147,13 @@ object DedupOps extends OpModule {
     * both sides of dd2/dd6's bucket self-join). */
   def lshBands(s: SparkSession, dir: String): DataFrame =
     Cached.of(s, s"dd:bands:$dir")(bandsOf(minhashSignatures(s, dir)))
+
+  /** The full shingle→minhash→band→bucket-join pipeline at an arbitrary
+    * [[LshConfig]] over any (doc_id, text) frame — LshSpec drives this
+    * at both the fixture and production settings to show the banding
+    * math is setting-independent. */
+  def candidatePairsAt(docs: DataFrame, cfg: LshConfig): DataFrame =
+    candidatePairs(bandsOf(signaturesOf(shinglesOf(docs), cfg), cfg))
 
   /** Candidate pairs from a band relation: equi-join on (band, bkey) —
     * the shuffle key is the bucket, never all-pairs. */
@@ -135,11 +166,11 @@ object DedupOps extends OpModule {
   }
 
   private val bandsSql: String =
-    """bands AS (
-      |  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+    s"""bands AS (
+      |  SELECT doc_id, CAST(seed // ${Lsh.rowsPerBand} AS INT) AS band,
       |         string_agg(CAST(seed AS VARCHAR) || ':' || CAST(mh AS VARCHAR),
       |                    '|' ORDER BY CAST(seed AS VARCHAR) || ':' || CAST(mh AS VARCHAR)) AS bkey
-      |  FROM sig GROUP BY doc_id, seed // 2)""".stripMargin
+      |  FROM sig GROUP BY doc_id, seed // ${Lsh.rowsPerBand})""".stripMargin
 
   /** Print width for SimHash (bits) and the pigeonhole chunking: 4 chunks
     * of 15 bits — hamming <= 3 implies at least one chunk matches exactly,

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.DedupOps
+import graft.operators.DedupOps.LshConfig
+
+/** The LSH banding math holds at BOTH parameterizations: the gate's
+  * fixture-scale setting (4 hashes, 2 bands × 2 rows) and the documented
+  * production setting (128 hashes, 16 bands × 8 rows). The pipeline is
+  * one code path driven by [[LshConfig]] — scaling up the hash family
+  * for a real corpus is a constant change, and this spec is the proof:
+  * a known near-dup pair is recalled and a disjoint pair is not, at
+  * both settings.
+  */
+class LshSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // 21 shared words → doc 2 differs from doc 1 in one trailing word:
+  // 19 common shingles of 19+20 distinct → shingle-Jaccard ≈ 0.86,
+  // far above both settings' candidate thresholds
+  private val base = (1 to 20).map(i => s"w$i").mkString(" ")
+  private def docs: DataFrame = Seq(
+    (1L, base + " tail"),
+    (2L, base + " tear"),
+    (3L, (1 to 20).map(i => s"x$i").mkString(" ")), // disjoint
+    (4L, (1 to 20).map(i => s"y$i").mkString(" ")) // disjoint
+  ).toDF("doc_id", "text")
+
+  private def pairs(cfg: LshConfig): Set[(Long, Long)] =
+    DedupOps.candidatePairsAt(docs, cfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("fixture setting (4 hashes, 2x2) recalls the near-dup pair only") {
+    val p = pairs(LshConfig.Fixture)
+    assert(p.contains((1L, 2L)), s"near-dup pair missed: $p")
+    assert(!p.exists { case (a, b) => Set(a, b).intersect(Set(3L, 4L)).size == 2 },
+      s"disjoint docs became candidates: $p")
+  }
+
+  test("production setting (128 hashes, 16 bands x 8 rows) recalls the same pair") {
+    val p = pairs(LshConfig.Production)
+    assert(p.contains((1L, 2L)), s"near-dup pair missed at production setting: $p")
+    assert(!p.exists { case (a, b) => Set(a, b).intersect(Set(3L, 4L)).size == 2 },
+      s"disjoint docs became candidates: $p")
+  }
+
+  test("identical documents are candidates under any setting (exact recall)") {
+    val dup = Seq((10L, base), (11L, base)).toDF("doc_id", "text")
+    for (cfg <- Seq(LshConfig.Fixture, LshConfig.Production, LshConfig(8, 4))) {
+      val p = DedupOps.candidatePairsAt(dup, cfg)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(p == Set((10L, 11L)), s"cfg=$cfg: $p")
+    }
+  }
+
+  test("rowsPerBand derives from the config and must divide numHashes") {
+    assert(LshConfig.Fixture.rowsPerBand == 2)
+    assert(LshConfig.Production.rowsPerBand == 8)
+    intercept[IllegalArgumentException](LshConfig(10, 3))
+  }
+}
