@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -107,9 +109,42 @@ object Cli {
         // rss.pdf data: per-tile memory series; cpu.pdf data: max per tile
         log.select("ts", "tile_id", "mem_mb")
           .write.mode("overwrite").option("header", "true").csv(s"$outDir/rss")
-        log.groupBy("tile_id").agg(max("cpu_total").as("cpu_max"))
-          .write.mode("overwrite").option("header", "true").csv(s"$outDir/cpu")
-        println(s"wrote $outDir/rss and $outDir/cpu")
+        val cpuMax = log.groupBy("tile_id").agg(max("cpu_total").as("cpu_max"))
+        cpuMax.write.mode("overwrite").option("header", "true").csv(s"$outDir/cpu")
+
+        // the reference's actual artifacts (recorder.py:106-133): rss.pdf
+        // and cpu.pdf — emitted here as dependency-free SVG. The figure
+        // data is driver-bounded by construction: every series is
+        // downsampled to <= 512 points per tile BEFORE collect (the plot
+        // has no more pixels anyway), and the bar chart is one row per
+        // tile.
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("tile_id").orderBy("ts")
+        val counts = log.groupBy("tile_id").agg(count(lit(1)).as("n_rows"))
+        val sampled = log.join(broadcast(counts), Seq("tile_id"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") % greatest(ceil(col("n_rows") / 512), lit(1)) === 0 ||
+            col("rn") === 1)
+          .select(col("tile_id"), col("ts").cast("double").as("epoch"),
+            col("mem_mb"))
+          .collect()
+        val t0 = sampled.map(_.getDouble(1)).min
+        val series = sampled.groupBy(_.getString(0)).toSeq
+          .map { case (tile, rows) =>
+            tile -> rows.sortBy(_.getDouble(1))
+              .map(r => ((r.getDouble(1) - t0) / 60.0, r.getDouble(2))).toSeq
+          }
+          .sortBy { case (_, pts) => -pts.map(_._2).max } // legend = top tiles
+        Files.writeString(Paths.get(outDir, "rss.svg"),
+          graft.sinks.SvgPlot.lineChart("Memory usage per tile",
+            "Time [minutes]", "Resident Set Size [Mb]", series))
+        val bars = cpuMax.collect()
+          .map(r => r.getString(0) -> r.getDouble(1) / 60.0) // seconds → minutes
+          .sortBy(_._1).toSeq
+        Files.writeString(Paths.get(outDir, "cpu.svg"),
+          graft.sinks.SvgPlot.barChart("CPU time per tile",
+            "Tile", "CPU time (User+Sys) [minutes]", bars))
+        println(s"wrote $outDir/rss and $outDir/cpu and rss.svg/cpu.svg")
       }
 
     // schema-registry surface: pure file operations, no Spark session

@@ -48,6 +48,15 @@ class CliSpec extends SparkSpec {
     assert(rss.count() == 48) // 16 tiles x 3 samples
     assert(cpu.count() == 16)
     assert(cpu.columns.toSeq == Seq("tile_id", "cpu_max"))
+    // K7's actual artifacts: one figure per plot family, as the
+    // reference emits rss.pdf/cpu.pdf (recorder.py:106-133)
+    val rssSvg = Files.readString(java.nio.file.Paths.get(outDir, "rss.svg"))
+    val cpuSvg = Files.readString(java.nio.file.Paths.get(outDir, "cpu.svg"))
+    assert(rssSvg.startsWith("<svg") && rssSvg.contains("Memory usage per tile"))
+    assert(rssSvg.contains("<polyline")) // at least one drawn series
+    assert(rssSvg.contains("8 others")) // 16 tiles → 8 colored + folded legend
+    assert(cpuSvg.startsWith("<svg") && cpuSvg.contains("CPU time per tile"))
+    assert(cpuSvg.sliding(7).count(_ == "<path d") == 16) // one bar per tile
     assert(!spark.sparkContext.isStopped)
   }
 }
