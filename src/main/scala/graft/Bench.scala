@@ -28,21 +28,24 @@ object Bench {
         "lineitem", "events", "documents", "embeddings")
       .foreach(t => graft.sources.Tables.table(spark, sfDir, t).count())
 
-    // min of two timed passes per query: the machine is multi-tenant and
-    // single-shot timings vary >2x under load; min-of-2 approximates the
-    // uncontended cost. A crashed query reports -1 (not a fake duration)
-    // so failures are visible in the JSON.
+    // min of three INTERLEAVED full passes per query: the machine is
+    // multi-tenant and single-shot timings vary >2x under load (round 5's
+    // driver sweep read 71.4 s where the identical commit measured
+    // 41.4 s minutes later). Back-to-back repeats of one query land in
+    // the same contention window; interleaving whole-sweep passes
+    // separates the three samples by minutes, so the per-query min
+    // approximates the uncontended cost. A crashed query reports -1
+    // (not a fake duration) so failures are visible in the JSON.
     def time(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       catch { case _: Throwable => -1.0 }
     }
-    def min2(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val a = time(fn); val b = time(fn)
-      if (a < 0 || b < 0) -1.0 else math.min(a, b)
-    }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> min2(fn)
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    val passes = (1 to 3).map(_ => named.map { case (_, fn) => time(fn) })
+    val results = named.zipWithIndex.map { case ((name, _), i) =>
+      val samples = passes.map(_(i))
+      name -> (if (samples.exists(_ < 0)) -1.0 else samples.min)
     }
     val failed = results.filter(_._2 < 0).map(_._1)
     val ok = results.filter(_._2 >= 0)

@@ -128,23 +128,28 @@ object Cli {
           .select(col("tile_id"), col("ts").cast("double").as("epoch"),
             col("mem_mb"))
           .collect()
-        val t0 = sampled.map(_.getDouble(1)).min
-        val series = sampled.groupBy(_.getString(0)).toSeq
-          .map { case (tile, rows) =>
-            tile -> rows.sortBy(_.getDouble(1))
-              .map(r => ((r.getDouble(1) - t0) / 60.0, r.getDouble(2))).toSeq
-          }
-          .sortBy { case (_, pts) => -pts.map(_._2).max } // legend = top tiles
-        Files.writeString(Paths.get(outDir, "rss.svg"),
-          graft.sinks.SvgPlot.lineChart("Memory usage per tile",
-            "Time [minutes]", "Resident Set Size [Mb]", series))
-        val bars = cpuMax.collect()
-          .map(r => r.getString(0) -> r.getDouble(1) / 60.0) // seconds → minutes
-          .sortBy(_._1).toSeq
-        Files.writeString(Paths.get(outDir, "cpu.svg"),
-          graft.sinks.SvgPlot.barChart("CPU time per tile",
-            "Tile", "CPU time (User+Sys) [minutes]", bars))
-        println(s"wrote $outDir/rss and $outDir/cpu and rss.svg/cpu.svg")
+        if (sampled.isEmpty) {
+          println(s"no samples in $tsv — skipping rss.svg/cpu.svg")
+        } else {
+          val t0 = sampled.map(_.getDouble(1)).min
+          val series = sampled.groupBy(_.getString(0)).toSeq
+            .map { case (tile, rows) =>
+              tile -> rows.sortBy(_.getDouble(1))
+                .map(r => ((r.getDouble(1) - t0) / 60.0, r.getDouble(2))).toSeq
+            }
+            .sortBy { case (_, pts) => -pts.map(_._2).max } // legend = top tiles
+          Files.writeString(Paths.get(outDir, "rss.svg"),
+            graft.sinks.SvgPlot.lineChart("Memory usage per tile",
+              "Time [minutes]", "Resident Set Size [Mb]", series))
+          val bars = cpuMax.collect()
+            .map(r => r.getString(0) -> r.getDouble(1) / 60.0) // seconds → minutes
+            .sortBy(_._1).toSeq
+          if (bars.nonEmpty)
+            Files.writeString(Paths.get(outDir, "cpu.svg"),
+              graft.sinks.SvgPlot.barChart("CPU time per tile",
+                "Tile", "CPU time (User+Sys) [minutes]", bars))
+          println(s"wrote $outDir/rss and $outDir/cpu and rss.svg/cpu.svg")
+        }
       }
 
     // schema-registry surface: pure file operations, no Spark session

@@ -73,7 +73,10 @@ object DedupOps extends OpModule {
     * trade-off moves. [[Fixture]] (4 hashes, 2×2) keeps the oracle SQL
     * small and the 500-doc gate fast; a production corpus wants
     * [[Production]] (128 hashes, 16 bands × 8 rows — the MinHashLSH
-    * literature's workhorse setting, ~0.77 Jaccard threshold), which is
+    * literature's workhorse setting; banding threshold (1/b)^(1/r) =
+    * 16^(−1/8) ≈ 0.71, i.e. the s-curve's steep region — pairs above
+    * ~0.71 Jaccard are near-certain candidates, and the 50%-recall
+    * point sits near 0.67), which is
     * a constant change, not a rewrite — LshSpec exercises the same
     * pipeline at both settings. */
   final case class LshConfig(numHashes: Int, bands: Int) {

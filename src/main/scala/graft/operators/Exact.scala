@@ -35,6 +35,13 @@ object Exact {
   /** Order-independent `round(sum(x), scale)` over decimal-valued
     * doubles, returned as double for schema parity with the oracle.
     * DuckDB mirror: `CAST(ROUND(SUM(CAST(x AS DECIMAL(18,4))), s) AS DOUBLE)`.
+    *
+    * Note: each ADDEND is quantized to 4 decimals before summing, so
+    * this is the sum of per-row-rounded values, not the rounded true
+    * sum. For ≤4-decimal inputs (all fixture money/monitor columns) the
+    * two are identical; if higher-precision inputs are ever introduced,
+    * widen the cast scale (e.g. DECIMAL(28,12)) as [[decAvg]] does —
+    * and mirror the wider cast in the oracle SQL.
     */
   def decSum(c: Column, scale: Int): Column =
     round(sum(dec(c)), scale).cast("double")
@@ -45,13 +52,21 @@ object Exact {
     round(sum(e), scale).cast("double")
 
   /** Order-independent average of full-precision doubles: per-row
-    * DECIMAL(28,12) cast (deterministic nearest), exact decimal sum
-    * rounded to 8 (keeps the scaled integer << 2^53 for the double
-    * cast), then one double division by the group count — every step
-    * bit-identical on both engines. DuckDB mirror:
+    * DECIMAL(28,12) cast, exact decimal sum rounded to 8 (keeps the
+    * scaled integer << 2^53 for the double cast), then one double
+    * division by the group count. DuckDB mirror:
     * `ROUND(CAST(ROUND(SUM(CAST(x AS DECIMAL(28,12))), 8) AS DOUBLE) / COUNT(*), s)`.
     * (DuckDB promotes decimal division to double, so the division must
     * happen in double on both sides — only the SUM needs decimal.)
+    *
+    * Parity caveat: the double→DECIMAL(28,12) cast is order-independent
+    * WITHIN each engine, but the two engines quantize differently on a
+    * 12th-decimal tie — Spark converts via the shortest decimal string
+    * (BigDecimal.valueOf) while DuckDB rounds the exact binary value.
+    * Full-precision doubles essentially never land on such a tie (the
+    * gate has stayed green), but if a flake ever appears in an avg
+    * consumer (pp3's avg_sim), round the input per-row to a fixed scale
+    * on BOTH engines before aggregating.
     */
   def decAvg(c: Column, scale: Int): Column =
     round(

@@ -75,6 +75,40 @@ object JoinOps extends OpModule {
         .select(col("v").as("version"), col("tile_id"))
     }),
 
+    // J4b — the reference's FULL coverage predicate, exactly:
+    // ST_Relate(cov, ft, '212101212') OR ST_Covers(cov, ft)
+    // (tileconfig.py:591-592). Rounds 1-5 approximated the relate leg
+    // away (envelope covers only — the SURVEY §7.1 delta); for
+    // axis-aligned rectangles the DE-9IM matrix is exactly computable
+    // (functions/RectRelate), so the delta is closed. The feature side
+    // is BOTH grid layouts (identical + offset u-grid): identical-grid
+    // tiles match via covers only (shared edges ⇒ BB=1, relate fails),
+    // offset u-tiles via relate only (crossing overlap ⇒ BB=0, not
+    // contained) — the two predicate legs are distinguishable in the
+    // output. Spark evaluates the full 9-cell matrix; the oracle uses an
+    // independently-derived closed decomposition of the same pattern.
+    "j4_relate_coverage" -> ((s, _) => {
+      import graft.functions.RectRelate
+      import graft.functions.RectRelate.Rect
+      import s.implicits._
+      val cov = Tables.boundaries(s).groupBy(col("version").as("v"))
+        .agg(min("xmin").as("uxmin"), min("ymin").as("uymin"),
+             max("xmax").as("uxmax"), max("ymax").as("uymax"))
+      val ft = Tables.boundaries(s)
+        .select(col("tile_id"), col("xmin"), col("ymin"), col("xmax"), col("ymax"))
+        .unionByName(TileGrid.uTiles.toDF()
+          .select(col("u_id").as("tile_id"),
+            col("xmin"), col("ymin"), col("xmax"), col("ymax")))
+      val covRect = Rect(col("uxmin"), col("uymin"), col("uxmax"), col("uymax"))
+      val ftRect = Rect.cols("")
+      ft.crossJoin(broadcast(cov))
+        .filter(RectRelate.relate(covRect, ftRect, "212101212") ||
+                RectRelate.covers(covRect, ftRect))
+        .select(col("v").as("version"), col("tile_id"),
+          when(RectRelate.covers(covRect, ftRect), lit("covers"))
+            .otherwise(lit("relate")).as("matched_by"))
+    }),
+
     // J5 — elevation⋈feature tiles purely by equal ID (tileconfig.py:610-639)
     "j5_id_join" -> ((s, _) =>
       Tables.elevIndex(s)
@@ -136,6 +170,43 @@ object JoinOps extends OpModule {
         |FROM vcov v, boundaries b
         |WHERE b.xmin >= v.uxmin AND b.xmax <= v.uxmax
         |  AND b.ymin >= v.uymin AND b.ymax <= v.uymax""".stripMargin),
+
+    // relate leg = the closed decomposition of '212101212' for
+    // non-degenerate rectangles: interiors overlap (strictly), neither
+    // closure contains the other (⇒ IB/BI/IE/BE/EI/EB all as patterned),
+    // boundaries touch, and no edge lines coincide with positive overlap
+    // (⇒ BB = 0, not 1). Independent of the Spark side's cell-by-cell
+    // matrix evaluation.
+    "j4_relate_coverage" -> Sql.query(Sql.boundaries, TileGrid.uTilesSqlCte,
+      """vcov AS (
+        |  SELECT version AS v, MIN(xmin) AS uxmin, MIN(ymin) AS uymin,
+        |         MAX(xmax) AS uxmax, MAX(ymax) AS uymax
+        |  FROM boundaries GROUP BY version)""".stripMargin,
+      """ft AS (
+        |  SELECT tile_id, xmin, ymin, xmax, ymax FROM boundaries
+        |  UNION ALL
+        |  SELECT u_id, xmin, ymin, xmax, ymax FROM u_tiles)""".stripMargin)(
+      """SELECT v.v AS version, f.tile_id,
+        |       CASE WHEN f.xmin >= v.uxmin AND f.xmax <= v.uxmax
+        |                 AND f.ymin >= v.uymin AND f.ymax <= v.uymax
+        |            THEN 'covers' ELSE 'relate' END AS matched_by
+        |FROM vcov v, ft f
+        |WHERE (f.xmin >= v.uxmin AND f.xmax <= v.uxmax
+        |       AND f.ymin >= v.uymin AND f.ymax <= v.uymax)
+        |   OR (LEAST(v.uxmax, f.xmax) > GREATEST(v.uxmin, f.xmin)
+        |       AND LEAST(v.uymax, f.ymax) > GREATEST(v.uymin, f.ymin)
+        |       AND NOT (v.uxmin >= f.xmin AND v.uxmax <= f.xmax
+        |                AND v.uymin >= f.ymin AND v.uymax <= f.ymax)
+        |       AND NOT (f.xmin >= v.uxmin AND f.xmax <= v.uxmax
+        |                AND f.ymin >= v.uymin AND f.ymax <= v.uymax)
+        |       AND (((v.uxmin BETWEEN f.xmin AND f.xmax OR v.uxmax BETWEEN f.xmin AND f.xmax)
+        |             AND (f.ymin BETWEEN v.uymin AND v.uymax OR f.ymax BETWEEN v.uymin AND v.uymax))
+        |            OR ((f.xmin BETWEEN v.uxmin AND v.uxmax OR f.xmax BETWEEN v.uxmin AND v.uxmax)
+        |                AND (v.uymin BETWEEN f.ymin AND f.ymax OR v.uymax BETWEEN f.ymin AND f.ymax)))
+        |       AND NOT (((v.uxmin IN (f.xmin, f.xmax) OR v.uxmax IN (f.xmin, f.xmax))
+        |                 AND GREATEST(v.uymin, f.ymin) < LEAST(v.uymax, f.ymax))
+        |                OR ((v.uymin IN (f.ymin, f.ymax) OR v.uymax IN (f.ymin, f.ymax))
+        |                    AND GREATEST(v.uxmin, f.xmin) < LEAST(v.uxmax, f.xmax))))""".stripMargin),
 
     "j5_id_join" -> Sql.query(Sql.elevFiles, Sql.elevIndex, Sql.boundaries)(
       """SELECT e.tile_id, e.path, e.dir_version, b.version

@@ -59,4 +59,17 @@ class CliSpec extends SparkSpec {
     assert(cpuSvg.sliding(7).count(_ == "<path d") == 16) // one bar per tile
     assert(!spark.sparkContext.isStopped)
   }
+
+  test("plot-monitor-log on an empty TSV completes without figures") {
+    spark
+    val emptyTsv = Files.createTempFile("graft_empty_monitor", ".tsv").toString
+    val outDir = Files.createTempDirectory("graft_cli_plot_empty").toString
+    val out = captureOut {
+      Cli.main(Array("plot-monitor-log", emptyTsv, outDir))
+    }
+    assert(out.contains("no samples"), out)
+    assert(!Files.exists(java.nio.file.Paths.get(outDir, "rss.svg")))
+    assert(!Files.exists(java.nio.file.Paths.get(outDir, "cpu.svg")))
+    assert(!spark.sparkContext.isStopped)
+  }
 }
