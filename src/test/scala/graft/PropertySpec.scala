@@ -110,6 +110,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("Exact decimal sums equal the BigDecimal model under random partitionings") {
+    // the whole Exact contract as a property (RoundingSpec pins the one
+    // constructed half-cent boundary): for ANY 2-decimal corpus and ANY
+    // partitioning, decSum/decSumExpr equal a sequential BigDecimal
+    // reference exactly — i.e. the sum is order- and plan-independent
+    import spark.implicits._
+    import graft.operators.Exact
+    val genRow = for {
+      priceCents <- Gen.choose(0L, 10000000L)
+      discBp <- Gen.choose(0L, 100L) // discount 0.00-1.00 in hundredths
+    } yield (priceCents / 100.0, discBp / 100.0)
+    val genCorpus = Gen.listOfN(80, genRow)
+    val genParts = Gen.choose(1, 16)
+    samples(genCorpus, 8).zip(samples(genParts, 8)).foreach { case (rows, nPart) =>
+      def d4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      val wantSum = rows.map(r => d4(r._1)).sum
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val wantRev = rows.map(r => d4(r._1) * (BigDecimal(1) - d4(r._2))).sum
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def agg(data: Seq[(Double, Double)], parts: Int): (Double, Double) = {
+        val r = data.toDF("price", "disc").repartition(parts)
+          .agg(Exact.decSum(col("price"), 2).as("s"),
+            Exact.decSumExpr(
+              Exact.dec(col("price")) * (lit(1) - Exact.dec(col("disc"))), 2)
+              .as("rev"))
+          .collect()(0)
+        (r.getDouble(0), r.getDouble(1))
+      }
+      val (s1, rev1) = agg(rows, nPart)
+      val (s2, rev2) = agg(rows.reverse, 17 - nPart) // other order+partitioning
+      assert(s1 == wantSum && s2 == wantSum, s"decSum != model at $nPart parts")
+      assert(rev1 == wantRev && rev2 == wantRev, s"decSumExpr != model at $nPart parts")
+    }
+  }
+
   /** Pure model of the reference's priority resolution
     * (tileconfig.py:443-497): per tile keep all entries of the minimum
     * priority (equal priorities append). */
