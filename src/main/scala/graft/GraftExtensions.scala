@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.VectorDot
+import graft.functions.{RectRelate, VectorDot}
 
 /** Production wiring for the engine's native extensions: a cluster user
   * sets `spark.sql.extensions=graft.GraftExtensions` (or
@@ -24,6 +24,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
       (exprs: Seq[Expression]) => VectorDot(exprs(0), exprs(1))))
+    // the reference's spatial SQL surface (tileconfig.py:591-592) for
+    // the rectangle geometry model: ST_Relate / ST_Covers / the raw
+    // DE-9IM matrix as SQL functions. Each expands at RESOLUTION time
+    // into the same plain comparison tree RectRelate builds for the
+    // Column API — fully foldable/pushable/codegen'd, no UDF. Builders
+    // shared with the runtime fallback (RectRelate.register).
+    RectRelate.sqlFunctions.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(RectRelate.getClass.getName, name),
+        builder))
+    }
     // optimizer tier: emptiness tests on array intersections become
     // early-exit overlap probes (see the rule's exactness guard)
     ext.injectOptimizerRule(_ => graft.plans.ArraysOverlapRewrite)

@@ -1,7 +1,10 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.StringType
 
 /** Exact DE-9IM over axis-aligned rectangles, as pure Column expressions.
   *
@@ -134,4 +137,50 @@ object RectRelate {
 
   /** `ST_Covers(a, b)` for rectangles: closure(b) ⊆ closure(a). */
   def covers(a: Rect, b: Rect): Column = inside(b, a)
+
+  /** The SQL surface — `rect_de9im` / `st_relate_rect` / `st_covers_rect`
+    * builders shared by GraftExtensions (config-time injection) and
+    * [[register]] (runtime fallback for sessions built without the
+    * extensions config). Each expands at resolution time into the same
+    * comparison tree the Column API builds — no UDF, and the relate
+    * pattern must be a string literal (it parameterizes the expansion,
+    * it is not data). */
+  val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = {
+    def rects(es: Seq[Expression]): (Rect, Rect) = {
+      val c = es.take(8).map(ColumnBridge.toColumn)
+      (Rect(c(0), c(1), c(2), c(3)), Rect(c(4), c(5), c(6), c(7)))
+    }
+    Seq(
+      "rect_de9im" -> { es: Seq[Expression] =>
+        require(es.length == 8, "rect_de9im takes 8 coordinates: " +
+          "axmin, aymin, axmax, aymax, bxmin, bymin, bxmax, bymax")
+        val (a, b) = rects(es)
+        ColumnBridge.toExpression(matrix(a, b))
+      },
+      "st_relate_rect" -> { es: Seq[Expression] =>
+        require(es.length == 9,
+          "st_relate_rect takes 8 coordinates + a DE-9IM pattern literal")
+        val pat = es(8) match {
+          case e if e.foldable && e.dataType == StringType &&
+            e.eval() != null => e.eval().toString
+          case _ => throw new IllegalArgumentException(
+            "st_relate_rect: the DE-9IM pattern must be a string literal")
+        }
+        val (a, b) = rects(es)
+        ColumnBridge.toExpression(relate(a, b, pat))
+      },
+      "st_covers_rect" -> { es: Seq[Expression] =>
+        require(es.length == 8, "st_covers_rect takes 8 coordinates")
+        val (a, b) = rects(es)
+        ColumnBridge.toExpression(covers(a, b))
+      })
+  }
+
+  /** Runtime registration fallback (same pattern as VectorDot.register);
+    * the GraftExtensions path binds the identical builders. */
+  def register(spark: SparkSession): Unit =
+    sqlFunctions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
 }

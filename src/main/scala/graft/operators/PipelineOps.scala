@@ -51,6 +51,36 @@ object PipelineOps extends OpModule {
            |  AND ymin <= $ExtentYMax AND ymax >= $ExtentYMin""".stripMargin)
     }),
 
+    // the reference's J4 query shape pasted AS SQL: ST_Relate + ST_Covers
+    // through the injected spatial functions (tileconfig.py:587-593) —
+    // proves a reference user can run their coverage query text against
+    // this engine's SQL frontend with only the geometry-model rename.
+    // Must produce exactly j4_relate_coverage's rows.
+    "v2_sql_relate" -> ((s, _) => {
+      import s.implicits._
+      graft.functions.RectRelate.register(s)
+      Tables.boundaries(s).createOrReplaceTempView("boundaries_v")
+      TileGrid.uTiles.toDF().createOrReplaceTempView("u_tiles_v")
+      s.sql(
+        """WITH vcov AS (
+          |  SELECT version AS v, MIN(xmin) AS uxmin, MIN(ymin) AS uymin,
+          |         MAX(xmax) AS uxmax, MAX(ymax) AS uymax
+          |  FROM boundaries_v GROUP BY version),
+          |ft AS (
+          |  SELECT tile_id, xmin, ymin, xmax, ymax FROM boundaries_v
+          |  UNION ALL
+          |  SELECT u_id, xmin, ymin, xmax, ymax FROM u_tiles_v)
+          |SELECT v.v AS version, f.tile_id,
+          |       CASE WHEN st_covers_rect(v.uxmin, v.uymin, v.uxmax, v.uymax,
+          |                                f.xmin, f.ymin, f.xmax, f.ymax)
+          |            THEN 'covers' ELSE 'relate' END AS matched_by
+          |FROM vcov v, ft f
+          |WHERE st_relate_rect(v.uxmin, v.uymin, v.uxmax, v.uymax,
+          |                     f.xmin, f.ymin, f.xmax, f.ymax, '212101212')
+          |   OR st_covers_rect(v.uxmin, v.uymin, v.uxmax, v.uymax,
+          |                     f.xmin, f.ymin, f.xmax, f.ymax)""".stripMargin)
+    }),
+
     // as-of join (beyond-reference training-pipeline op): each purchase
     // matched to the user's most recent prior-or-simultaneous click.
     // Implementation is the scalable union-window form — tag both
@@ -193,6 +223,10 @@ object PipelineOps extends OpModule {
       s"""SELECT tile_id FROM boundaries
          |WHERE xmin <= ${TileGrid.ExtentXMax} AND xmax >= ${TileGrid.ExtentXMin}
          |  AND ymin <= ${TileGrid.ExtentYMax} AND ymax >= ${TileGrid.ExtentYMin}""".stripMargin),
+
+    // same ground truth as the DataFrame formulation: the oracle is the
+    // independently-derived closed decomposition of the pattern
+    "v2_sql_relate" -> JoinOps.oracles("j4_relate_coverage"),
 
     "w6_asof_join" ->
       """WITH clicks0 AS (

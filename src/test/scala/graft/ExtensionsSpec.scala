@@ -80,4 +80,47 @@ class ExtensionsSpec extends AnyFunSuite {
       prevActive.foreach(SparkSession.setActiveSession)
     }
   }
+
+  test("spatial SQL surface: st_relate_rect / st_covers_rect / rect_de9im") {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new GraftExtensions()(_))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      // the reference's J4 predicate, written AS SQL — the form its
+      // users write (tileconfig.py:587-593), over the rectangle model
+      val row = s.sql(
+        """SELECT st_relate_rect(0, 4, 10, 6, 4, 0, 6, 10, '212101212') AS crossing,
+          |       st_relate_rect(0, 0, 10, 10, 2, 2, 8, 8, '212101212') AS contained,
+          |       st_covers_rect(0, 0, 10, 10, 2, 2, 8, 8) AS covers,
+          |       rect_de9im(0, 0, 1, 1, 1, 1, 2, 2) AS corner""".stripMargin)
+        .head()
+      assert(row.getBoolean(0))          // plus-sign crossing matches
+      assert(!row.getBoolean(1))         // containment does not
+      assert(row.getBoolean(2))          // but covers does
+      assert(row.getString(3) == "FF2F01212") // corner touch matrix
+      // literal coordinates → the expansion is foldable: the whole
+      // predicate constant-folds away in the optimized plan
+      val folded = s.sql(
+        "SELECT st_covers_rect(0, 0, 10, 10, 2, 2, 8, 8) AS c")
+        .queryExecution.optimizedPlan.toString
+      assert(folded.contains("true"), folded)
+      // the pattern is plan-time structure, not data: non-literal rejected
+      val err = intercept[Exception] {
+        s.sql("SELECT st_relate_rect(0, 0, 1, 1, 0, 0, 1, 1, repeat(string(rand()), 9))")
+          .head()
+      }
+      assert(err.getMessage.contains("literal"), err.getMessage)
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
 }
