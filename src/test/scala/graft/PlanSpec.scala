@@ -35,6 +35,25 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("j4 relate: DE-9IM expands to comparisons — broadcast join, no UDF") {
+    // the 100x plan: the per-version coverage side is tiny and broadcast;
+    // the (at scale, huge) feature side never shuffles, and the whole
+    // predicate is plain comparisons inside codegen — both for the
+    // Column API and the SQL-function expansion
+    for (q <- Seq("j4_relate_coverage", "v2_sql_relate")) {
+      val plan = executedPlan(q)
+      // coverage side (2 rows after its own tiny agg) is the broadcast
+      // build side (Right under the DataFrame order, Left under the SQL
+      // FROM order); the feature side streams through without an exchange
+      assert(plan.contains("BroadcastNestedLoopJoin BuildRight") ||
+             plan.contains("BroadcastNestedLoopJoin BuildLeft"), s"$q:\n$plan")
+      assert(!plan.toLowerCase.contains("scalaudf"), s"$q:\n$plan")
+      // the DE-9IM pattern is gone — expanded to plain comparisons
+      assert(plan.contains("least(") && plan.contains("greatest("), s"$q:\n$plan")
+      assert(!plan.contains("212101212"), s"$q:\n$plan")
+    }
+  }
+
   test("q1: aggregation happens inside whole-stage codegen") {
     val plan = executedPlan("q1_pricing_summary")
     assert(plan.contains("*(1)")) // whole-stage-codegen span markers
