@@ -131,6 +131,26 @@ object SimilarityOps extends OpModule {
         .groupBy(col("va").as("vec_id")).agg(count(lit(1)).as("n_neardups"))
     }),
 
+    // nn7 — the embedding-space counterpart of dd6's capstone pipeline:
+    // sign-bucketed candidate pairs → cosine verification (> 0.3, nn3's
+    // threshold) → drop the higher vec_id of each verified pair → keep
+    // list via anti-join. Candidate generation is the bucket equi-join
+    // (never all-pairs), verification touches candidates only, and the
+    // drop set is small relative to the corpus — the same 100 TB shape
+    // as the text-side dedup filter.
+    "nn7_embed_dedup_filter" -> ((s, dir) => {
+      val b = emb(s, dir).withColumn("bucket", bucketExpr)
+      val l = b.select(col("bucket"), col("vec_id").as("va"), col("emb").as("ea"))
+      val r = b.select(col("bucket"), col("vec_id").as("vb"), col("emb").as("eb"))
+      val drops = l.join(r, Seq("bucket")).filter(col("va") < col("vb"))
+        .withColumn("cos",
+          dot("ea", "eb") / (sqrt(dot("ea", "ea")) * sqrt(dot("eb", "eb"))))
+        .filter(col("cos") > 0.3)
+        .select(col("vb").as("vec_id")).distinct()
+      emb(s, dir).join(drops, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("label"))
+    }),
+
     // nn6 — BATCH top-k: many query vectors scored in one pass (the
     // serving/eval shape — one job for the whole query batch, not a
     // query loop). The query batch broadcasts; ranking is a window per
@@ -234,6 +254,17 @@ object SimilarityOps extends OpModule {
         |  AND list_dot_product(a.emb, b.emb) /
         |      (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))
         |      > 0.3
-        |GROUP BY a.vec_id""".stripMargin)
+        |GROUP BY a.vec_id""".stripMargin),
+
+    "nn7_embed_dedup_filter" -> Sql.query(embSql, bucketsSql,
+      """drops AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM buckets a JOIN buckets b ON a.bucket = b.bucket
+        |  WHERE a.vec_id < b.vec_id
+        |    AND list_dot_product(a.emb, b.emb) /
+        |        (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))
+        |        > 0.3)""".stripMargin)(
+      """SELECT e.vec_id, e.label FROM emb e
+        |WHERE e.vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin)
   )
 }

@@ -71,7 +71,8 @@ class PlanSpec extends SparkSpec {
     // hash/sort-merge equi-join on a bucket/band/chunk key, never a
     // cartesian or broadcast-nested-loop pair enumeration
     for (q <- Seq("dd2_minhash_lsh", "dd3_jaccard_pairs", "dd5_simhash_pairs",
-        "dd6_dedup_filter", "dd7_minhash_dfcap", "nn3_bucket_neardup")) {
+        "dd6_dedup_filter", "dd7_minhash_dfcap", "nn3_bucket_neardup",
+        "nn7_embed_dedup_filter")) {
       val plan = executedPlan(q)
       assert(!plan.contains("CartesianProduct"), s"$q has a cartesian product:\n$plan")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q has a nested loop join:\n$plan")
