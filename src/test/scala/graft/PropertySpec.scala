@@ -145,6 +145,59 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("RectRelate: transpose law and the oracle's closed decomposition hold for random rectangles") {
+    import graft.functions.RectRelate
+    import graft.functions.RectRelate.Rect
+    import spark.implicits._
+    val genRect = for {
+      x <- Gen.choose(-20, 20); y <- Gen.choose(-20, 20)
+      w <- Gen.choose(1, 25); h <- Gen.choose(1, 25)
+    } yield (x, y, x + w, y + h)
+    // one Spark job for all sampled pairs (collect once, assert locally)
+    val pairs = samples(genRect, 400).zip(samples(genRect, 400).reverse)
+    val df = pairs.toDF("a", "b").select(
+      RectRelate.matrix(
+        Rect($"a._1", $"a._2", $"a._3", $"a._4"),
+        Rect($"b._1", $"b._2", $"b._3", $"b._4")).as("mab"),
+      RectRelate.matrix(
+        Rect($"b._1", $"b._2", $"b._3", $"b._4"),
+        Rect($"a._1", $"a._2", $"a._3", $"a._4")).as("mba"),
+      RectRelate.relate(
+        Rect($"a._1", $"a._2", $"a._3", $"a._4"),
+        Rect($"b._1", $"b._2", $"b._3", $"b._4"), "212101212").as("rel"),
+      $"a", $"b")
+    df.collect().foreach { r =>
+      val (mab, mba, rel) = (r.getString(0), r.getString(1), r.getBoolean(2))
+      // DE-9IM transpose law: matrix(b,a) is matrix(a,b) with
+      // IB↔BI, IE↔EI, BE↔EB swapped (indices 1↔3, 2↔6, 5↔7)
+      val transposed = Seq(0, 3, 6, 1, 4, 7, 2, 5, 8).map(mab(_)).mkString
+      assert(mba == transposed, s"$mab / $mba")
+      // the gate oracle's closed decomposition of '212101212' (the SQL
+      // in JoinOps) must coincide with cell-by-cell matrix matching —
+      // re-derived here in Scala from the raw coordinates
+      val a = r.getStruct(3); val b = r.getStruct(4)
+      val (ax1, ay1, ax2, ay2) = (a.getInt(0), a.getInt(1), a.getInt(2), a.getInt(3))
+      val (bx1, by1, bx2, by2) = (b.getInt(0), b.getInt(1), b.getInt(2), b.getInt(3))
+      val open = math.min(ax2, bx2) > math.max(ax1, bx1) &&
+                 math.min(ay2, by2) > math.max(ay1, by1)
+      val aInB = ax1 >= bx1 && ax2 <= bx2 && ay1 >= by1 && ay2 <= by2
+      val bInA = bx1 >= ax1 && bx2 <= ax2 && by1 >= ay1 && by2 <= ay2
+      val collinear =
+        ((Set(bx1, bx2)(ax1) || Set(bx1, bx2)(ax2)) &&
+          math.max(ay1, by1) < math.min(ay2, by2)) ||
+        ((Set(by1, by2)(ay1) || Set(by1, by2)(ay2)) &&
+          math.max(ax1, bx1) < math.min(ax2, bx2))
+      val touch =
+        ((Seq(ax1, ax2).exists(v => v >= bx1 && v <= bx2)) &&
+          (Seq(by1, by2).exists(v => v >= ay1 && v <= ay2))) ||
+        ((Seq(bx1, bx2).exists(v => v >= ax1 && v <= ax2)) &&
+          (Seq(ay1, ay2).exists(v => v >= by1 && v <= by2)))
+      val decomposed = open && !aInB && !bInA && touch && !collinear
+      assert(rel == decomposed && rel == (mab == "212101212"),
+        s"($ax1,$ay1,$ax2,$ay2) vs ($bx1,$by1,$bx2,$by2): $mab rel=$rel dec=$decomposed")
+    }
+  }
+
   /** Pure model of the reference's priority resolution
     * (tileconfig.py:443-497): per tile keep all entries of the minimum
     * priority (equal priorities append). */
