@@ -148,6 +148,23 @@ object SourceSinkOps extends OpModule {
           Exact.decSum(col("o_totalprice"), 2).as("total_price"))
     }),
 
+    // K11 — text-format breadth: the same per-tile export through JSON
+    // lines (the interchange format of the reference's GeoJSON-adjacent
+    // tooling; Spark's json sink/source, schema re-inferred on
+    // read-back). Double-typed money survives the text roundtrip exactly
+    // (shortest-repr printing parses back to the identical double), so
+    // the same Exact decimal sum applies.
+    "k11_json_roundtrip" -> ((s, dir) => {
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_k11_${dir.hashCode}").getPath
+      Tables.features(s, dir)
+        .select("o_orderkey", "o_totalprice", "tile_id")
+        .write.mode("overwrite").json(out)
+      s.read.json(out).groupBy("tile_id")
+        .agg(count(lit(1)).as("n_features"),
+          Exact.decSum(col("o_totalprice"), 2).as("total_price"))
+    }),
+
     // O7 — statistics maintenance: VACUUM ANALYZE → ANALYZE TABLE COMPUTE
     // STATISTICS (db.py:79-99); surfaces the row count the CBO will use
     "o7_analyze_stats" -> ((s, _) => {
@@ -200,6 +217,14 @@ object SourceSinkOps extends OpModule {
          |GROUP BY tile_id""".stripMargin,
 
     "k10_orc_roundtrip" -> Sql.query(Sql.feat)(
+      """SELECT tile_id, COUNT(*) AS n_features,
+        |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |         AS total_price
+        |FROM feat GROUP BY tile_id""".stripMargin),
+
+    // k11: independent recomputation from the base table (k4/k10
+    // pattern) — the roundtrip must not lose or perturb a single row
+    "k11_json_roundtrip" -> Sql.query(Sql.feat)(
       """SELECT tile_id, COUNT(*) AS n_features,
         |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
         |         AS total_price
