@@ -30,6 +30,7 @@ object SparkEntry {
     MultimodalOps,
     SourceSinkOps,
     MergeScanOps,
+    IncrementalOps,
     DualLayoutOps,
     PipelineOps,
     BenchQueries,

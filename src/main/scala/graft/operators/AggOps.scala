@@ -181,6 +181,43 @@ object AggOps extends OpModule {
       Tables.monitorLog(s, dir)
         .select(col("tile_id"), col("event_id"),
           (col("cpu_time_user") - lag("cpu_time_user", 1).over(w)).as("cpu_delta"))
+    }),
+
+    // W9 (extension) — window-FRAME aggregation: trailing 4-row moving
+    // sum/average of purchase value per user. The frame sums are done in
+    // exact DECIMAL(18,4) so the sliding aggregate is identical no matter
+    // how the engine evaluates the frame (DuckDB's segment tree vs
+    // Spark's running accumulator add values in different orders — exact
+    // decimals make that unobservable). One shuffle on the partition key.
+    "w9_moving_avg" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .withColumn("sum_d", sum(Exact.dec(col("value"))).over(w))
+        .withColumn("cnt", count(lit(1)).over(w))
+        .select(col("user_id"), col("event_id"),
+          round(col("sum_d"), 2).cast("double").as("mov_sum"),
+          round(col("sum_d").cast("double") / col("cnt"), 6).as("mov_avg"))
+    }),
+
+    // A15 (extension) — GROUPING SETS: the general multi-group form that
+    // a11's rollup special-cases; one shuffle produces all four grouping
+    // combinations (Spark expands sets into a single Expand + partial
+    // aggregation, not one scan per set). GROUPING() markers disambiguate
+    // "NULL key" from "aggregated-away key" on both engines.
+    "a15_grouping_sets" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+          |       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+          |       COUNT(*) AS n,
+          |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+          |            AS DOUBLE) AS revenue
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+          |                        (o_orderstatus), (o_orderpriority), ())""".stripMargin)
     })
   )
 
@@ -278,6 +315,27 @@ object AggOps extends OpModule {
       """SELECT tile_id, event_id,
         |       cpu_time_user - LAG(cpu_time_user) OVER (
         |         PARTITION BY tile_id ORDER BY ts, event_id) AS cpu_delta
-        |FROM monitor""".stripMargin)
+        |FROM monitor""".stripMargin),
+
+    "w9_moving_avg" ->
+      """SELECT user_id, event_id,
+        |       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) OVER w, 2)
+        |            AS DOUBLE) AS mov_sum,
+        |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        |             / (COUNT(*) OVER w), 6) AS mov_avg
+        |FROM events WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "a15_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        |       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+        |       COUNT(*) AS n,
+        |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+        |            AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), (o_orderpriority), ())""".stripMargin
   )
 }

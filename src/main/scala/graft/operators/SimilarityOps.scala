@@ -187,6 +187,31 @@ object SimilarityOps extends OpModule {
           |  (sqrt(vector_dot(e.emb, e.emb)) * sqrt(vector_dot(q.qe, q.qe)))
           |  DESC, e.vec_id
           |LIMIT 10""".stripMargin)
+    }),
+
+    // nn8 — one distributed Lloyd step (spherical k-means): K=4 seed
+    // vectors (vec_id 0..3, broadcast — K×dim doubles), map-side argmax
+    // cosine assignment (rn=1 per vector, seed-id tiebreak), then the
+    // mean recompute as a (cluster, dim)-keyed partial aggregation —
+    // the shuffle carries one (sum, count) pair per (cluster, dim) per
+    // partition, never a vector. Iterating the step re-broadcasts the
+    // 256 refreshed means; this is exactly how Lloyd parallelizes at
+    // 100 TB (assignment embarrassingly parallel, recompute one shuffle).
+    "nn8_kmeans_step" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, dir)
+      val seeds = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cluster"), col("emb").as("se"))
+      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cluster"))
+      val assigned = e.crossJoin(broadcast(seeds))
+        .withColumn("cos",
+          dot("emb", "se") / (sqrt(dot("emb", "emb")) * sqrt(dot("se", "se"))))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      assigned.select(col("cluster"), posexplode(col("emb")).as(Seq("i", "x")))
+        .groupBy("cluster", "i")
+        .agg(count(lit(1)).as("n"), round(avg("x"), 6).as("cx"))
+        .select(col("cluster"), (col("i") + 1).cast("long").as("i"),
+          col("n"), col("cx"))
     })
   )
 
@@ -265,6 +290,22 @@ object SimilarityOps extends OpModule {
         |        (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))
         |        > 0.3)""".stripMargin)(
       """SELECT e.vec_id, e.label FROM emb e
-        |WHERE e.vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin)
+        |WHERE e.vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin),
+
+    "nn8_kmeans_step" -> Sql.query(embSql,
+      "seeds AS (SELECT vec_id AS cluster, emb AS se FROM emb WHERE vec_id < 4)",
+      """assigned AS (
+        |  SELECT vec_id, emb, cluster FROM (
+        |    SELECT e.vec_id, e.emb, s.cluster,
+        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_dot_product(e.emb, s.se) /
+        |               (sqrt(list_dot_product(e.emb, e.emb)) *
+        |                sqrt(list_dot_product(s.se, s.se))) DESC,
+        |               s.cluster) AS rn
+        |    FROM emb e CROSS JOIN seeds s) t
+        |  WHERE rn = 1)""".stripMargin)(
+      """SELECT cluster, i, COUNT(*) AS n, ROUND(AVG(emb[i]), 6) AS cx
+        |FROM assigned, generate_series(1, 64) AS g(i)
+        |GROUP BY cluster, i""".stripMargin)
   )
 }

@@ -20,6 +20,8 @@ import graft.sources.{Cached, Sql, Tables}
 object TextOps extends OpModule {
 
   private val Stopwords = Seq("the", "a", "data", "value")
+  /** Fixed ad-hoc search terms for the tx9 relevance ranking. */
+  private val QueryTerms = Seq("hash", "merge", "vector")
   private val MarkerSetA = Seq("the", "a", "row", "data")      // "prose-ish"
   private val MarkerSetB = Seq("join", "hash", "merge", "agg") // "query-ish"
 
@@ -170,7 +172,53 @@ object TextOps extends OpModule {
         .select(col("doc_id"),
           round(lit(1) - col("n_distinct") / col("n_tri"), 6).as("dup_frac"),
           round(col("max_cnt") / col("n_tri"), 6).as("top_frac"))
-    })
+    }),
+
+    // TF-IDF relevance ranking: top-10 documents for a fixed term set,
+    // score = Σ_terms (tf/doclen) × rational BM25 idf. The idf is the
+    // log-free rational form (N - df + 0.5)/(df + 0.5) so every
+    // arithmetic step is a correctly-rounded IEEE op — identical on both
+    // engines — and per-term contributions are rounded to 8 decimals and
+    // summed as exact DECIMAL(18,8), so scores (and therefore the top-10
+    // cut) are bit-identical under any partitioning. Plan shape: the
+    // per-term df relation is O(|terms|) — broadcast; doc lengths come
+    // off the shared cached token relation; the only corpus shuffle is
+    // the per-doc groupBy. At 100 TB the ranking is a TakeOrdered over
+    // partial top-10s, never a global sort.
+    "tx9_tfidf" -> ((s, dir) => {
+      val toks = tokens(s, dir)
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val tf = toks.filter(col("w").isin(QueryTerms: _*))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dfr = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+      tf.join(broadcast(dfr), Seq("w"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(n))
+        .withColumn("contrib",
+          round((col("tf") / col("dl")) *
+            ((col("n") - col("df") + 0.5) / (col("df") + 0.5)), 8)
+            .cast("decimal(18,8)"))
+        .groupBy("doc_id").agg(sum(col("contrib")).as("score_d"))
+        .orderBy(col("score_d").desc, col("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), col("score_d").cast("double").as("score"))
+    }),
+
+    // PII-style pattern redaction over the event props payload: mask
+    // digit runs (standing in for the email/phone/ID regexes of a real
+    // scrub pass — same plan shape, container has no PII fixture) and
+    // report per-type redaction stats. Pure map-side regex + one partial
+    // agg; the distinct-shape count shuffles only the already-masked
+    // (low-cardinality) strings.
+    "tx10_redact" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("red", regexp_replace(col("props"), "[0-9]+", "#"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("red") =!= col("props"), 1).otherwise(0)).as("n_redacted"),
+          sum(length(col("props")) - length(col("red"))).as("chars_redacted"),
+          countDistinct(col("red")).as("n_shapes")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -275,6 +323,35 @@ object TextOps extends OpModule {
         |        FROM docs1) t
         |  JOIN pows p ON p.k = t.n - t.i)
         |SELECT doc_id, CAST(SUM(term) % 1000000007 AS BIGINT) AS rh
-        |FROM terms GROUP BY doc_id""".stripMargin
+        |FROM terms GROUP BY doc_id""".stripMargin,
+
+    "tx9_tfidf" -> Sql.query(tokensSql,
+      "dl AS (SELECT doc_id, COUNT(*) AS dl FROM tokens GROUP BY doc_id)",
+      s"""tf AS (
+         |  SELECT doc_id, w, COUNT(*) AS tf FROM tokens
+         |  WHERE w IN ${sqlList(QueryTerms)} GROUP BY doc_id, w)""".stripMargin,
+      "dfr AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w)",
+      "n AS (SELECT COUNT(*) AS n FROM documents)")(
+      """SELECT doc_id, CAST(score_d AS DOUBLE) AS score FROM (
+        |  SELECT tf.doc_id,
+        |         SUM(CAST(ROUND((tf.tf / dl.dl) *
+        |               ((n.n - dfr.df + 0.5) / (dfr.df + 0.5)), 8)
+        |             AS DECIMAL(18,8))) AS score_d
+        |  FROM tf JOIN dfr USING (w) JOIN dl ON dl.doc_id = tf.doc_id
+        |  CROSS JOIN n
+        |  GROUP BY tf.doc_id) s
+        |ORDER BY score_d DESC, doc_id
+        |LIMIT 10""".stripMargin),
+
+    "tx10_redact" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |       SUM(CASE WHEN regexp_replace(props, '[0-9]+', '#', 'g') <> props
+        |                THEN 1 ELSE 0 END) AS n_redacted,
+        |       SUM(length(props) -
+        |           length(regexp_replace(props, '[0-9]+', '#', 'g')))
+        |         AS chars_redacted,
+        |       COUNT(DISTINCT regexp_replace(props, '[0-9]+', '#', 'g'))
+        |         AS n_shapes
+        |FROM events GROUP BY event_type""".stripMargin
   )
 }

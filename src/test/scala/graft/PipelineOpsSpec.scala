@@ -267,4 +267,74 @@ class PipelineOpsSpec extends SparkSpec {
     val expect = spark.read.parquet(s"$Sf/orders.parquet").count()
     assert(total == expect)
   }
+
+  test("tx9: top-10 relevance ranking is sorted, distinct, and positive") {
+    val rows = run("tx9_tfidf").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.length == 10)
+    assert(rows.map(_._1).distinct.length == 10)
+    assert(rows.forall(_._2 > 0))
+    assert(rows.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
+
+  test("tx10: every props payload is redacted down to one shared shape") {
+    val rows = run("tx10_redact").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nEvents, nRedacted, chars, nShapes) =>
+      assert(nRedacted == nEvents) // fixture props always carry digits
+      assert(chars > 0)
+      assert(nShapes == 1)         // '{"k": #}' — masking collapses them all
+    }
+  }
+
+  test("nn8: the Lloyd step's clusters partition the corpus, one mean per dim") {
+    val rows = run("nn8_kmeans_step").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val clusters = rows.map(_._1).distinct
+    assert(clusters.length == 4)
+    assert(rows.length == clusters.length * 64)
+    val sizes = rows.map(r => (r._1, r._3)).distinct.toMap
+    val total = spark.read.parquet(s"$Sf/embeddings.parquet").count()
+    assert(sizes.values.sum == total)
+    assert(rows.forall(r => !r._4.isNaN))
+  }
+
+  test("w9: frame aggregate equals a brute-force trailing-4 recompute") {
+    val got = run("w9_moving_avg").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3))))
+      .toMap
+    val purchases = graft.sources.Tables.events(spark, Sf)
+      .filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))
+    purchases.groupBy(_._1).foreach { case (uid, evs) =>
+      val ordered = evs.sortBy(e => (e._3.getTime, e._2))
+      ordered.zipWithIndex.foreach { case ((_, eid, _, _), i) =>
+        val frame = ordered.slice(math.max(0, i - 3), i + 1)
+        val sum = frame.map(e => BigDecimal(e._4).setScale(4)).sum
+        val expSum = sum.setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val expAvg = BigDecimal(sum.toDouble / frame.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val (gotSum, gotAvg) = got((uid, eid))
+        assert(gotSum == expSum && gotAvg == expAvg)
+      }
+    }
+  }
+
+  test("a15: grouping-set subtotals are mutually consistent") {
+    val rows = run("a15_grouping_sets").collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getInt(2), r.getInt(3), r.getLong(4), r.getDouble(5)))
+    val grand = rows.filter(r => r._3 == 1 && r._4 == 1)
+    assert(grand.length == 1)
+    val total = spark.read.parquet(s"$Sf/orders.parquet").count()
+    assert(grand.head._5 == total)
+    val byStatus = rows.filter(r => r._3 == 0 && r._4 == 1)
+    val byPriority = rows.filter(r => r._3 == 1 && r._4 == 0)
+    assert(byStatus.map(_._5).sum == total && byPriority.map(_._5).sum == total)
+    // revenue is decimal-exact, so subtotals reconcile exactly (compare
+    // in BigDecimal — a double-typed sum would reintroduce float error)
+    assert(byStatus.map(r => BigDecimal(r._6)).sum == BigDecimal(grand.head._6))
+  }
 }
