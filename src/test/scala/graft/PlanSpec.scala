@@ -203,6 +203,42 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("files=3/16"), plan)
   }
 
+  // AQE plan strings repeat the tree under "== Initial Plan ==" — node
+  // counts must look at the final tree only.
+  private def finalPlan(name: String): String =
+    executedPlan(name).split("== Initial Plan ==")(0)
+
+  test("a15: grouping sets are one Expand over one scan, not one scan per set") {
+    val plan = finalPlan("a15_grouping_sets")
+    assert("Expand".r.findAllIn(plan).size == 1, plan)
+    assert("FileScan parquet".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("tx9: top-k is a TakeOrdered over partials and the df side broadcasts") {
+    val plan = executedPlan("tx9_tfidf")
+    // no global sort for a LIMIT-10 ranking
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the O(|terms|) document-frequency relation joins broadcast
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("k12: upsert-merge is windowed union — never a full-outer join") {
+    val plan = executedPlan("k12_upsert_merge")
+    assert(!plan.contains("FullOuter"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("w9: the frame aggregate costs exactly one exchange (the partition key)") {
+    val plan = finalPlan("w9_moving_avg")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("nn8: Lloyd assignment broadcasts the seeds; mean recompute is partial-agged") {
+    val plan = executedPlan("nn8_kmeans_step")
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(plan.contains("partial_avg") || plan.contains("partial_average"), plan)
+  }
+
   test("s8: DSv2 tiledir values match the fixture constants") {
     val got = run("s8_dsv2_tiledir").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
