@@ -175,6 +175,10 @@ object DedupOps extends OpModule {
       |                    '|' ORDER BY CAST(seed AS VARCHAR) || ':' || CAST(mh AS VARCHAR)) AS bkey
       |  FROM sig GROUP BY doc_id, seed // ${Lsh.rowsPerBand})""".stripMargin
 
+  /** The shingle→signature→band CTE chain, for oracles of queries built
+    * on [[lshBands]] outside this module (ds7's decontamination join). */
+  private[operators] def lshCtes: Seq[String] = Seq(shinglesSql, sigSql, bandsSql)
+
   /** Print width for SimHash (bits) and the pigeonhole chunking: 4 chunks
     * of 15 bits — hamming <= 3 implies at least one chunk matches exactly,
     * so dd5's candidates come from equi-joins on (chunk, value) instead of

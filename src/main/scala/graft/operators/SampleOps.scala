@@ -96,6 +96,34 @@ object SampleOps extends OpModule {
         .select(col("lang"), h60("bal:", col("text")).as("ord"), col("doc_id").as("id"))
         .groupBy("lang").agg(tk(col("ord"), col("id")).as("ids"))
         .select(col("lang"), explode(col("ids")).as("doc_id"))
+    }),
+
+    // ds7 — train/test DECONTAMINATION: drop from the test split every
+    // doc that shares an LSH band bucket with any train doc (benchmark
+    // leakage removal — the step between ds3's split and training). The
+    // contamination probe is the same banded equi-join as dd2: the
+    // shuffle key is (band, bkey), never test×train pairs; the train
+    // bucket-set is DISTINCT (bucket-count-sized, not corpus-sized); and
+    // the bands come from the shared [[graft.sources.Cached]] relation —
+    // nothing is rebuilt if the dedup family already ran. Docs too short
+    // to shingle (< 3 tokens) have no bands and pass through, matching
+    // the oracle by construction.
+    "ds7_decontaminate" -> ((s, dir) => {
+      val split = Tables.documents(s, dir)
+        .withColumn("b", h60("spl:", col("text")) % 100)
+        .withColumn("split",
+          when(col("b") < 80, "train")
+            .when(col("b") < 90, "val").otherwise("test"))
+        .select("doc_id", "split")
+      val tagged = DedupOps.lshBands(s, dir).join(split, Seq("doc_id"))
+      val trainBuckets = tagged.filter(col("split") === "train")
+        .select("band", "bkey").distinct()
+      val contaminated = tagged.filter(col("split") === "test")
+        .join(trainBuckets, Seq("band", "bkey"), "left_semi")
+        .select("doc_id").distinct()
+      split.filter(col("split") === "test")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select("doc_id")
     })
   )
 
@@ -147,6 +175,27 @@ object SampleOps extends OpModule {
          |         ROW_NUMBER() OVER (PARTITION BY lang
          |           ORDER BY ${h60Sql("bal:", "text")}, doc_id) AS rn
          |  FROM documents) t
-         |WHERE rn <= 200""".stripMargin
+         |WHERE rn <= 200""".stripMargin,
+
+    "ds7_decontaminate" -> graft.sources.Sql.query(
+      (DedupOps.lshCtes :+
+        s"""spl AS (
+           |  SELECT doc_id,
+           |         CASE WHEN b < 80 THEN 'train'
+           |              WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+           |  FROM (SELECT doc_id, ${h60Sql("spl:", "text")} % 100 AS b
+           |        FROM documents) t)""".stripMargin) :+
+        """trainb AS (
+          |  SELECT DISTINCT band, bkey
+          |  FROM bands JOIN spl USING (doc_id) WHERE split = 'train')""".stripMargin :+
+        """cont AS (
+          |  SELECT DISTINCT b.doc_id
+          |  FROM bands b
+          |  JOIN spl s USING (doc_id)
+          |  JOIN trainb t ON b.band = t.band AND b.bkey = t.bkey
+          |  WHERE s.split = 'test')""".stripMargin: _*)(
+      """SELECT doc_id FROM spl
+        |WHERE split = 'test'
+        |  AND doc_id NOT IN (SELECT doc_id FROM cont)""".stripMargin)
   )
 }

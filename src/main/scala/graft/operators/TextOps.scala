@@ -218,7 +218,32 @@ object TextOps extends OpModule {
         .agg(count(lit(1)).as("n_events"),
           sum(when(col("red") =!= col("props"), 1).otherwise(0)).as("n_redacted"),
           sum(length(col("props")) - length(col("red"))).as("chars_redacted"),
-          countDistinct(col("red")).as("n_shapes")))
+          countDistinct(col("red")).as("n_shapes"))),
+
+    // Vocabulary coverage curve (tokenizer-training prep): the top-50
+    // tokens by corpus frequency with their cumulative token-coverage
+    // share. Order of operations is the scale-critical part: the top-50
+    // cut happens FIRST as orderBy+limit (TakeOrderedAndProject — a
+    // distributed partial top-k, no global sort), and only then does the
+    // running-sum window run, over exactly 50 rows. A global
+    // unpartitioned window over the full vocabulary would funnel the
+    // whole vocab through one reducer — the ds4 lesson applied to
+    // ranking.
+    "tx11_vocab_coverage" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = tokens(s, dir)
+      val total = toks.agg(count(lit(1)).as("total"))
+      val top = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w")).limit(50)
+      val wr = Window.orderBy(col("cnt").desc, col("w"))
+      top
+        .withColumn("rank", row_number().over(wr))
+        .withColumn("cum", sum("cnt").over(
+          wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(total))
+        .select(col("w"), col("cnt"), col("rank"),
+          round(col("cum") / col("total"), 6).as("cum_share"))
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -352,6 +377,18 @@ object TextOps extends OpModule {
         |         AS chars_redacted,
         |       COUNT(DISTINCT regexp_replace(props, '[0-9]+', '#', 'g'))
         |         AS n_shapes
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "tx11_vocab_coverage" -> Sql.query(tokensSql,
+      "total AS (SELECT COUNT(*) AS total FROM tokens)",
+      """top AS (
+        |  SELECT w, COUNT(*) AS cnt FROM tokens GROUP BY w
+        |  ORDER BY cnt DESC, w LIMIT 50)""".stripMargin)(
+      """SELECT w, cnt,
+        |       CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS INT) AS rank,
+        |       ROUND(SUM(cnt) OVER (ORDER BY cnt DESC, w
+        |                            ROWS UNBOUNDED PRECEDING) / total.total,
+        |             6) AS cum_share
+        |FROM top, total""".stripMargin)
   )
 }

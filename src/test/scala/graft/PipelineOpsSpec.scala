@@ -322,6 +322,38 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("ds7: decontamination drops exactly the test docs sharing a train band bucket") {
+    import graft.operators.DedupOps
+    val split = spark.read.parquet(s"$Sf/documents.parquet")
+      .withColumn("b", DedupOps.h60("spl:", col("text")) % 100)
+      .withColumn("split", when(col("b") < 80, "train")
+        .when(col("b") < 90, "val").otherwise("test"))
+      .select("doc_id", "split")
+    val test = split.filter(col("split") === "test")
+      .collect().map(_.getLong(0)).toSet
+    val kept = run("ds7_decontaminate").collect().map(_.getLong(0)).toSet
+    assert(kept.subsetOf(test))
+    assert(kept != test, "fixture must exercise the drop path (non-vacuous)")
+    // independent recompute of the contaminated set via the band relation
+    val bands = DedupOps.lshBands(spark, Sf).join(split, Seq("doc_id"))
+    val trainB = bands.filter(col("split") === "train")
+      .select("band", "bkey").distinct()
+    val contaminated = bands.filter(col("split") === "test")
+      .join(trainB, Seq("band", "bkey"), "left_semi")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(kept == test -- contaminated)
+  }
+
+  test("tx11: the coverage curve is monotone, bounded, and correctly normalized") {
+    val rows = run("tx11_vocab_coverage").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(_._3)
+    assert(rows.nonEmpty && rows.map(_._3).toSeq == (1 to rows.length))
+    assert(rows.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    assert(rows.map(_._4).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+    assert(rows.last._4 <= 1.0 && rows.head._4 > 0)
+  }
+
   test("a15: grouping-set subtotals are mutually consistent") {
     val rows = run("a15_grouping_sets").collect()
       .map(r => (Option(r.getString(0)), Option(r.getString(1)),
