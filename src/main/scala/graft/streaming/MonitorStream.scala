@@ -223,6 +223,58 @@ object MonitorStream extends OpModule {
         }
       runToTable(s, peaks.toDF(), "update")
         .groupBy("tile_id").agg(max("mem_peak").as("mem_peak"))
+    }),
+
+    // st10 — streaming CDC UPSERT: every micro-batch merges latest-wins
+    // into a versioned parquet snapshot via foreachBatch (the streaming
+    // twin of k12, and the shape Delta-style `MERGE` takes without a
+    // table format: read snapshot vN, merge batch, write vN+1 — never
+    // overwrite what the job is reading). The events are staged into 4
+    // hash-bucketed files and streamed with maxFilesPerTrigger=1, so the
+    // merge path is exercised across REAL multiple micro-batches; the
+    // latest-wins pick is a semilattice max by (ts, event_id), so the
+    // final snapshot is identical for ANY batch slicing — the oracle is
+    // batch-boundary-free. At scale the snapshot is key-bucketed and
+    // each merge shuffles only the micro-batch.
+    "st10_stream_upsert" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_st10_${dir.hashCode}").getPath
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val stage = s"$base/stage"
+      val ev = Tables.events(s, dir).select("user_id", "event_id", "ts", "value")
+      // 4 deterministic hash buckets, written as separate jobs so the
+      // file-stream source sees >= 4 files (=> >= 4 micro-batches)
+      (0 until 4).foreach { b =>
+        ev.filter(col("event_id") % 4 === b)
+          .coalesce(1).write.mode("append").parquet(stage)
+      }
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      var cur: Option[String] = None
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage)
+          .writeStream.outputMode("append")
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val latestB = batch.withColumn("rn", row_number().over(w))
+              .filter(col("rn") === 1).drop("rn")
+            val merged = cur match {
+              case None => latestB
+              case Some(p) => s.read.parquet(p).unionByName(latestB)
+                .withColumn("rn", row_number().over(w))
+                .filter(col("rn") === 1).drop("rn")
+            }
+            val next = s"$base/v$id"
+            merged.write.mode("overwrite").parquet(next)
+            cur = Some(next)
+            ()
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+      s.read.parquet(cur.get).select("user_id", "value", "ts")
     })
   )
 
@@ -238,6 +290,16 @@ object MonitorStream extends OpModule {
 
     "st4_stream_dedup_watermark" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    // batch-boundary-free: the converged snapshot is the latest state
+    // per user no matter how the stream was sliced into micro-batches
+    "st10_stream_upsert" ->
+      """SELECT user_id, value, ts FROM (
+        |  SELECT user_id, value, ts,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1""".stripMargin,
 
     "pp2_stream_ingest" ->
       """SELECT DISTINCT md5(text) AS text_hash

@@ -261,4 +261,25 @@ class StreamingSpec extends SparkSpec {
       assert(rows == Set((0L, 2L)), rows.mkString(","))
     } finally q.stop()
   }
+
+  test("st10: streaming upsert converges to the batch latest state, across real micro-batches") {
+    import org.apache.spark.sql.expressions.Window
+    val snapshot = run("st10_stream_upsert").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getTimestamp(2)))).toMap
+    // the run stages >= 4 files with maxFilesPerTrigger=1, so the merge
+    // path must have produced multiple snapshot versions
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_st10_${Sf.hashCode}")
+    val versions = base.listFiles().map(_.getName).filter(_.startsWith("v"))
+    assert(versions.length >= 4, versions.mkString(","))
+    // batch-boundary-free convergence: identical to the direct recompute
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val direct = graft.sources.Tables.events(spark, Sf)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Double]("value"), r.getAs[java.sql.Timestamp]("ts")))).toMap
+    assert(snapshot == direct)
+  }
 }
