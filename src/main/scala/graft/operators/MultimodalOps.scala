@@ -138,6 +138,32 @@ object MultimodalOps extends OpModule {
         .filter(col("n_frames") >= 1)
         .select(col("doc_id"),
           explode(expr("sequence(0, n_frames - 1, 5)")).as("frame_id"))
+    }),
+
+    // mm7 — perceptual-hash near-dup over binary payloads (image-dedup
+    // shape): an aHash-style 8-bit signature — bit b set iff stripe b's
+    // byte sum exceeds its equal share of the payload total (the STUB
+    // stand-in for block-mean-vs-global-mean over decoded pixels; same
+    // signature algebra, no codec) — then near-dup grouping is a plain
+    // groupBy on the signature. At 100 TB this is the dd1 hash-groupBy
+    // with a similarity-preserving key: the shuffle key is the 256-value
+    // signature space (salt-extendable to 64-bit pHash), never pairs.
+    "mm7_phash_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val sigs = media(s, dir).filter(length(col("payload")) >= 1)
+        .as[MediaRow].mapPartitions(_.map { r =>
+          val acc = new Array[Long](8)
+          var i = 0
+          while (i < r.payload.length) { acc(i % 8) += (r.payload(i) & 0xffL); i += 1 }
+          val total = acc.sum
+          var sig = 0L
+          var b = 0
+          while (b < 8) { if (acc(b) * 8 > total) sig |= (1L << b); b += 1 }
+          (r.doc_id, sig)
+        }).toDF("doc_id", "phash")
+      val buckets = sigs.groupBy("phash").agg(count(lit(1)).as("n_bucket"))
+      sigs.join(buckets, Seq("phash"))
+        .select("doc_id", "phash", "n_bucket")
     })
   )
 
@@ -201,6 +227,29 @@ object MultimodalOps extends OpModule {
         |FROM (SELECT doc_id, unnest(generate_series(0, n_frames - 1, 5)) AS f
         |      FROM (SELECT doc_id, CAST(strlen(text) // 100 AS INT) AS n_frames
         |            FROM documents) d
-        |      WHERE n_frames >= 1) t""".stripMargin
+        |      WHERE n_frames >= 1) t""".stripMargin,
+
+    // mm7: stripe sums via mm5's positional-ord machinery, then the
+    // signature bit algebra and the bucket self-count
+    "mm7_phash_neardup" ->
+      """WITH stripes AS (
+        |  SELECT d.doc_id, g.k,
+        |         CAST(COALESCE(SUM(ord(substr(d.text, b.i, 1))), 0) AS BIGINT) AS s
+        |  FROM (SELECT doc_id, text FROM documents WHERE strlen(text) >= 1) d
+        |  CROSS JOIN generate_series(0, 7) AS g(k)
+        |  LEFT JOIN (SELECT doc_id, unnest(generate_series(1, strlen(text))) AS i
+        |             FROM documents) b
+        |    ON b.doc_id = d.doc_id AND (b.i - 1) % 8 = g.k
+        |  GROUP BY d.doc_id, g.k),
+        |tot AS (SELECT doc_id, SUM(s) AS total FROM stripes GROUP BY doc_id),
+        |sigs AS (
+        |  SELECT s.doc_id,
+        |         CAST(SUM(CASE WHEN s.s * 8 > t.total
+        |                  THEN CAST(2**s.k AS BIGINT) ELSE 0 END)
+        |              AS BIGINT) AS phash
+        |  FROM stripes s JOIN tot t USING (doc_id)
+        |  GROUP BY s.doc_id),
+        |buckets AS (SELECT phash, COUNT(*) AS n_bucket FROM sigs GROUP BY phash)
+        |SELECT doc_id, phash, n_bucket FROM sigs JOIN buckets USING (phash)""".stripMargin
   )
 }

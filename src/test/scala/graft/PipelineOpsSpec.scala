@@ -354,6 +354,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.last._4 <= 1.0 && rows.head._4 > 0)
   }
 
+  test("mm7: signatures are 8-bit and bucket counts partition the corpus") {
+    val rows = run("mm7_phash_neardup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val total = spark.read.parquet(s"$Sf/documents.parquet").count()
+    assert(rows.length == total)
+    assert(rows.forall(r => r._2 >= 0 && r._2 <= 255))
+    val buckets = rows.map(r => (r._2, r._3)).distinct
+    assert(buckets.map(_._2).sum == total)
+    // near-dup grouping must be non-vacuous at the fixture
+    assert(rows.exists(_._3 > 1))
+  }
+
   test("a15: grouping-set subtotals are mutually consistent") {
     val rows = run("a15_grouping_sets").collect()
       .map(r => (Option(r.getString(0)), Option(r.getString(1)),
