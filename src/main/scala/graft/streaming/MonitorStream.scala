@@ -274,7 +274,9 @@ object MonitorStream extends OpModule {
           }.start()
         try q.processAllAvailable() finally q.stop()
       } finally s.conf.set("spark.sql.shuffle.partitions", saved)
-      s.read.parquet(cur.get).select("user_id", "value", "ts")
+      // an empty source can yield zero micro-batches → no snapshot version
+      cur.map(p => s.read.parquet(p)).getOrElse(ev.limit(0))
+        .select("user_id", "value", "ts")
     })
   )
 

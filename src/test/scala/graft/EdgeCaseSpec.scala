@@ -19,7 +19,12 @@ class EdgeCaseSpec extends SparkSpec {
         "dd7_minhash_dfcap", "dd8_shingle_dupfrac", "tx1_langid",
         "tx6_trigram_langid", "tx8_repetition", "ds1_hash_sample",
         "ds4_lang_rebalance", "ds6_mixture_sample", "nn3_bucket_neardup",
-        "pp3_embed_pipeline", "w7_range_join")) {
+        "pp3_embed_pipeline", "w7_range_join",
+        // round-7 additions
+        "tx9_tfidf", "tx10_redact", "tx11_vocab_coverage",
+        "ds7_decontaminate", "mm7_phash_neardup", "nn8_kmeans_step",
+        "k12_upsert_merge", "k13_scd2_history", "w9_moving_avg",
+        "st10_stream_upsert")) {
       assert(run(q, emptyDir).count() == 0, s"$q not empty on empty corpus")
     }
   }
