@@ -124,6 +124,35 @@ object SampleOps extends OpModule {
       split.filter(col("split") === "test")
         .join(contaminated, Seq("doc_id"), "left_anti")
         .select("doc_id")
+    }),
+
+    // ds8 — SEQUENCE PACKING: pack documents into fixed-length training
+    // sequences (the sample-packing stage between curation and
+    // tokenization). Exact bin packing is inherently sequential, so the
+    // scalable form is sharded greedy packing: docs are hash-assigned to
+    // shards (map-side, deterministic), hash-ordered WITHIN their shard,
+    // and a per-shard running token count assigns each doc to the
+    // sequence its first token lands in (seq = cum_before / L). The only
+    // state is one cumulative sum per shard — a per-shard window over a
+    // well-spread key; at 100 TB shards number in the thousands and each
+    // window is corpus/shards-sized. All-integer arithmetic, so the
+    // assignment is bit-stable under any partitioning. Output: per-
+    // sequence fill stats (the packing-efficiency report).
+    "ds8_sequence_pack" -> ((s, dir) => {
+      val L = 256 // tokens per packed sequence
+      val toks = TextOps.tokens(s, dir)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+      val sharded = Tables.documents(s, dir)
+        .select(col("doc_id"), (h60("shard:", col("text")) % 8).as("shard"),
+          h60("ord:", col("text")).as("ord"))
+        .join(toks, Seq("doc_id"))
+      val w = Window.partitionBy("shard").orderBy("ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sharded
+        .withColumn("cum", sum("n_tokens").over(w))
+        .withColumn("seq_id", expr(s"(cum - n_tokens) div $L"))
+        .groupBy("shard", "seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
     })
   )
 
@@ -196,6 +225,23 @@ object SampleOps extends OpModule {
           |  WHERE s.split = 'test')""".stripMargin: _*)(
       """SELECT doc_id FROM spl
         |WHERE split = 'test'
-        |  AND doc_id NOT IN (SELECT doc_id FROM cont)""".stripMargin)
+        |  AND doc_id NOT IN (SELECT doc_id FROM cont)""".stripMargin),
+
+    "ds8_sequence_pack" -> graft.sources.Sql.query(TextOps.tokensSql,
+      "tk AS (SELECT doc_id, COUNT(*) AS n_tokens FROM tokens GROUP BY doc_id)",
+      s"""sharded AS (
+         |  SELECT d.doc_id, ${h60Sql("shard:", "d.text")} % 8 AS shard,
+         |         ${h60Sql("ord:", "d.text")} AS ord, tk.n_tokens
+         |  FROM documents d JOIN tk USING (doc_id))""".stripMargin,
+      """packed AS (
+        |  SELECT shard,
+        |         CAST((SUM(n_tokens) OVER (PARTITION BY shard
+        |                 ORDER BY ord, doc_id ROWS UNBOUNDED PRECEDING)
+        |               - n_tokens) // 256 AS BIGINT) AS seq_id,
+        |         n_tokens
+        |  FROM sharded)""".stripMargin)(
+      """SELECT shard, seq_id, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        |FROM packed GROUP BY shard, seq_id""".stripMargin)
   )
 }

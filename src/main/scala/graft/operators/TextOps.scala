@@ -48,7 +48,7 @@ object TextOps extends OpModule {
         .filter(col("w") =!= "")
     }
 
-  private val tokensSql =
+  private[operators] val tokensSql =
     """tokens AS (
       |  SELECT doc_id, w FROM (
       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t

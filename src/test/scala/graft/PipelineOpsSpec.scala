@@ -354,6 +354,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.last._4 <= 1.0 && rows.head._4 > 0)
   }
 
+  test("ds8: greedy packing conserves tokens and fills every non-final sequence") {
+    val L = 256
+    val rows = run("ds8_sequence_pack").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val corpusTokens = graft.operators.TextOps.tokens(spark, Sf).count()
+    assert(rows.map(_._4).sum == corpusTokens) // every token packed exactly once
+    rows.groupBy(_._1).foreach { case (_, seqs) =>
+      val ordered = seqs.sortBy(_._2)
+      // seq ids are contiguous from 0 within each shard
+      assert(ordered.map(_._2).toSeq == (0L until ordered.length))
+      // greedy invariant: after each non-final sequence, the cumulative
+      // token count has passed that sequence's end boundary
+      val prefix = ordered.map(_._4).scanLeft(0L)(_ + _).drop(1)
+      ordered.init.zip(prefix.init).foreach { case ((_, sid, _, _), cum) =>
+        assert(cum >= (sid + 1) * L)
+      }
+    }
+  }
+
   test("mm7: signatures are 8-bit and bucket counts partition the corpus") {
     val rows = run("mm7_phash_neardup").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
