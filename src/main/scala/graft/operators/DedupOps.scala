@@ -337,8 +337,59 @@ object DedupOps extends OpModule {
         .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
         .filter(col("hamming") <= MaxHamming)
         .select("doc_a", "doc_b", "hamming").distinct()
-    })
+    }),
+
+    // dd9 — transitive dup-CLUSTER resolution: connected components over
+    // the LSH candidate graph by iterative min-label propagation (the
+    // semantics production dedup actually needs — dd6's per-pair drop is
+    // not transitive: a~b, b~c must put a,b,c in ONE cluster even when
+    // a~c was never a candidate pair). Each iteration is one equi-join +
+    // partial-aggregated min per node; the driver loop tests only an
+    // aggregate count (no data rows cross the driver) and runs
+    // O(component diameter) times — near-dup clusters are shallow (dup
+    // chains, not paths), so a handful of iterations converge. At
+    // graph-of-the-whole-corpus scale the same loop is run with the
+    // alternating large-star/small-star contraction (each round is the
+    // identical join+min shape); the fixpoint is the component minimum
+    // either way, which is what makes the result oracle-checkable by a
+    // recursive-CTE transitive closure.
+    "dd9_dup_components" -> ((s, dir) =>
+      componentsOf(candidatePairs(lshBands(s, dir)))
+        // the component id IS the keeper (min doc_id) by construction
+        .groupBy("component").agg(count(lit(1)).as("n_docs")))
   )
+
+  /** Min-label propagation to fixpoint over an undirected pair graph
+    * (doc_a, doc_b) → (doc_id, component). Each iteration is one
+    * equi-join + partial-aggregated min per node; the driver loop tests
+    * only an aggregate count (no data rows cross the driver) and runs
+    * O(component diameter) times. */
+  def componentsOf(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("component", col("doc_id"))
+    var converged = false
+    while (!converged) {
+      val prop = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min("component").as("neighbor_min"))
+      val next = labels.join(prop, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("component"),
+            coalesce(col("neighbor_min"), col("component"))).as("component"))
+        .persist()
+      val changed = next
+        .join(labels.withColumnRenamed("component", "old"), Seq("doc_id"))
+        .filter(col("component") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+    }
+    edges.unpersist()
+    labels
+  }
 
   def oracles: Map[String, String] = Map(
     "dd1_exact_dedup" ->
@@ -420,6 +471,27 @@ object DedupOps extends OpModule {
          |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
          |FROM simhash a, simhash b
          |WHERE a.doc_id < b.doc_id
-         |  AND bit_count(xor(a.simhash, b.simhash)) <= $MaxHamming""".stripMargin)
+         |  AND bit_count(xor(a.simhash, b.simhash)) <= $MaxHamming""".stripMargin),
+
+    // independent algorithm: recursive-CTE transitive closure (the
+    // fixpoint the iterative label propagation must converge to)
+    "dd9_dup_components" ->
+      s"""WITH RECURSIVE
+         |${lshCtes.mkString(",\n")},
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+         |  WHERE a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT src AS a, dst AS b FROM edges
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+         |SELECT component, COUNT(*) AS n_docs FROM (
+         |  SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+         |  FROM reach GROUP BY a) c
+         |GROUP BY component""".stripMargin
   )
 }

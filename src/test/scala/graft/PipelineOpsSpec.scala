@@ -354,6 +354,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.last._4 <= 1.0 && rows.head._4 > 0)
   }
 
+  test("dd9: label propagation is transitive — a chain collapses to one component") {
+    // a~b, b~c, plus disjoint d~e: dd6's pairwise drop cannot see a~c;
+    // the component resolution must
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val comps = graft.operators.DedupOps.componentsOf(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dd9: every LSH candidate pair lands in one component, sizes >= 2") {
+    val comps = run("dd9_dup_components").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(comps.nonEmpty && comps.forall(_._2 >= 2))
+    // components partition exactly the set of docs that appear in pairs
+    val paired = run("dd2_minhash_lsh").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(comps.map(_._2).sum == paired.size)
+  }
+
   test("ds8: greedy packing conserves tokens and fills every non-final sequence") {
     val L = 256
     val rows = run("ds8_sequence_pack").collect()
