@@ -215,6 +215,44 @@ object PipelineOps extends OpModule {
           when(col("bucket") < 80, "train")
             .when(col("bucket") < 90, "val").otherwise("test"))
         .groupBy("split", "lang").agg(count(lit(1)).as("n"))
+    }),
+
+    // pp4 — the FULL modern curation pipeline as one declarative DAG:
+    // quality gate → TRANSITIVE dedup (dd9 components: keep each
+    // cluster's min-id doc, not dd6's pairwise drop) → split assignment
+    // → test-split decontamination against the surviving train side
+    // (ds7) → per-split doc/token report. Every corpus-wide relation
+    // (tokens, shingles, bands) is the shared Cached frame the
+    // individual operators use, so the pipeline adds joins, not
+    // re-scans. The stages are exactly ds3/ds7/dd9/tx2's registered
+    // semantics — this query proves they COMPOSE.
+    "pp4_curation_pipeline" -> ((s, dir) => {
+      val tk = TextOps.tokens(s, dir)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+      // transitive dedup: drop every clustered doc except its keeper
+      val comps = DedupOps.componentsOf(
+        DedupOps.queries("dd2_minhash_lsh")(s, dir))
+      val dupDrops = comps.filter(col("doc_id") =!= col("component"))
+        .select("doc_id")
+      val kept0 = Tables.documents(s, dir)
+        .join(tk, Seq("doc_id"))
+        .filter(col("n_tokens") >= 10)
+        .join(dupDrops, Seq("doc_id"), "left_anti")
+        .withColumn("b", DedupOps.h60("spl:", col("text")) % 100)
+        .withColumn("split",
+          when(col("b") < 80, "train")
+            .when(col("b") < 90, "val").otherwise("test"))
+        .select("doc_id", "split", "n_tokens")
+      // decontaminate test against the SURVIVING train side
+      val bands = DedupOps.lshBands(s, dir).join(kept0, Seq("doc_id"))
+      val trainB = bands.filter(col("split") === "train")
+        .select("band", "bkey").distinct()
+      val cont = bands.filter(col("split") === "test")
+        .join(trainB, Seq("band", "bkey"), "left_semi")
+        .select("doc_id").distinct()
+      kept0.join(cont, Seq("doc_id"), "left_anti")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
     })
   )
 
@@ -313,6 +351,51 @@ object PipelineOps extends OpModule {
          |             ${DedupOps.h60Sql("spl:", "text")} % 100 AS b
          |      FROM kept) k
          |GROUP BY 1, 2""".stripMargin
-    }
+    },
+
+    // independent recomposition: recursive-CTE components (dd9's oracle
+    // algorithm) + the ds3/ds7 split/decontamination SQL, chained
+    "pp4_curation_pipeline" ->
+      s"""WITH RECURSIVE
+         |${TextOps.tokensSql},
+         |tk AS (SELECT doc_id, COUNT(*) AS n_tokens FROM tokens GROUP BY doc_id),
+         |${DedupOps.lshCtes.mkString(",\n")},
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+         |  WHERE a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT src AS a, dst AS b FROM edges
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         |dup_drops AS (
+         |  SELECT a AS doc_id FROM reach GROUP BY a
+         |  HAVING LEAST(a, MIN(b)) <> a),
+         |kept0 AS (
+         |  SELECT d.doc_id,
+         |         CASE WHEN ${DedupOps.h60Sql("spl:", "d.text")} % 100 < 80
+         |              THEN 'train'
+         |              WHEN ${DedupOps.h60Sql("spl:", "d.text")} % 100 < 90
+         |              THEN 'val' ELSE 'test' END AS split,
+         |         tk.n_tokens
+         |  FROM documents d JOIN tk USING (doc_id)
+         |  WHERE tk.n_tokens >= 10
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM dup_drops)),
+         |kb AS (
+         |  SELECT b.doc_id, b.band, b.bkey, k.split
+         |  FROM bands b JOIN kept0 k USING (doc_id)),
+         |trainb AS (SELECT DISTINCT band, bkey FROM kb WHERE split = 'train'),
+         |cont AS (
+         |  SELECT DISTINCT kb.doc_id
+         |  FROM kb JOIN trainb t ON kb.band = t.band AND kb.bkey = t.bkey
+         |  WHERE kb.split = 'test')
+         |SELECT split, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         |FROM kept0
+         |WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+         |GROUP BY split""".stripMargin
   )
 }

@@ -354,6 +354,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.last._4 <= 1.0 && rows.head._4 > 0)
   }
 
+  test("pp4: the composed pipeline only removes docs, never invents them") {
+    val byStage = run("pp4_curation_pipeline").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(byStage.keySet.subsetOf(Set("train", "val", "test")) && byStage.contains("train"))
+    val corpusDocs = spark.read.parquet(s"$Sf/documents.parquet").count()
+    val corpusTokens = graft.operators.TextOps.tokens(spark, Sf).count()
+    assert(byStage.values.map(_._1).sum <= corpusDocs)
+    assert(byStage.values.map(_._2).sum <= corpusTokens)
+    assert(byStage.values.forall(v => v._1 > 0 && v._2 >= v._1 * 10)) // quality gate held
+  }
+
   test("dd9: label propagation is transitive — a chain collapses to one component") {
     // a~b, b~c, plus disjoint d~e: dd6's pairwise drop cannot see a~c;
     // the component resolution must
