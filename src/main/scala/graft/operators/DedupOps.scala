@@ -354,33 +354,67 @@ object DedupOps extends OpModule {
     // either way, which is what makes the result oracle-checkable by a
     // recursive-CTE transitive closure.
     "dd9_dup_components" -> ((s, dir) =>
-      componentsOf(candidatePairs(lshBands(s, dir)))
+      components(s, dir)
         // the component id IS the keeper (min doc_id) by construction
         .groupBy("component").agg(count(lit(1)).as("n_docs")))
   )
 
   /** Min-label propagation to fixpoint over an undirected pair graph
-    * (doc_a, doc_b) → (doc_id, component). Each iteration is one
-    * equi-join + partial-aggregated min per node; the driver loop tests
-    * only an aggregate count (no data rows cross the driver) and runs
-    * O(component diameter) times. */
+    * (doc_a, doc_b) → (doc_id, component). Each round is (a) one
+    * neighbor-min equi-join and (b) one POINTER-JUMPING join (each
+    * node adopts its current component's component), so labels spread
+    * along paths multiplicatively and the loop runs O(log diameter)
+    * rounds, not O(diameter) — label-chasing alone pays a full Spark
+    * job per hop, which dominates when near-dup chains are long. The
+    * driver tests only an aggregate count; no data rows cross it. */
   def componentsOf(pairs: DataFrame): DataFrame = {
+    // the candidate-pair graph is orders smaller than the corpus (it
+    // holds only near-dup docs), so the iteration's shuffles are sized
+    // to the GRAPH, not the corpus — with corpus-sized shuffle
+    // partitions each tiny round pays full stage-scheduling cost (the
+    // same sizing argument MonitorStream applies to streaming state
+    // stores). A production whole-corpus graph sets this to graph
+    // size / target partition bytes.
+    val s = pairs.sparkSession
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try componentsLoop(pairs)
+    finally s.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
+  private def componentsLoop(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
+    // localCheckpoint (not persist) each generation: the hop+jump round
+    // references `labels` three times and `hop` twice, so WITHOUT
+    // lineage truncation the logical plan doubles per round —
+    // exponential ANALYSIS cost on the driver swamps the (tiny) data
+    // work, and every consumer of the result re-pays it. Checkpointing
+    // makes each generation a leaf: constant-size plans, O(1) analysis.
+    // (At cluster scale use reliable checkpointing for fault tolerance;
+    // the truncation requirement is identical.)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("component", col("doc_id"))
+      .localCheckpoint()
     var converged = false
     while (!converged) {
       val prop = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min("component").as("neighbor_min"))
-      val next = labels.join(prop, Seq("doc_id"), "left")
+      val hop = labels.join(prop, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("component"),
             coalesce(col("neighbor_min"), col("component"))).as("component"))
-        .persist()
+      // pointer jumping: follow component -> component's component
+      val next = hop
+        .join(hop.select(col("doc_id").as("component"),
+          col("component").as("parent")), Seq("component"), "left")
+        .select(col("doc_id"),
+          least(col("component"),
+            coalesce(col("parent"), col("component"))).as("component"))
+        .localCheckpoint()
       val changed = next
         .join(labels.withColumnRenamed("component", "old"), Seq("doc_id"))
         .filter(col("component") =!= col("old")).count()
@@ -390,6 +424,12 @@ object DedupOps extends OpModule {
     edges.unpersist()
     labels
   }
+
+  /** The corpus component relation, computed once per (session, dir) and
+    * shared by dd9 and pp4 ([[graft.sources.Cached]]). */
+  def components(s: SparkSession, dir: String): DataFrame =
+    Cached.of(s, s"dd:components:$dir")(
+      componentsOf(candidatePairs(lshBands(s, dir))))
 
   def oracles: Map[String, String] = Map(
     "dd1_exact_dedup" ->

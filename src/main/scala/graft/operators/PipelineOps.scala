@@ -230,21 +230,27 @@ object PipelineOps extends OpModule {
       val tk = TextOps.tokens(s, dir)
         .groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
       // transitive dedup: drop every clustered doc except its keeper
-      val comps = DedupOps.componentsOf(
-        DedupOps.queries("dd2_minhash_lsh")(s, dir))
-      val dupDrops = comps.filter(col("doc_id") =!= col("component"))
+      // (the shared per-session component relation — dd9's computation)
+      val dupDrops = DedupOps.components(s, dir)
+        .filter(col("doc_id") =!= col("component"))
         .select("doc_id")
-      val kept0 = Tables.documents(s, dir)
-        .join(tk, Seq("doc_id"))
-        .filter(col("n_tokens") >= 10)
-        .join(dupDrops, Seq("doc_id"), "left_anti")
-        .withColumn("b", DedupOps.h60("spl:", col("text")) % 100)
-        .withColumn("split",
-          when(col("b") < 80, "train")
-            .when(col("b") < 90, "val").otherwise("test"))
-        .select("doc_id", "split", "n_tokens")
+      // kept0 and the band tagging feed three downstream joins each —
+      // persist once per (session, dir) instead of re-deriving per use
+      // (released with every other shared relation by the harness)
+      val kept0 = graft.sources.Cached.of(s, s"pp4:kept0:$dir") {
+        Tables.documents(s, dir)
+          .join(tk, Seq("doc_id"))
+          .filter(col("n_tokens") >= 10)
+          .join(dupDrops, Seq("doc_id"), "left_anti")
+          .withColumn("b", DedupOps.h60("spl:", col("text")) % 100)
+          .withColumn("split",
+            when(col("b") < 80, "train")
+              .when(col("b") < 90, "val").otherwise("test"))
+          .select("doc_id", "split", "n_tokens")
+      }
       // decontaminate test against the SURVIVING train side
-      val bands = DedupOps.lshBands(s, dir).join(kept0, Seq("doc_id"))
+      val bands = graft.sources.Cached.of(s, s"pp4:bands:$dir")(
+        DedupOps.lshBands(s, dir).join(kept0, Seq("doc_id")))
       val trainB = bands.filter(col("split") === "train")
         .select("band", "bkey").distinct()
       val cont = bands.filter(col("split") === "test")
