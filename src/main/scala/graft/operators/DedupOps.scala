@@ -151,6 +151,16 @@ object DedupOps extends OpModule {
   def lshBands(s: SparkSession, dir: String): DataFrame =
     Cached.of(s, s"dd:bands:$dir")(bandsOf(minhashSignatures(s, dir)))
 
+  /** Band keys over the DF-CAPPED shingle set (shared, persisted) — the
+    * hot-bucket-safe relation dd7 and the component graph (dd9/pp4)
+    * enumerate pairs from: a boilerplate shingle shared by a constant
+    * corpus fraction makes UNCAPPED band buckets quadratic (measured
+    * ×363 in SkewStressSpec), which a pair-enumerating consumer cannot
+    * survive at 100 TB. */
+  def cappedLshBands(s: SparkSession, dir: String): DataFrame =
+    Cached.of(s, s"dd:cbands:$dir")(
+      bandsOf(signaturesOf(cappedShingles(s, dir))))
+
   /** The full shingle→minhash→band→bucket-join pipeline at an arbitrary
     * [[LshConfig]] over any (doc_id, text) frame — LshSpec drives this
     * at both the fixture and production settings to show the banding
@@ -178,6 +188,33 @@ object DedupOps extends OpModule {
   /** The shingle→signature→band CTE chain, for oracles of queries built
     * on [[lshBands]] outside this module (ds7's decontamination join). */
   private[operators] def lshCtes: Seq[String] = Seq(shinglesSql, sigSql, bandsSql)
+
+  /** Capped counterparts ([[cappedLshBands]]): csig/cbands over the
+    * df-capped shingle relation — the oracle chain for dd7/dd9/pp4. */
+  private val csigSql: String = {
+    val perSeed = (0 until NumHashes).map(seed =>
+      s"SELECT doc_id, $seed AS seed, ${h60Sql(s"$seed:", "sh")} AS h FROM capped")
+      .mkString("\nUNION ALL\n")
+    s"""csig AS (
+       |  SELECT doc_id, seed, MIN(h) AS mh FROM ($perSeed) hs
+       |  GROUP BY doc_id, seed)""".stripMargin
+  }
+  private val cbandsSql: String =
+    s"""cbands AS (
+       |  SELECT doc_id, CAST(seed // ${Lsh.rowsPerBand} AS INT) AS band,
+       |         string_agg(CAST(seed AS VARCHAR) || ':' || CAST(mh AS VARCHAR),
+       |                    '|' ORDER BY CAST(seed AS VARCHAR) || ':' || CAST(mh AS VARCHAR)) AS bkey
+       |  FROM csig GROUP BY doc_id, seed // ${Lsh.rowsPerBand})""".stripMargin
+  private[operators] def cappedLshCtes: Seq[String] =
+    Seq(shinglesSql, cappedSql, csigSql, cbandsSql)
+
+  /** Pair CTE over [[cappedLshCtes]]'s cbands — the component graph's
+    * edge list (mirrors dd7's candidate join). */
+  private[operators] val cappedPairsSql: String =
+    """cpairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM cbands a JOIN cbands b ON a.band = b.band AND a.bkey = b.bkey
+      |  WHERE a.doc_id < b.doc_id)""".stripMargin
 
   /** Print width for SimHash (bits) and the pigeonhole chunking: 4 chunks
     * of 15 bits — hamming <= 3 implies at least one chunk matches exactly,
@@ -263,8 +300,7 @@ object DedupOps extends OpModule {
     // hot-bucket mitigation SCALE.md prescribes for 100 TB corpora.
     // Output shape = dd2 (candidate pairs).
     "dd7_minhash_dfcap" -> ((s, dir) =>
-      candidatePairs(Cached.of(s, s"dd:cbands:$dir")(
-        bandsOf(signaturesOf(cappedShingles(s, dir)))))),
+      candidatePairs(cappedLshBands(s, dir))),
 
     // the capstone dedup pipeline: LSH candidates → Jaccard verification
     // (>= 0.5) → drop the higher doc_id of each verified pair → keep list.
@@ -340,19 +376,15 @@ object DedupOps extends OpModule {
     }),
 
     // dd9 — transitive dup-CLUSTER resolution: connected components over
-    // the LSH candidate graph by iterative min-label propagation (the
-    // semantics production dedup actually needs — dd6's per-pair drop is
-    // not transitive: a~b, b~c must put a,b,c in ONE cluster even when
-    // a~c was never a candidate pair). Each iteration is one equi-join +
-    // partial-aggregated min per node; the driver loop tests only an
-    // aggregate count (no data rows cross the driver) and runs
-    // O(component diameter) times — near-dup clusters are shallow (dup
-    // chains, not paths), so a handful of iterations converge. At
-    // graph-of-the-whole-corpus scale the same loop is run with the
-    // alternating large-star/small-star contraction (each round is the
-    // identical join+min shape); the fixpoint is the component minimum
-    // either way, which is what makes the result oracle-checkable by a
-    // recursive-CTE transitive closure.
+    // the DF-CAPPED LSH candidate graph (dd7's pairs — uncapped bands
+    // are quadratic in hot-bucket population, the one input shape a
+    // pair-enumerating component builder cannot survive) by min-label
+    // propagation with pointer jumping. This is the semantics production
+    // dedup actually needs — dd6's per-pair drop is not transitive:
+    // a~b, b~c must put a,b,c in ONE cluster even when a~c was never a
+    // candidate pair. The fixpoint is the component minimum, which is
+    // what makes the result oracle-checkable by a recursive-CTE
+    // transitive closure (an independent algorithm).
     "dd9_dup_components" -> ((s, dir) =>
       components(s, dir)
         // the component id IS the keeper (min doc_id) by construction
@@ -426,10 +458,14 @@ object DedupOps extends OpModule {
   }
 
   /** The corpus component relation, computed once per (session, dir) and
-    * shared by dd9 and pp4 ([[graft.sources.Cached]]). */
+    * shared by dd9 and pp4 ([[graft.sources.Cached]]). Edges come from
+    * the DF-CAPPED candidate pairs (dd7's relation, not dd2's):
+    * enumerating pairs from uncapped bands is quadratic in hot-bucket
+    * population, the one shape a component builder must never consume
+    * at corpus scale. */
   def components(s: SparkSession, dir: String): DataFrame =
     Cached.of(s, s"dd:components:$dir")(
-      componentsOf(candidatePairs(lshBands(s, dir))))
+      componentsOf(candidatePairs(cappedLshBands(s, dir))))
 
   def oracles: Map[String, String] = Map(
     "dd1_exact_dedup" ->
@@ -442,20 +478,7 @@ object DedupOps extends OpModule {
         |FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
         |WHERE a.doc_id < b.doc_id""".stripMargin),
 
-    "dd7_minhash_dfcap" -> Sql.query(shinglesSql, cappedSql,
-      {
-        val perSeed = (0 until NumHashes).map(seed =>
-          s"SELECT doc_id, $seed AS seed, ${h60Sql(s"$seed:", "sh")} AS h FROM capped")
-          .mkString("\nUNION ALL\n")
-        s"""csig AS (
-           |  SELECT doc_id, seed, MIN(h) AS mh FROM ($perSeed) hs
-           |  GROUP BY doc_id, seed)""".stripMargin
-      },
-      """cbands AS (
-        |  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
-        |         string_agg(CAST(seed AS VARCHAR) || ':' || CAST(mh AS VARCHAR),
-        |                    '|' ORDER BY CAST(seed AS VARCHAR) || ':' || CAST(mh AS VARCHAR)) AS bkey
-        |  FROM csig GROUP BY doc_id, seed // 2)""".stripMargin)(
+    "dd7_minhash_dfcap" -> Sql.query(cappedLshCtes: _*)(
       """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |FROM cbands a JOIN cbands b ON a.band = b.band AND a.bkey = b.bkey
         |WHERE a.doc_id < b.doc_id""".stripMargin),
@@ -514,17 +537,15 @@ object DedupOps extends OpModule {
          |  AND bit_count(xor(a.simhash, b.simhash)) <= $MaxHamming""".stripMargin),
 
     // independent algorithm: recursive-CTE transitive closure (the
-    // fixpoint the iterative label propagation must converge to)
+    // fixpoint the iterative label propagation must converge to), over
+    // the same capped candidate graph
     "dd9_dup_components" ->
       s"""WITH RECURSIVE
-         |${lshCtes.mkString(",\n")},
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
-         |  WHERE a.doc_id < b.doc_id),
+         |${cappedLshCtes.mkString(",\n")},
+         |$cappedPairsSql,
          |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |  SELECT doc_a AS src, doc_b AS dst FROM cpairs
+         |  UNION ALL SELECT doc_b, doc_a FROM cpairs),
          |reach AS (
          |  SELECT src AS a, dst AS b FROM edges
          |  UNION

@@ -366,13 +366,11 @@ object PipelineOps extends OpModule {
          |${TextOps.tokensSql},
          |tk AS (SELECT doc_id, COUNT(*) AS n_tokens FROM tokens GROUP BY doc_id),
          |${DedupOps.lshCtes.mkString(",\n")},
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
-         |  WHERE a.doc_id < b.doc_id),
+         |${DedupOps.cappedLshCtes.drop(1).mkString(",\n")},
+         |${DedupOps.cappedPairsSql},
          |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |  SELECT doc_a AS src, doc_b AS dst FROM cpairs
+         |  UNION ALL SELECT doc_b, doc_a FROM cpairs),
          |reach AS (
          |  SELECT src AS a, dst AS b FROM edges
          |  UNION

@@ -380,8 +380,9 @@ class PipelineOpsSpec extends SparkSpec {
     val comps = run("dd9_dup_components").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(comps.nonEmpty && comps.forall(_._2 >= 2))
-    // components partition exactly the set of docs that appear in pairs
-    val paired = run("dd2_minhash_lsh").collect()
+    // components partition exactly the docs of the CAPPED candidate
+    // graph (dd7's pairs — the hot-bucket-safe edge list dd9 consumes)
+    val paired = run("dd7_minhash_dfcap").collect()
       .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
     assert(comps.map(_._2).sum == paired.size)
   }
