@@ -91,4 +91,18 @@ class SkewStressSpec extends SparkSpec {
     assert(dd3Skew >= dd3Uniform / 2,
       s"dd3 should not collapse either: uniform=$dd3Uniform skew=$dd3Skew")
   }
+
+  test("dd9 components stay flat under skew (capped edge list holds)") {
+    // the component builder consumes dd7's capped pairs, so the
+    // boilerplate hot bucket must not reach it: the clustered-doc count
+    // on the skewed corpus stays at the uniform corpus's scale instead
+    // of going corpus-fraction-quadratic
+    val uniform = run("dd9_dup_components", corpusDir)
+      .agg(sum("n_docs")).collect()(0).getLong(0)
+    val skew = run("dd9_dup_components", skewDir)
+      .agg(sum("n_docs")).collect()(0).getLong(0)
+    info(f"dd9 clustered docs: uniform=$uniform skew=$skew")
+    assert(skew <= 3 * math.max(4L, uniform),
+      s"dd9 must stay flat under skew: uniform=$uniform skew=$skew")
+  }
 }
