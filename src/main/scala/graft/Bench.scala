@@ -62,7 +62,9 @@ object Bench {
       "w6_asof_join", "w7_range_join", "dd2_minhash_lsh", "nn1_cosine_topk",
       "nn4_ivf_ann", "pp3_embed_pipeline",
       "tx2_quality", "mm1_decode_meta", "st1_stream_monitor_agg",
-      "s8_dsv2_tiledir", "pp1_training_pipeline")
+      "s8_dsv2_tiledir", "pp1_training_pipeline",
+      "k12_upsert_merge", "dd9_dup_components", "ds7_decontaminate",
+      "pp4_curation_pipeline")
     val resMap = results.toMap
     val qs = headline.flatMap(h => resMap.get(h).map(v => "\"" + h + "\":" + r3(v)))
       .mkString("{", ",", "}")
