@@ -239,6 +239,31 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_avg") || plan.contains("partial_average"), plan)
   }
 
+  test("ds7: the contamination probe is a semi-join — no test×train pair relation") {
+    val plan = finalPlan("ds7_decontaminate")
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("ds8: the packing window is partitioned by shard, never global") {
+    val plan = finalPlan("ds8_sequence_pack")
+    assert(plan.contains("windowspecdefinition(shard"), plan)
+  }
+
+  test("tx11: the vocabulary cut is a TakeOrdered BEFORE the running-sum window") {
+    val plan = finalPlan("tx11_vocab_coverage")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the window input is the 50-row cut, so its spec carries no
+    // partition columns — acceptable ONLY because of the preceding cut
+    assert(plan.indexOf("TakeOrderedAndProject") > plan.indexOf("Window"), plan)
+    // plan prints leaves last: TakeOrdered must sit BELOW the window
+  }
+
+  test("mm7: signature bucketing partial-aggregates map-side") {
+    val plan = finalPlan("mm7_phash_neardup")
+    assert(plan.contains("partial_count"), plan)
+  }
+
   test("s8: DSv2 tiledir values match the fixture constants") {
     val got = run("s8_dsv2_tiledir").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
