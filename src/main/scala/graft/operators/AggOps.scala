@@ -201,6 +201,19 @@ object AggOps extends OpModule {
           round(col("sum_d").cast("double") / col("cnt"), 6).as("mov_avg"))
     }),
 
+    // A16 (extension) — rank-transform windows: percent_rank + ntile
+    // deciles of document length per language (the curriculum-binning /
+    // difficulty-bucketing step of a training-mix builder). Unique
+    // ordering (n_chars, doc_id) makes both rank functions
+    // deterministic; the window key is the language — corpus-parallel.
+    "a16_decile_rank" -> ((s, dir) => {
+      val w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .withColumn("decile", ntile(10).over(w))
+    }),
+
     // A15 (extension) — GROUPING SETS: the general multi-group form that
     // a11's rollup special-cases; one shuffle produces all four grouping
     // combinations (Spark expands sets into a single Expand + partial
@@ -326,6 +339,13 @@ object AggOps extends OpModule {
         |FROM events WHERE event_type = 'purchase'
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "a16_decile_rank" ->
+      """SELECT doc_id, lang, n_chars,
+        |       ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+        |       CAST(NTILE(10) OVER w AS INT) AS decile
+        |FROM documents
+        |WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)""".stripMargin,
 
     "a15_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,

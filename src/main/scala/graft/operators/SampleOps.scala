@@ -126,6 +126,30 @@ object SampleOps extends OpModule {
         .select("doc_id")
     }),
 
+    // ds9 — IQR OUTLIER GATE: drop docs whose length falls outside
+    // [Q1 − k·IQR, Q3 + k·IQR] of their language (the statistical
+    // length filter of a quality pipeline — truncation artifacts and
+    // concatenation blobs sit in the tails). Exact interpolated
+    // percentiles per language (a10's proven-parity path; at corpus
+    // scale swap in the GK sketch exactly as a12 does), broadcast back
+    // as an O(languages) bound relation — the gate itself is map-side.
+    // k = 0.5 here because the synthetic corpus is near-uniform in
+    // length (Tukey's 1.5 drops nothing, leaving the drop path
+    // untested); a real corpus uses 1.5 — the constant is the policy
+    // knob, the plan is identical.
+    "ds9_outlier_filter" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bounds = docs.groupBy("lang")
+        .agg(expr("percentile(n_chars, 0.25)").as("q1"),
+          expr("percentile(n_chars, 0.75)").as("q3"))
+        .select(col("lang"),
+          (col("q1") - (col("q3") - col("q1")) * 0.5).as("lo"),
+          (col("q3") + (col("q3") - col("q1")) * 0.5).as("hi"))
+      docs.join(broadcast(bounds), Seq("lang"))
+        .filter(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+        .select("doc_id", "lang", "n_chars")
+    }),
+
     // ds8 — SEQUENCE PACKING: pack documents into fixed-length training
     // sequences (the sample-packing stage between curation and
     // tokenization). Exact bin packing is inherently sequential, so the
@@ -226,6 +250,20 @@ object SampleOps extends OpModule {
       """SELECT doc_id FROM spl
         |WHERE split = 'test'
         |  AND doc_id NOT IN (SELECT doc_id FROM cont)""".stripMargin),
+
+    "ds9_outlier_filter" ->
+      """WITH b AS (
+        |  SELECT lang,
+        |         quantile_cont(n_chars, 0.25)
+        |           - 0.5 * (quantile_cont(n_chars, 0.75)
+        |                    - quantile_cont(n_chars, 0.25)) AS lo,
+        |         quantile_cont(n_chars, 0.75)
+        |           + 0.5 * (quantile_cont(n_chars, 0.75)
+        |                    - quantile_cont(n_chars, 0.25)) AS hi
+        |  FROM documents GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_chars
+        |FROM documents d JOIN b USING (lang)
+        |WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi""".stripMargin,
 
     "ds8_sequence_pack" -> graft.sources.Sql.query(TextOps.tokensSql,
       "tk AS (SELECT doc_id, COUNT(*) AS n_tokens FROM tokens GROUP BY doc_id)",

@@ -189,6 +189,34 @@ object SimilarityOps extends OpModule {
           |LIMIT 10""".stripMargin)
     }),
 
+    // nn9 — INT8 EMBEDDING QUANTIZATION: per-dimension min/max scalar
+    // quantization to 8 bits with a reconstruction-error report (the 4×
+    // memory cut that keeps a 100 TB ANN index in RAM). min/max are
+    // order-independent aggregates, the per-element quantize/dequantize
+    // is exact IEEE arithmetic, and the error report uses only MAX (also
+    // order-independent) — every number is bit-stable under any
+    // partitioning without decimal machinery. The O(dims) bound relation
+    // broadcasts; quantization itself is map-side.
+    "nn9_quantize_int8" -> ((s, dir) => {
+      val ex = emb(s, dir)
+        .select(col("vec_id"), posexplode(col("emb")).as(Seq("i", "x")))
+      val bounds = ex.groupBy("i")
+        .agg(min("x").as("mn"), max("x").as("mx"))
+      ex.join(broadcast(bounds), Seq("i"))
+        .withColumn("q",
+          when(col("mx") === col("mn"), 0)
+            .otherwise(round((col("x") - col("mn"))
+              / (col("mx") - col("mn")) * 255, 0)).cast("int"))
+        .withColumn("err",
+          abs(col("x") - (col("mn")
+            + col("q") / 255.0 * (col("mx") - col("mn")))))
+        .groupBy("i")
+        .agg(min("q").as("q_lo"), max("q").as("q_hi"),
+          round(max("err"), 6).as("max_err"))
+        .select((col("i") + 1).cast("long").as("i"),
+          col("q_lo"), col("q_hi"), col("max_err"))
+    }),
+
     // nn8 — one distributed Lloyd step (spherical k-means): K=4 seed
     // vectors (vec_id 0..3, broadcast — K×dim doubles), map-side argmax
     // cosine assignment (rn=1 per vector, seed-id tiebreak), then the
@@ -291,6 +319,24 @@ object SimilarityOps extends OpModule {
         |        > 0.3)""".stripMargin)(
       """SELECT e.vec_id, e.label FROM emb e
         |WHERE e.vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin),
+
+    "nn9_quantize_int8" -> Sql.query(embSql,
+      """ex AS (
+        |  SELECT vec_id, i, emb[i] AS x
+        |  FROM emb, generate_series(1, 64) AS g(i))""".stripMargin,
+      """bounds AS (
+        |  SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY i)""".stripMargin,
+      """quant AS (
+        |  SELECT ex.i,
+        |         CAST(CASE WHEN b.mx = b.mn THEN 0
+        |              ELSE ROUND((ex.x - b.mn) / (b.mx - b.mn) * 255)
+        |              END AS INT) AS q,
+        |         ex.x, b.mn, b.mx
+        |  FROM ex JOIN bounds b ON ex.i = b.i)""".stripMargin)(
+      """SELECT i, MIN(q) AS q_lo, MAX(q) AS q_hi,
+        |       ROUND(MAX(abs(x - (mn + q / 255.0 * (mx - mn)))), 6)
+        |         AS max_err
+        |FROM quant GROUP BY i""".stripMargin),
 
     "nn8_kmeans_step" -> Sql.query(embSql,
       "seeds AS (SELECT vec_id AS cluster, emb AS se FROM emb WHERE vec_id < 4)",

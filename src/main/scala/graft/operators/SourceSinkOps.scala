@@ -165,6 +165,31 @@ object SourceSinkOps extends OpModule {
           Exact.decSum(col("o_totalprice"), 2).as("total_price"))
     }),
 
+    // K14 — SCHEMA EVOLUTION at the ingest boundary: batch 1 lands
+    // without a column, batch 2 adds it (the crawler-upgrade drift every
+    // long-lived lake sees); `mergeSchema` unifies at read time, old
+    // rows surface NULL for the new column, and aggregates stay
+    // decimal-exact across the mixed files. At 100 TB the per-file
+    // footer merge is planning-time metadata work — no data rewrite.
+    "k14_schema_evolution" -> ((s, dir) => {
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_k14_${dir.hashCode}").getPath
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      val orders = Tables.orders(s, dir)
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("append").parquet(out)
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("append").parquet(out)
+      s.read.option("mergeSchema", "true").parquet(out)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("o_orderpriority").isNotNull, 1).otherwise(0))
+            .as("n_evolved"),
+          countDistinct("o_orderpriority").as("n_priorities"),
+          Exact.decSum(col("o_totalprice"), 2).as("revenue"))
+    }),
+
     // O7 — statistics maintenance: VACUUM ANALYZE → ANALYZE TABLE COMPUTE
     // STATISTICS (db.py:79-99); surfaces the row count the CBO will use
     "o7_analyze_stats" -> ((s, _) => {
@@ -233,6 +258,18 @@ object SourceSinkOps extends OpModule {
     // k5: what comes back over JDBC must be exactly the dimension table
     "k5_jdbc_roundtrip" -> Sql.query(Sql.boundaries)(
       "SELECT tile_id, tx, ty, version, border FROM boundaries"),
+
+    // k14: the merged read must behave as if every row carried the
+    // evolved schema with NULLs where the old batch lacked the column
+    "k14_schema_evolution" ->
+      """SELECT COUNT(*) AS n_rows,
+        |       SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+        |         AS n_evolved,
+        |       COUNT(DISTINCT CASE WHEN o_orderkey % 2 = 1
+        |                      THEN o_orderpriority END) AS n_priorities,
+        |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+        |            AS DOUBLE) AS revenue
+        |FROM orders""".stripMargin,
 
     // o7: the row count ANALYZE wrote into the catalog must equal the
     // relation's true cardinality — checked as data, not catalog text

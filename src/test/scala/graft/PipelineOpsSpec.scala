@@ -354,6 +354,53 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.last._4 <= 1.0 && rows.head._4 > 0)
   }
 
+  test("a16: rank transforms are bounded, dense, and deterministic") {
+    val rows = run("a16_decile_rank").collect()
+      .map(r => (r.getString(1), r.getDouble(3), r.getInt(4)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._2 >= 0.0 && r._2 <= 1.0))
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._3).toSet == (1 to 10).toSet) // every decile populated
+      assert(g.exists(_._2 == 0.0) && g.exists(_._2 == 1.0))
+    }
+  }
+
+  test("ds9: the IQR gate keeps a strict, bound-respecting subset") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val kept = run("ds9_outlier_filter").collect().map(_.getLong(0)).toSet
+    assert(kept.nonEmpty && kept.size < docs.length, "gate must be non-vacuous")
+    assert(kept.subsetOf(docs.map(_._1).toSet))
+  }
+
+  test("k14: the merged read equals a single-schema recompute") {
+    val r = run("k14_schema_evolution").collect()(0)
+    val orders = spark.read.parquet(s"$Sf/orders.parquet")
+    assert(r.getLong(0) == orders.count())
+    assert(r.getLong(1) ==
+      orders.filter(col("o_orderkey") % 2 === 1).count())
+  }
+
+  test("nn9: quantization uses the full int8 range and honors the half-step error bound") {
+    val rows = run("nn9_quantize_int8").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(rows.length == 64)
+    val bounds = graft.operators.SimilarityOps.emb(spark, Sf)
+      .select(posexplode(col("emb")).as(Seq("i", "x")))
+      .groupBy("i").agg(min("x").as("mn"), max("x").as("mx"))
+      .collect().map(r => (r.getInt(0) + 1L) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    rows.foreach { case (i, lo, hi, err) =>
+      val (mn, mx) = bounds(i)
+      if (mx > mn) {
+        assert(lo == 0 && hi == 255) // min→0, max→255 exactly
+        // half quantization step, plus the 6-decimal report rounding
+        assert(err <= (mx - mn) / 255.0 / 2.0 + 0.5e-6)
+      }
+    }
+  }
+
   test("pp4: the composed pipeline only removes docs, never invents them") {
     val byStage = run("pp4_curation_pipeline").collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
