@@ -182,6 +182,163 @@ object BenchQueries extends OpModule {
         .groupBy("r_name", "n_name")
         .agg(decSumExpr(revenue, 2).as("revenue"),
           count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q8 shape: national market share — the deepest dimension star
+    // in the surface (part, customer-nation-region, supplier-nation all
+    // broadcast; the only shuffle is the per-year group-by). Share =
+    // ratio of two exact-decimal sums computed in ONE pass via a
+    // conditional addend, so numerator and denominator see the same rows
+    // and divide as bit-identical doubles.
+    "q8_market_share" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderdate")
+      val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      val ncust = Tables.nation(s, dir).select("n_nationkey", "n_regionkey")
+      val r = Tables.region(s, dir).filter(col("r_name") === "EUROPE")
+      val p = Tables.part(s, dir).filter(col("p_type") === "STANDARD")
+        .select("p_partkey")
+      val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      val nsup = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(ncust), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nsup), col("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          decSumExpr(when(col("supp_nation") === "NATION_7", revenue)
+            .otherwise(lit(0)), 2).as("nation_rev"),
+          decSumExpr(revenue, 2).as("total_rev"))
+        .select(col("o_year"),
+          round(col("nation_rev") / col("total_rev"), 6).as("mkt_share"),
+          col("nation_rev"), col("total_rev"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q13 shape: customer order-count distribution — LEFT OUTER
+    // join (zero-order customers must survive with count 0) feeding a
+    // double aggregation. Both group-bys are partial-agg friendly; the
+    // second one runs over ≤ |customers| rows.
+    "q13_order_distribution" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select("c_custkey")
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+        .select("o_orderkey", "o_custkey")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q15 shape: top supplier by revenue — an aggregate compared
+    // against its own scalar max. The max side re-aggregates the same
+    // plan, so Spark's ReuseExchange serves both branches from one
+    // shuffle; the equality cut is on exact-decimal revenue, so max
+    // membership cannot flip with partitioning (round 4's q10 lesson).
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+                col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+                // explicit, so BOTH consumers of this subtree see the same
+                // scan filters (the equi-join inserts isnotnull on its key
+                // side only, which would otherwise break exchange identity
+                // and scan the fact twice — ReuseExchange canonicalizes
+                // expr ids, not differing Filter nodes)
+                col("l_suppkey").isNotNull)
+        .groupBy("l_suppkey")
+        .agg(decSumExpr(revenue, 2).as("total_rev"))
+      val best = rev.agg(max(col("total_rev")).as("max_rev"))
+      val sup = Tables.supplier(s, dir).select("s_suppkey", "s_name")
+      rev.join(broadcast(best), col("total_rev") === col("max_rev"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q16 shape: supplier breadth per part class — distinct-agg
+    // after a broadcast join (count distinct expands to a two-phase
+    // partial aggregate, never a driver-side distinct).
+    "q16_part_suppliers" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+        .filter(col("p_brand") =!= "Brand#5" &&
+                !col("p_type").startsWith("PROMO") &&
+                col("p_size").isin(1, 9, 19, 25, 36, 49))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      Tables.lineitem(s, dir).select("l_partkey", "l_suppkey")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // TPC-H Q17 shape: small-quantity revenue — a correlated per-part
+    // average decorrelated into a broadcast join (the per-part avg
+    // relation is |parts(brand)|-sized). avg_qty = exact-double integer
+    // sum / exact count, so the 0.2× threshold is bit-identical per
+    // engine; the final /7 divides one exact-decimal-derived double.
+    "q17_small_qty_revenue" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+        .filter(col("p_brand") === "Brand#23" && col("p_size") < 15)
+        .select("p_partkey")
+      val lp = Tables.lineitem(s, dir)
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val avgq = lp.groupBy(col("l_partkey").as("ap_key"))
+        .agg((sum("l_quantity") / count(lit(1))).as("avg_qty"))
+      lp.join(broadcast(avgq), col("l_partkey") === col("ap_key"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(round(decSum(col("l_extendedprice"), 2) / 7, 2).as("avg_yearly"))
+    }),
+
+    // TPC-H Q19 shape: disjunctive mixed-side predicate — three OR'd
+    // conjunctions spanning both join sides, written in the join
+    // condition so Catalyst's CNF conversion can push the common
+    // per-side bounds below the broadcast join.
+    "q19_disjunctive_revenue" -> ((s, dir) => {
+      val p = Tables.part(s, dir).select("p_partkey", "p_brand", "p_size")
+      val l = Tables.lineitem(s, dir)
+      val clause =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#24" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey") && clause)
+        .agg(decSumExpr(revenue, 2).as("revenue"))
+    }),
+
+    // TPC-H Q22 shape: idle rich customers — a scalar subquery cutoff
+    // (exact-decimal mean of positive balances, broadcast as one row)
+    // plus a LEFT ANTI join against recent orders ("no order since
+    // mid-2000" — every customer has SOME order at this SF, so recency
+    // is what makes the anti join non-vacuous). The cutoff divides an
+    // exact decimal sum cast to double by an exact count, so the >
+    // comparison sees bit-identical operands on both engines.
+    "q22_idle_balance" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val cutoff = c.filter(col("c_acctbal") > 0)
+        .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1)))
+          .as("cutoff"))
+      val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+      val recent = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("2000-07-01 00:00:00")))
+        .select("o_custkey")
+      c.crossJoin(broadcast(cutoff))
+        .filter(col("c_acctbal") > col("cutoff"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("numcust"),
+          decSum(col("c_acctbal"), 2).as("totacctbal"))
+        .orderBy("n_name")
     })
   )
 
@@ -286,6 +443,103 @@ object BenchQueries extends OpModule {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name, n_name""".stripMargin
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q8_market_share" ->
+      s"""SELECT CAST(yr AS INT) AS o_year,
+        |       ROUND(nation_rev / total_rev, 6) AS mkt_share,
+        |       nation_rev, total_rev
+        |FROM (
+        |  SELECT DATE_PART('year', o_orderdate) AS yr,
+        |         CAST(ROUND(SUM(CASE WHEN sn.n_name = 'NATION_7'
+        |                  THEN CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |                       (1 - CAST(l_discount AS DECIMAL(18,4)))
+        |                  ELSE 0 END), 2) AS DOUBLE) AS nation_rev,
+        |         $RevSql AS total_rev
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE r_name = 'EUROPE' AND p_type = 'STANDARD'
+        |  GROUP BY DATE_PART('year', o_orderdate)) t
+        |ORDER BY o_year""".stripMargin,
+
+    "q13_order_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |      FROM customer
+        |      LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey
+        |       AND o_orderpriority <> '4-NOT SPECIFIED'
+        |      GROUP BY c_custkey) c
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+        |  SELECT l_suppkey, $RevSql AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q16_part_suppliers" ->
+      """SELECT p_brand, p_type, p_size,
+        |       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5'
+        |  AND p_type NOT LIKE 'PROMO%'
+        |  AND p_size IN (1, 9, 19, 25, 36, 49)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      """SELECT ROUND(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
+        |                 AS DOUBLE) / 7, 2) AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN (SELECT l_partkey AS ap_key,
+        |             SUM(l_quantity) / COUNT(*) AS avg_qty
+        |      FROM lineitem
+        |      JOIN part ON l_partkey = p_partkey
+        |      WHERE p_brand = 'Brand#23' AND p_size < 15
+        |      GROUP BY l_partkey) a ON l_partkey = ap_key
+        |WHERE p_brand = 'Brand#23' AND p_size < 15
+        |  AND l_quantity < 0.2 * avg_qty""".stripMargin,
+
+    "q19_disjunctive_revenue" ->
+      s"""SELECT $RevSql AS revenue
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q22_idle_balance" ->
+      """SELECT n_name, COUNT(*) AS numcust,
+        |       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |         AS totacctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4)))
+        |                               AS DOUBLE) / COUNT(*)
+        |                   FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-07-01')
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin
   )
 }

@@ -264,6 +264,46 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_count"), plan)
   }
 
+  test("q8: every dimension side broadcasts; only the fact-fact join shuffles") {
+    val plan = finalPlan("q8_market_share")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 6, plan)
+    // the lone non-broadcast join is lineitem⋈orders on the order key
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).size <= 1, plan)
+  }
+
+  test("q13: zero-order customers survive — the outer join is not demoted to inner") {
+    val plan = finalPlan("q13_order_distribution")
+    assert(plan.contains("LeftOuter"), plan)
+  }
+
+  test("q16: count distinct is two-phase partial aggregation, no global sort") {
+    val plan = finalPlan("q16_part_suppliers")
+    assert(plan.contains("partial_count(distinct") ||
+           "HashAggregate".r.findAllIn(plan).size >= 3, plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q19: the disjunctive mixed-side predicate keeps the equi hash join") {
+    val plan = finalPlan("q19_disjunctive_revenue")
+    // Catalyst must extract l_partkey = p_partkey as the hash key and
+    // carry the 3-way OR as a join filter — never a nested loop
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+           !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q15: the scalar-max branch reuses the revenue aggregation's exchange") {
+    val plan = executedPlan("q15_top_supplier")
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      plan)
+  }
+
+  test("q22: idleness is a LEFT ANTI probe with the recency filter pushed to the scan") {
+    val plan = finalPlan("q22_idle_balance")
+    assert(plan.contains("LeftAnti"), plan)
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(o_orderdate.*"), plan)
+  }
+
   test("s8: DSv2 tiledir values match the fixture constants") {
     val got = run("s8_dsv2_tiledir").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
