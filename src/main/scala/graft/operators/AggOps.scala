@@ -231,6 +231,26 @@ object AggOps extends OpModule {
           |FROM orders_gs
           |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
           |                        (o_orderstatus), (o_orderpriority), ())""".stripMargin)
+    }),
+
+    // A17 (extension) — cohort retention matrix: users bucketed by their
+    // first-activity week, counted (distinct) in each later week they
+    // returned. Two shuffles, both on keys that shrink the data: the
+    // per-user first-week aggregate (|users| rows), then the per-
+    // (cohort, offset) distinct count. The week offset is an exact
+    // integer (day diffs between week truncations are multiples of 7),
+    // so no float crosses an engine boundary anywhere.
+    "a17_retention_cohorts" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+      val firsts = ev.groupBy("user_id").agg(min(col("wk")).as("cohort_week"))
+      ev.distinct()
+        .join(firsts, "user_id")
+        .withColumn("week_offset",
+          (datediff(col("wk"), col("cohort_week")) / lit(7)).cast("int"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
     })
   )
 
@@ -356,6 +376,19 @@ object AggOps extends OpModule {
         |            AS DOUBLE) AS revenue
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
-        |                        (o_orderstatus), (o_orderpriority), ())""".stripMargin
+        |                        (o_orderstatus), (o_orderpriority), ())""".stripMargin,
+
+    // both engines truncate weeks to Monday (ISO), so cohort keys align
+    "a17_retention_cohorts" ->
+      """WITH ev AS (SELECT DISTINCT user_id,
+        |                   CAST(DATE_TRUNC('week', ts) AS DATE) AS wk
+        |            FROM events),
+        |firsts AS (SELECT user_id, MIN(wk) AS cohort_week FROM ev GROUP BY user_id)
+        |SELECT cohort_week,
+        |       CAST(DATE_DIFF('day', cohort_week, wk) / 7 AS INT) AS week_offset,
+        |       COUNT(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN firsts ON ev.user_id = firsts.user_id
+        |GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin
   )
 }

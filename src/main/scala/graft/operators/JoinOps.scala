@@ -141,6 +141,38 @@ object JoinOps extends OpModule {
       val missing = req.join(broadcast(idx), Seq("tile_id"), "left_anti")
         .withColumn("status", lit("missing"))
       found.unionByName(missing)
+    }),
+
+    // J11 (extension) — ordered event funnel: per user, the earliest
+    // view, the earliest click within 6 h after it, the earliest
+    // purchase within 6 h after that (the conversion window is what
+    // makes the funnel discriminate — over a whole month every user
+    // eventually does everything). Three filtered aggregates keyed on user_id
+    // feeding left joins on the same key — every shuffle is on user_id,
+    // so at cluster scale the stages co-partition and the joins are
+    // local (the per-user relations are |users|-sized, a dimension
+    // against the events fact). Stage membership is pure timestamp
+    // comparison — no floats cross the engine boundary.
+    "j11_event_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("user_id", "event_type", "ts")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("ts") > col("t_view") &&
+          col("ts") <= col("t_view") + expr("INTERVAL 6 HOURS"))
+        .groupBy("user_id").agg(min("ts").as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("ts") > col("t_click") &&
+          col("ts") <= col("t_click") + expr("INTERVAL 6 HOURS"))
+        .groupBy("user_id").agg(min("ts").as("t_buy"))
+      v.join(c.select(col("user_id"), lit(1).as("clicked")), Seq("user_id"), "left_outer")
+        .join(p.select(col("user_id"), lit(1).as("bought")), Seq("user_id"), "left_outer")
+        .select((lit(1) + coalesce(col("clicked"), lit(0)) +
+          coalesce(col("bought"), lit(0))).as("stage"))
+        .groupBy("stage").agg(count(lit(1)).as("n_users"))
+        .orderBy("stage")
     })
   )
 
@@ -229,6 +261,28 @@ object JoinOps extends OpModule {
       """SELECT r.tile_id,
         |       CASE WHEN b.tile_id IS NULL THEN 'missing' ELSE 'found' END AS status
         |FROM req r
-        |LEFT JOIN (SELECT DISTINCT tile_id FROM boundaries) b USING (tile_id)""".stripMargin)
+        |LEFT JOIN (SELECT DISTINCT tile_id FROM boundaries) b USING (tile_id)""".stripMargin),
+
+    "j11_event_funnel" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |        AND e.ts <= v.t_view + INTERVAL 6 HOUR
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS t_buy
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |        AND e.ts <= c.t_click + INTERVAL 6 HOUR
+        |      GROUP BY e.user_id)
+        |SELECT stage, COUNT(*) AS n_users FROM (
+        |  SELECT 1 + (CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END)
+        |           + (CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END) AS stage
+        |  FROM v
+        |  LEFT JOIN c ON v.user_id = c.user_id
+        |  LEFT JOIN p ON v.user_id = p.user_id) t
+        |GROUP BY stage
+        |ORDER BY stage""".stripMargin
   )
 }

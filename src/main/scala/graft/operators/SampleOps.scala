@@ -177,6 +177,40 @@ object SampleOps extends OpModule {
         .withColumn("seq_id", expr(s"(cum - n_tokens) div $L"))
         .groupBy("shard", "seq_id")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+    }),
+
+    // DS10 — temperature-scaled language resampling (the multilingual
+    // pretraining mix: sample languages ∝ p^α so low-resource languages
+    // are upweighted). α is fixed at 1/2 because sqrt is CORRECTLY
+    // ROUNDED under IEEE-754 — identical on the JVM and in DuckDB —
+    // where a general pow(p, 0.3) is libm-dependent and could flip a
+    // hash-threshold membership across engines. The Σ√n normalizer sums
+    // 5 doubles exactly via the DECIMAL(28,12) detour (order-free); the
+    // per-language keep rate is then derived from bit-identical
+    // operands, and membership is the h60 threshold test every sampling
+    // op in this module uses. The rates relation is O(languages) and
+    // broadcast; the corpus side is one map-side filter pass — no
+    // shuffle touches the fact until the per-language report.
+    "ds10_temperature_resample" -> ((s, dir) => {
+      val target = 300.0 // desired total docs after resampling
+      val counts = Tables.documents(s, dir)
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .withColumn("w", sqrt(col("n_docs").cast("double")))
+      val norm = counts.agg(
+        round(sum(col("w").cast("decimal(28,12)")), 8).cast("double").as("sum_w"))
+      val rates = counts.crossJoin(broadcast(norm))
+        .withColumn("rate",
+          least(lit(1.0), col("w") / col("sum_w") * target / col("n_docs")))
+      Tables.documents(s, dir)
+        .join(broadcast(rates.select("lang", "n_docs", "rate")), Seq("lang"))
+        .withColumn("keep",
+          (h60("tmp:", col("text")) % 1000000L).cast("double") <
+            col("rate") * 1000000)
+        .groupBy("lang")
+        .agg(max("n_docs").as("n_total"),
+          round(max("rate"), 6).as("rate"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("lang")
     })
   )
 
@@ -280,6 +314,27 @@ object SampleOps extends OpModule {
         |  FROM sharded)""".stripMargin)(
       """SELECT shard, seq_id, COUNT(*) AS n_docs,
         |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
-        |FROM packed GROUP BY shard, seq_id""".stripMargin)
+        |FROM packed GROUP BY shard, seq_id""".stripMargin),
+
+    "ds10_temperature_resample" ->
+      s"""WITH counts AS (
+         |  SELECT lang, COUNT(*) AS n_docs,
+         |         SQRT(CAST(COUNT(*) AS DOUBLE)) AS w
+         |  FROM documents GROUP BY lang),
+         |norm AS (
+         |  SELECT CAST(ROUND(SUM(CAST(w AS DECIMAL(28,12))), 8) AS DOUBLE)
+         |           AS sum_w
+         |  FROM counts),
+         |rates AS (
+         |  SELECT lang, n_docs,
+         |         LEAST(CAST(1.0 AS DOUBLE), w / sum_w * 300.0 / n_docs) AS rate
+         |  FROM counts, norm)
+         |SELECT d.lang, MAX(r.n_docs) AS n_total,
+         |       ROUND(MAX(r.rate), 6) AS rate,
+         |       CAST(SUM(CASE WHEN ${h60Sql("tmp:", "d.text")} % 1000000 <
+         |                r.rate * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM documents d JOIN rates r ON d.lang = r.lang
+         |GROUP BY d.lang
+         |ORDER BY d.lang""".stripMargin
   )
 }

@@ -66,4 +66,47 @@ class AggJoinSpec extends SparkSpec {
     val nTiles = df.select("tile_id").distinct().count()
     assert(nNull == nTiles)
   }
+
+  test("a17: every user is active in their own first week (offset-0 rows cover all users)") {
+    val rows = run("a17_retention_cohorts").collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
+    val atZero = rows.filter(_._2 == 0).map(_._3).sum
+    val users = spark.read.parquet(s"$Sf/events.parquet")
+      .select("user_id").distinct().count()
+    assert(atZero == users, s"offset-0 counted $atZero of $users users")
+    // no retained count can exceed its cohort's size
+    val cohortSize = rows.filter(_._2 == 0).map(r => r._1 -> r._3).toMap
+    rows.foreach { case (cw, off, n) =>
+      assert(n <= cohortSize(cw), s"cohort $cw offset $off: $n > ${cohortSize(cw)}")
+    }
+  }
+
+  test("j11: funnel stages are a partition of viewing users and monotone down the funnel") {
+    val rows = run("j11_event_funnel").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    val viewers = spark.read.parquet(s"$Sf/events.parquet")
+      .filter(col("event_type") === "view")
+      .select("user_id").distinct().count()
+    assert(rows.values.sum == viewers,
+      s"stage counts ${rows.values.sum} != viewing users $viewers")
+    // a stricter stage can never hold MORE users than all weaker ones
+    assert(rows.getOrElse(3, 0L) <= rows.getOrElse(2, 0L) + rows.getOrElse(1, 0L))
+  }
+
+  test("ds10: temperature resampling upweights low-resource languages") {
+    val rows = run("ds10_temperature_resample").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    rows.foreach { case (lang, total, rate, kept) =>
+      assert(rate > 0 && rate <= 1.0, s"$lang rate $rate out of range")
+      assert(kept <= total, s"$lang kept $kept > total $total")
+    }
+    val byLang = rows.map(r => r._1 -> r).toMap
+    // α=1/2 flattens the mix: the dominant language's KEPT share must be
+    // strictly below its RAW share, low-resource shares must rise
+    val rawEn = byLang("en")._2.toDouble / rows.map(_._2).sum
+    val keptEn = byLang("en")._4.toDouble / rows.map(_._4).sum
+    assert(keptEn < rawEn, s"en share $rawEn -> $keptEn did not shrink")
+    assert(byLang("fr")._3 > byLang("en")._3,
+      "low-resource fr must get a higher keep rate than en")
+  }
 }
