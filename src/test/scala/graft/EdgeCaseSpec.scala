@@ -24,7 +24,9 @@ class EdgeCaseSpec extends SparkSpec {
         "tx9_tfidf", "tx10_redact", "tx11_vocab_coverage",
         "ds7_decontaminate", "mm7_phash_neardup", "nn8_kmeans_step",
         "k12_upsert_merge", "k13_scd2_history", "w9_moving_avg",
-        "st10_stream_upsert")) {
+        "st10_stream_upsert",
+        "j11_event_funnel", "a17_retention_cohorts",
+        "ds10_temperature_resample")) {
       assert(run(q, emptyDir).count() == 0, s"$q not empty on empty corpus")
     }
   }
