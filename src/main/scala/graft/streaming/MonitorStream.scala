@@ -277,6 +277,26 @@ object MonitorStream extends OpModule {
       // an empty source can yield zero micro-batches → no snapshot version
       cur.map(p => s.read.parquet(p)).getOrElse(ev.limit(0))
         .select("user_id", "value", "ts")
+    }),
+
+    // st11 — pipeline-health OBSERVABILITY: Dataset.observe attaches
+    // accumulator-backed metrics (rows seen / rows dropped by the
+    // quality gate) to the streaming plan itself, so the health report
+    // rides along with every micro-batch — at 100 TB there is no second
+    // pass to count what the gate dropped, and a metrics-side filter()
+    // would double the scan. The observed metrics surface per batch via
+    // StreamingQueryProgress.observedMetrics (asserted against the
+    // batch ground truth in StreamingSpec); the query RESULT is the
+    // gated per-language profile, which the DuckDB oracle checks.
+    "st11_stream_observe" -> ((s, dir) => {
+      val gated = Tables.documentsStream(s, dir)
+        .observe("gate",
+          count(lit(1)).as("rows_seen"),
+          sum(when(col("n_chars") < 200, 1L).otherwise(0L)).as("rows_dropped"))
+        .filter(col("n_chars") >= 200)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      runToTable(s, gated, "complete")
     })
   )
 
@@ -292,6 +312,13 @@ object MonitorStream extends OpModule {
 
     "st4_stream_dedup_watermark" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    // the observe() node is metrics-only — it must not change the data
+    "st11_stream_observe" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE n_chars >= 200
+        |GROUP BY lang""".stripMargin,
 
     // batch-boundary-free: the converged snapshot is the latest state
     // per user no matter how the stream was sliced into micro-batches

@@ -282,4 +282,33 @@ class StreamingSpec extends SparkSpec {
         ((r.getAs[Double]("value"), r.getAs[java.sql.Timestamp]("ts")))).toMap
     assert(snapshot == direct)
   }
+
+  test("st11: observed gate metrics equal the batch ground truth across all batches") {
+    val gated = graft.sources.Tables.documentsStream(spark, Sf)
+      .observe("gate",
+        count(lit(1)).as("rows_seen"),
+        sum(when(col("n_chars") < 200, 1L).otherwise(0L)).as("rows_dropped"))
+      .filter(col("n_chars") >= 200)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val q = gated.writeStream.outputMode("complete")
+      .format("memory").queryName("st11_obs").start()
+    try q.processAllAvailable() finally q.stop()
+    // observedMetrics are per micro-batch; sum over the whole run
+    val metrics = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("gate")))
+    assert(metrics.nonEmpty, "no observed metrics surfaced")
+    val seen = metrics.map(_.getAs[Long]("rows_seen")).sum
+    val dropped = metrics.map(_.getAs[Long]("rows_dropped")).sum
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    assert(seen == docs.count(), s"rows_seen $seen")
+    assert(dropped == docs.filter(col("n_chars") < 200).count(),
+      s"rows_dropped $dropped")
+    // the observe node is pass-through: gated output matches the batch gate
+    val streamed = spark.table("st11_obs").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = docs.filter(col("n_chars") >= 200)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == direct)
+  }
 }
