@@ -315,6 +315,28 @@ object BenchQueries extends OpModule {
         .agg(decSumExpr(revenue, 2).as("revenue"))
     }),
 
+    // TPC-H Q9 shape: product-type profit by supplier nation and year
+    // (minus partsupp's supplycost, which this schema omits — profit
+    // degenerates to revenue; the JOIN TOPOLOGY is the point: a
+    // LIKE-filtered part dimension gates the fact, the supplier-nation
+    // chain broadcasts, orders joins fact-to-fact for the year, and the
+    // group-by shuffles only (nation, year) partials).
+    "q9_product_profit" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+        .filter(col("p_name").contains("bolt")).select("p_partkey")
+      val l = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_orderdate")
+      val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(decSumExpr(revenue, 2).as("profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
     // TPC-H Q22 shape: idle rich customers — a scalar subquery cutoff
     // (exact-decimal mean of positive balances, broadcast as one row)
     // plus a LEFT ANTI join against recent orders ("no order since
@@ -526,6 +548,19 @@ object BenchQueries extends OpModule {
         |       AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q9_product_profit" ->
+      s"""SELECT n_name AS nation,
+        |       CAST(DATE_PART('year', o_orderdate) AS INT) AS o_year,
+        |       $RevSql AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%bolt%'
+        |GROUP BY n_name, DATE_PART('year', o_orderdate)
+        |ORDER BY nation, o_year DESC""".stripMargin,
 
     "q22_idle_balance" ->
       """SELECT n_name, COUNT(*) AS numcust,

@@ -271,6 +271,12 @@ class PlanSpec extends SparkSpec {
     assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).size <= 1, plan)
   }
 
+  test("q9: the LIKE-filtered part gate and both nation-chain dims broadcast") {
+    val plan = finalPlan("q9_product_profit")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan)
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).size <= 1, plan)
+  }
+
   test("q13: zero-order customers survive — the outer join is not demoted to inner") {
     val plan = finalPlan("q13_order_distribution")
     assert(plan.contains("LeftOuter"), plan)
