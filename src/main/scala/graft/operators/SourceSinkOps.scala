@@ -165,6 +165,29 @@ object SourceSinkOps extends OpModule {
           Exact.decSum(col("o_totalprice"), 2).as("total_price"))
     }),
 
+    // K15 — BUCKETED table write + co-located join read-back: both fact
+    // tables land hash-bucketed (8 buckets) and sorted on their join
+    // key, so the subsequent join needs no shuffle on either side (the
+    // plan property is pinned in PlanSpec's bucketed-join test; at
+    // cluster scale this is the layout that turns every recurring
+    // fact-fact join on the same key into a mapper-side merge). The
+    // oracle recomputes the same join+agg from the plain parquet — the
+    // bucketed write must be LOSSLESS.
+    "k15_bucketed_join" -> ((s, dir) => {
+      for (t <- Seq("k15_li", "k15_o")) s.sql(s"DROP TABLE IF EXISTS $t")
+      Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("k15_li")
+      Tables.orders(s, dir).select("o_orderkey", "o_orderstatus")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("k15_o")
+      s.table("k15_li")
+        .join(s.table("k15_o"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("sum_qty"))
+        .orderBy("o_orderstatus")
+    }),
+
     // K14 — SCHEMA EVOLUTION at the ingest boundary: batch 1 lands
     // without a column, batch 2 adds it (the crawler-upgrade drift every
     // long-lived lake sees); `mergeSchema` unifies at read time, old
@@ -258,6 +281,13 @@ object SourceSinkOps extends OpModule {
     // k5: what comes back over JDBC must be exactly the dimension table
     "k5_jdbc_roundtrip" -> Sql.query(Sql.boundaries)(
       "SELECT tile_id, tx, ty, version, border FROM boundaries"),
+
+    "k15_bucketed_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_items,
+        |       SUM(l_quantity) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     // k14: the merged read must behave as if every row carried the
     // evolved schema with NULLs where the old batch lacked the column
