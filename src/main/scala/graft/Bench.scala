@@ -64,7 +64,10 @@ object Bench {
       "tx2_quality", "mm1_decode_meta", "st1_stream_monitor_agg",
       "s8_dsv2_tiledir", "pp1_training_pipeline",
       "k12_upsert_merge", "dd9_dup_components", "ds7_decontaminate",
-      "pp4_curation_pipeline")
+      "pp4_curation_pipeline",
+      "q8_market_share", "q15_top_supplier", "j11_event_funnel",
+      "ds10_temperature_resample", "st11_stream_observe",
+      "k15_bucketed_join")
     val resMap = results.toMap
     val qs = headline.flatMap(h => resMap.get(h).map(v => "\"" + h + "\":" + r3(v)))
       .mkString("{", ",", "}")

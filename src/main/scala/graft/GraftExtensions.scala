@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{RectRelate, VectorDot}
+import graft.functions.{Hash60, RectRelate, VectorDot}
 
 /** Production wiring for the engine's native extensions: a cluster user
   * sets `spark.sql.extensions=graft.GraftExtensions` (or
@@ -24,6 +24,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
       (exprs: Seq[Expression]) => VectorDot(exprs(0), exprs(1))))
+    // the portable 60-bit content hash every dedup/sampling decision
+    // uses, as a first-class SQL function (same codegen'd Expression as
+    // the Column API's DedupOps.h60)
+    ext.injectFunction((
+      FunctionIdentifier("h60"),
+      new ExpressionInfo(classOf[Hash60].getName, "h60"),
+      (exprs: Seq[Expression]) => Hash60(exprs.head)))
     // the reference's spatial SQL surface (tileconfig.py:591-592) for
     // the rectangle geometry model: ST_Relate / ST_Covers / the raw
     // DE-9IM matrix as SQL functions. Each expands at RESOLUTION time

@@ -81,6 +81,22 @@ object PipelineOps extends OpModule {
           |                     f.xmin, f.ymin, f.xmax, f.ymax)""".stripMargin)
     }),
 
+    // dd1's exact-dedup semantics pasted AS SQL through the injected
+    // `h60` function (GraftExtensions / Hash60.register): the portable
+    // content hash is a first-class SQL citizen, so a user's dedup
+    // query TEXT runs unchanged — and binds the same codegen'd
+    // Expression the Column API uses (equality pinned in PropertySpec).
+    "v3_sql_dedup" -> ((s, dir) => {
+      graft.functions.Hash60.register(s)
+      Tables.documents(s, dir).createOrReplaceTempView("documents_v3")
+      s.sql(
+        """SELECT lang, COUNT(*) AS n_docs,
+          |       COUNT(DISTINCT h60(concat('v3:', text))) AS n_distinct
+          |FROM documents_v3
+          |GROUP BY lang
+          |ORDER BY lang""".stripMargin)
+    }),
+
     // as-of join (beyond-reference training-pipeline op): each purchase
     // matched to the user's most recent prior-or-simultaneous click.
     // Implementation is the scalable union-window form — tag both
@@ -271,6 +287,13 @@ object PipelineOps extends OpModule {
     // same ground truth as the DataFrame formulation: the oracle is the
     // independently-derived closed decomposition of the pattern
     "v2_sql_relate" -> JoinOps.oracles("j4_relate_coverage"),
+
+    "v3_sql_dedup" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |       COUNT(DISTINCT ${DedupOps.h60Sql("v3:", "text")}) AS n_distinct
+         |FROM documents
+         |GROUP BY lang
+         |ORDER BY lang""".stripMargin,
 
     "w6_asof_join" ->
       """WITH clicks0 AS (

@@ -27,6 +27,14 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(df.queryExecution.analyzed.toString.contains("vectordot"),
         df.queryExecution.analyzed.toString)
 
+      // injected h60: value-identical to the SQL md5-prefix rendering
+      // (the oracle's h60Sql form, evaluated here by Spark itself)
+      val h = s.sql(
+        """SELECT h60('v3:x') AS a,
+          |       conv(substr(md5('v3:x'), 1, 15), 16, 10) AS b""".stripMargin)
+        .head()
+      assert(h.getLong(0) == h.getString(1).toLong, h.toString)
+
       // injected optimizer rule: intersection-emptiness test rewritten to
       // an early-exit overlap probe — only when elements are provably
       // non-null (coalesce-backed array qualifies; parquet-backed so the
