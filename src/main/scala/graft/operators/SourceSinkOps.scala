@@ -174,7 +174,18 @@ object SourceSinkOps extends OpModule {
     // oracle recomputes the same join+agg from the plain parquet — the
     // bucketed write must be LOSSLESS.
     "k15_bucketed_join" -> ((s, dir) => {
-      for (t <- Seq("k15_li", "k15_o")) s.sql(s"DROP TABLE IF EXISTS $t")
+      for (t <- Seq("k15_li", "k15_o")) {
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        // the in-memory catalog forgets tables across JVMs but their
+        // warehouse directories persist — a fresh session's saveAsTable
+        // would die with LOCATION_ALREADY_EXISTS unless the physical
+        // location is cleared along with the catalog entry
+        val wh = s.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:")
+        val loc = new java.io.File(wh, t)
+        if (loc.exists())
+          org.apache.commons.io.FileUtils.deleteDirectory(loc)
+      }
       Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
         .write.mode("overwrite")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("k15_li")
