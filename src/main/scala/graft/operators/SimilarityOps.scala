@@ -240,6 +240,30 @@ object SimilarityOps extends OpModule {
         .agg(count(lit(1)).as("n"), round(avg("x"), 6).as("cx"))
         .select(col("cluster"), (col("i") + 1).cast("long").as("i"),
           col("n"), col("cx"))
+    }),
+
+    // NN10 — MAX-INNER-PRODUCT top-k via norm augmentation (Bachrach
+    // et al. 2014): append sqrt(M² − ‖x‖²) to every corpus vector and 0
+    // to the query, and cosine order in the augmented space IS inner-
+    // product order (every augmented corpus norm equals M, so the
+    // cosine is ⟨q,x⟩ scaled by the positive constant 1/(M·‖q‖)). That
+    // reduction is why a cosine-only ANN structure (nn2's sign buckets,
+    // nn4's IVF) serves MIPS retrieval unchanged — this query RANKS by
+    // the augmented cosine and the oracle ranks by raw list_dot_product,
+    // so the gate itself proves order equivalence. The augmentation
+    // needs only sqrt (correctly-rounded IEEE — engine-identical; a pow
+    // would not be). M² is one broadcast scalar; the scan is one pass.
+    "nn10_mips_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 2).select(col("emb").as("qe"))
+      val msq = e.select(dot("emb", "emb").as("nsq"))
+        .agg(max("nsq").as("msq"))
+      e.crossJoin(broadcast(q)).crossJoin(broadcast(msq))
+        .withColumn("acos",
+          dot("emb", "qe") / (sqrt(col("msq")) * sqrt(dot("qe", "qe"))))
+        .orderBy(col("acos").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), round(dot("emb", "qe"), 6).as("ip"))
     })
   )
 
@@ -352,6 +376,15 @@ object SimilarityOps extends OpModule {
         |  WHERE rn = 1)""".stripMargin)(
       """SELECT cluster, i, COUNT(*) AS n, ROUND(AVG(emb[i]), 6) AS cx
         |FROM assigned, generate_series(1, 64) AS g(i)
-        |GROUP BY cluster, i""".stripMargin)
+        |GROUP BY cluster, i""".stripMargin),
+
+    // independent formulation: the oracle ranks by RAW inner product —
+    // matching rows prove the norm-augmented cosine ordering is exact
+    "nn10_mips_topk" -> Sql.query(embSql,
+      "q AS (SELECT emb AS qe FROM emb WHERE vec_id = 2)")(
+      """SELECT e.vec_id, ROUND(list_dot_product(e.emb, q.qe), 6) AS ip
+        |FROM emb e, q
+        |ORDER BY list_dot_product(e.emb, q.qe) DESC, e.vec_id
+        |LIMIT 10""".stripMargin)
   )
 }

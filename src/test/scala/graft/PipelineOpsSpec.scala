@@ -480,4 +480,16 @@ class PipelineOpsSpec extends SparkSpec {
     // in BigDecimal — a double-typed sum would reintroduce float error)
     assert(byStatus.map(r => BigDecimal(r._6)).sum == BigDecimal(grand.head._6))
   }
+
+  test("nn10: the norm-augmented cosine ranking equals the direct inner-product ranking") {
+    import graft.operators.SimilarityOps.{dot, emb}
+    val viaAug = run("nn10_mips_topk").collect().map(_.getLong(0)).toSeq
+    val e = emb(spark, Sf)
+    val q = e.filter(col("vec_id") === 2).select(col("emb").as("qe"))
+    val direct = e.crossJoin(broadcast(q))
+      .withColumn("ip", dot("emb", "qe"))
+      .orderBy(col("ip").desc, col("vec_id"))
+      .limit(10).collect().map(_.getLong(0)).toSeq
+    assert(viaAug == direct, s"aug=$viaAug direct=$direct")
+  }
 }
