@@ -233,6 +233,30 @@ object AggOps extends OpModule {
           |                        (o_orderstatus), (o_orderpriority), ())""".stripMargin)
     }),
 
+    // W10 (extension) — inter-event gap percentiles: time since the
+    // user's previous activity, summarized per arriving event type (the
+    // behavioral inter-arrival profile next to j11's funnel and a17's
+    // retention). One shuffle for the per-user lag window, one for the
+    // tiny per-type aggregate. Gaps are exact integer microseconds
+    // divided by an exact constant, so both engines interpolate
+    // percentiles from bit-identical operands (a10's parity argument);
+    // at 100 TB the percentile swaps for the mergeable GK sketch as a12.
+    "w10_event_gaps" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .filter(col("prev_us").isNotNull)
+        .withColumn("gap_s",
+          (unix_micros(col("ts")) - col("prev_us")) / lit(1000000.0))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          round(expr("percentile(gap_s, 0.5)"), 6).as("gap_p50"),
+          round(expr("percentile(gap_s, 0.9)"), 6).as("gap_p90"),
+          round(max("gap_s"), 6).as("gap_max"))
+        .orderBy("event_type")
+    }),
+
     // A17 (extension) — cohort retention matrix: users bucketed by their
     // first-activity week, counted (distinct) in each later week they
     // returned. Two shuffles, both on keys that shrink the data: the
@@ -377,6 +401,21 @@ object AggOps extends OpModule {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
         |                        (o_orderstatus), (o_orderpriority), ())""".stripMargin,
+
+    "w10_event_gaps" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |         (epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |            (PARTITION BY user_id ORDER BY ts, event_id))
+        |           / 1000000.0 AS gap_s
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n_gaps,
+        |       ROUND(quantile_cont(gap_s, 0.5), 6) AS gap_p50,
+        |       ROUND(quantile_cont(gap_s, 0.9), 6) AS gap_p90,
+        |       ROUND(MAX(gap_s), 6) AS gap_max
+        |FROM g WHERE gap_s IS NOT NULL
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     // both engines truncate weeks to Monday (ISO), so cohort keys align
     "a17_retention_cohorts" ->
