@@ -257,6 +257,31 @@ object AggOps extends OpModule {
         .orderBy("event_type")
     }),
 
+    // W11 (extension) — SWEEP-LINE peak concurrency: how many orders of
+    // each priority are simultaneously "open" (30-day lifetime), at the
+    // busiest instant. The interval set becomes a boundary union (+1 at
+    // start, −1 at end), one running sum per priority gives the open
+    // count at every boundary, max picks the peak — the classic
+    // O(n log n) sweep as two scans + one window shuffle, no
+    // interval×interval join anywhere. Ends sort BEFORE starts at equal
+    // timestamps (ORDER BY t, d), making intervals half-open — and the
+    // peak is permutation-invariant among equal (t, d) rows, so the
+    // result is deterministic under any partitioning. All-integer.
+    "w11_peak_concurrency" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val deltas = o.select(col("o_orderpriority").as("prio"),
+          col("o_orderdate").as("t"), lit(1).as("d"))
+        .unionByName(o.select(col("o_orderpriority").as("prio"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("t"),
+          lit(-1).as("d")))
+      val w = Window.partitionBy("prio").orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deltas.withColumn("open", sum("d").over(w))
+        .groupBy("prio")
+        .agg(max("open").as("peak_open"), count(lit(1)).as("n_boundaries"))
+        .orderBy("prio")
+    }),
+
     // A17 (extension) — cohort retention matrix: users bucketed by their
     // first-activity week, counted (distinct) in each later week they
     // returned. Two shuffles, both on keys that shrink the data: the
@@ -401,6 +426,20 @@ object AggOps extends OpModule {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
         |                        (o_orderstatus), (o_orderpriority), ())""".stripMargin,
+
+    "w11_peak_concurrency" ->
+      """WITH deltas AS (
+        |  SELECT o_orderpriority AS prio, o_orderdate AS t, 1 AS d
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderpriority, o_orderdate + INTERVAL 30 DAY, -1
+        |  FROM orders),
+        |op AS (
+        |  SELECT prio, SUM(d) OVER (PARTITION BY prio ORDER BY t, d
+        |              ROWS UNBOUNDED PRECEDING) AS open
+        |  FROM deltas)
+        |SELECT prio, MAX(open) AS peak_open, COUNT(*) AS n_boundaries
+        |FROM op GROUP BY prio ORDER BY prio""".stripMargin,
 
     "w10_event_gaps" ->
       """WITH g AS (

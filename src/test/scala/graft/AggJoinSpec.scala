@@ -93,6 +93,23 @@ class AggJoinSpec extends SparkSpec {
     assert(rows.getOrElse(3, 0L) <= rows.getOrElse(2, 0L) + rows.getOrElse(1, 0L))
   }
 
+  test("w11: sweep-line peak equals brute-force interval counting at start instants") {
+    val got = run("w11_peak_concurrency").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val o = spark.read.parquet(s"$Sf/orders.parquet")
+      .select("o_orderpriority", "o_orderdate").collect()
+      .map(r => (r.getString(0), // timestamp_ntz surfaces as LocalDateTime
+        r.getAs[java.time.LocalDateTime](1)
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli))
+    val life = 30L * 86400000
+    o.groupBy(_._1).foreach { case (prio, rows) =>
+      val starts = rows.map(_._2)
+      // the peak of a half-open interval union is attained at a start
+      val peak = starts.map(t => starts.count(s0 => s0 <= t && t < s0 + life)).max
+      assert(got(prio) == peak, s"$prio: sweep ${got(prio)} vs brute $peak")
+    }
+  }
+
   test("ds10: temperature resampling upweights low-resource languages") {
     val rows = run("ds10_temperature_resample").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
