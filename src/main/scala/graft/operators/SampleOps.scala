@@ -191,6 +191,30 @@ object SampleOps extends OpModule {
     // op in this module uses. The rates relation is O(languages) and
     // broadcast; the corpus side is one map-side filter pass — no
     // shuffle touches the fact until the per-language report.
+    // DS11 — GROUP-ANCHORED split assignment: the split key is the
+    // SOURCE hash, not the document hash, so every document from one
+    // source lands in the same split. ds3's per-document split leaks
+    // near-duplicates across train/test whenever a source carries
+    // correlated documents (mirrors, boilerplate, crawls of one site);
+    // anchoring the hash at the group level makes the split
+    // leakage-safe by construction — no decontamination join needed for
+    // WITHIN-source duplication (ds7 still handles cross-source). Pure
+    // map-side assignment; the report is one tiny two-key aggregate
+    // proving the invariant (each source contributes to exactly one
+    // split).
+    "ds11_grouped_split" -> ((s, dir) => {
+      val split = Tables.documents(s, dir)
+        .withColumn("b", h60("gsp:", col("source")) % 100)
+        .withColumn("split",
+          when(col("b") < 80, "train")
+            .when(col("b") < 90, "val")
+            .otherwise("test"))
+      split.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("split")
+    }),
+
     "ds10_temperature_resample" -> ((s, dir) => {
       val target = 300.0 // desired total docs after resampling
       val counts = Tables.documents(s, dir)
@@ -315,6 +339,17 @@ object SampleOps extends OpModule {
       """SELECT shard, seq_id, COUNT(*) AS n_docs,
         |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
         |FROM packed GROUP BY shard, seq_id""".stripMargin),
+
+    "ds11_grouped_split" ->
+      s"""SELECT CASE WHEN b < 80 THEN 'train'
+         |            WHEN b < 90 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |       COUNT(*) AS n_docs,
+         |       COUNT(DISTINCT source) AS n_sources
+         |FROM (SELECT source, ${h60Sql("gsp:", "source")} % 100 AS b
+         |      FROM documents) t
+         |GROUP BY 1
+         |ORDER BY split""".stripMargin,
 
     "ds10_temperature_resample" ->
       s"""WITH counts AS (

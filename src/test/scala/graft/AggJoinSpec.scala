@@ -110,6 +110,21 @@ class AggJoinSpec extends SparkSpec {
     }
   }
 
+  test("ds11: grouped split puts every document of a source in exactly one split") {
+    import graft.operators.DedupOps.h60
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .withColumn("b", h60("gsp:", col("source")) % 100)
+      .withColumn("split",
+        when(col("b") < 80, "train").when(col("b") < 90, "val")
+          .otherwise("test"))
+    val pairs = docs.select("source", "split").distinct().count()
+    val sources = docs.select("source").distinct().count()
+    assert(pairs == sources, s"$pairs (source,split) pairs for $sources sources")
+    // and the reported totals cover the whole corpus
+    val reported = run("ds11_grouped_split").collect().map(_.getLong(1)).sum
+    assert(reported == docs.count())
+  }
+
   test("ds10: temperature resampling upweights low-resource languages") {
     val rows = run("ds10_temperature_resample").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
