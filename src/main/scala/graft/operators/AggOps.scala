@@ -260,13 +260,21 @@ object AggOps extends OpModule {
     // W11 (extension) — SWEEP-LINE peak concurrency: how many orders of
     // each priority are simultaneously "open" (30-day lifetime), at the
     // busiest instant. The interval set becomes a boundary union (+1 at
-    // start, −1 at end), one running sum per priority gives the open
-    // count at every boundary, max picks the peak — the classic
-    // O(n log n) sweep as two scans + one window shuffle, no
-    // interval×interval join anywhere. Ends sort BEFORE starts at equal
-    // timestamps (ORDER BY t, d), making intervals half-open — and the
-    // peak is permutation-invariant among equal (t, d) rows, so the
-    // result is deterministic under any partitioning. All-integer.
+    // start, −1 at end); a running sum gives the open count at every
+    // boundary; max picks the peak — no interval×interval join anywhere.
+    // Ends sort BEFORE starts at equal timestamps (ORDER BY t, d),
+    // making intervals half-open — and the peak is permutation-invariant
+    // among equal (t, d) rows, so the result is deterministic under any
+    // partitioning. All-integer.
+    //
+    // TWO-LEVEL sweep: prio has cardinality 5, so a single
+    // Window.partitionBy("prio") running sum would funnel the whole
+    // fact table through 5 reducers at 100 TB. Instead: (1) running
+    // sums WITHIN each (prio, month) bucket — parallelism = prios ×
+    // months; (2) exclusive prefix sum of per-bucket delta totals over
+    // the tiny (prio, month) relation; (3) broadcast the offsets back
+    // and add. local_run + offset(prior buckets) ≡ the global running
+    // sum, because month(t) ordering is consistent with t ordering.
     "w11_peak_concurrency" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
       val deltas = o.select(col("o_orderpriority").as("prio"),
@@ -274,9 +282,19 @@ object AggOps extends OpModule {
         .unionByName(o.select(col("o_orderpriority").as("prio"),
           (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("t"),
           lit(-1).as("d")))
-      val w = Window.partitionBy("prio").orderBy("t", "d")
+        .withColumn("bkt", date_trunc("month", col("t")).cast("date"))
+      val wLocal = Window.partitionBy("prio", "bkt").orderBy("t", "d")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      deltas.withColumn("open", sum("d").over(w))
+      val local = deltas.withColumn("run", sum("d").over(wLocal))
+      // Per-bucket totals: |prios| × |months| rows — tiny at any scale.
+      val wPrefix = Window.partitionBy("prio").orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = deltas.groupBy("prio", "bkt")
+        .agg(sum("d").as("tot"))
+        .withColumn("off", coalesce(sum("tot").over(wPrefix), lit(0L)))
+        .select("prio", "bkt", "off")
+      local.join(broadcast(offsets), Seq("prio", "bkt"))
+        .withColumn("open", col("run") + col("off"))
         .groupBy("prio")
         .agg(max("open").as("peak_open"), count(lit(1)).as("n_boundaries"))
         .orderBy("prio")
@@ -438,7 +456,8 @@ object AggOps extends OpModule {
         |  SELECT prio, SUM(d) OVER (PARTITION BY prio ORDER BY t, d
         |              ROWS UNBOUNDED PRECEDING) AS open
         |  FROM deltas)
-        |SELECT prio, MAX(open) AS peak_open, COUNT(*) AS n_boundaries
+        |SELECT prio, CAST(MAX(open) AS BIGINT) AS peak_open,
+        |       COUNT(*) AS n_boundaries
         |FROM op GROUP BY prio ORDER BY prio""".stripMargin,
 
     "w10_event_gaps" ->

@@ -206,8 +206,10 @@ object SourceSinkOps extends OpModule {
     // decimal-exact across the mixed files. At 100 TB the per-file
     // footer merge is planning-time metadata work — no data rewrite.
     "k14_schema_evolution" -> ((s, dir) => {
+      // PID-suffixed so two concurrently-verifying JVMs never share it
       val out = new java.io.File(
-        sys.props("java.io.tmpdir"), s"graft_k14_${dir.hashCode}").getPath
+        sys.props("java.io.tmpdir"),
+        s"graft_k14_${dir.hashCode}_${ProcessHandle.current.pid}").getPath
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
       val orders = Tables.orders(s, dir)
       orders.filter(col("o_orderkey") % 2 === 0)
@@ -230,7 +232,9 @@ object SourceSinkOps extends OpModule {
       // in-memory catalog forgets tables across sessions but the managed
       // location persists — clear both before recreating
       s.sql("DROP TABLE IF EXISTS graft_boundaries")
-      val loc = new java.io.File("/tmp/graft_warehouse/graft_boundaries")
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      val loc = new java.io.File(wh, "graft_boundaries")
       if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
       Tables.boundaries(s).write.mode("overwrite").saveAsTable("graft_boundaries")
       s.sql("ANALYZE TABLE graft_boundaries COMPUTE STATISTICS")
@@ -304,8 +308,8 @@ object SourceSinkOps extends OpModule {
     // evolved schema with NULLs where the old batch lacked the column
     "k14_schema_evolution" ->
       """SELECT COUNT(*) AS n_rows,
-        |       SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
-        |         AS n_evolved,
+        |       CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_evolved,
         |       COUNT(DISTINCT CASE WHEN o_orderkey % 2 = 1
         |                      THEN o_orderpriority END) AS n_priorities,
         |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)

@@ -370,11 +370,12 @@ object TextOps extends OpModule {
 
     "tx10_redact" ->
       """SELECT event_type, COUNT(*) AS n_events,
-        |       SUM(CASE WHEN regexp_replace(props, '[0-9]+', '#', 'g') <> props
-        |                THEN 1 ELSE 0 END) AS n_redacted,
-        |       SUM(length(props) -
+        |       CAST(SUM(CASE WHEN regexp_replace(props, '[0-9]+', '#', 'g')
+        |                     <> props THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_redacted,
+        |       CAST(SUM(length(props) -
         |           length(regexp_replace(props, '[0-9]+', '#', 'g')))
-        |         AS chars_redacted,
+        |         AS BIGINT) AS chars_redacted,
         |       COUNT(DISTINCT regexp_replace(props, '[0-9]+', '#', 'g'))
         |         AS n_shapes
         |FROM events GROUP BY event_type""".stripMargin,

@@ -160,7 +160,8 @@ class PlanSpec extends SparkSpec {
   test("bucketed co-located join runs without a shuffle exchange") {
     for (t <- Seq("li_bucketed", "o_bucketed")) {
       spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new java.io.File(s"/tmp/graft_warehouse/$t")
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val loc = new java.io.File(wh, t)
       if (loc.exists())
         org.apache.commons.io.FileUtils.deleteDirectory(loc)
     }
@@ -231,6 +232,17 @@ class PlanSpec extends SparkSpec {
   test("w9: the frame aggregate costs exactly one exchange (the partition key)") {
     val plan = finalPlan("w9_moving_avg")
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("w11: the sweep is two-level — bucketed local window + broadcast offsets") {
+    // the running sum must partition on (prio, bkt), never prio alone
+    // (cardinality 5 = 5 reducers at 100 TB), and the per-bucket offset
+    // relation must come back via broadcast, not a shuffle join
+    val plan = executedPlan("w11_peak_concurrency")
+    val winLines = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.exists(l => l.contains("prio") && l.contains("bkt")),
+      s"local window must partition on (prio, bkt):\n${winLines.mkString("\n")}")
+    assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
   test("nn8: Lloyd assignment broadcasts the seeds; mean recompute is partial-agged") {

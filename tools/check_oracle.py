@@ -9,10 +9,26 @@ matching oracle SQL from <outDir>/oracle_sql.json in DuckDB against the
 same sf tables, and compares: column set, row count, and value hash
 (columns sorted by name, rows sorted by all columns, floats rounded).
 """
-import duckdb, json, math, sys, os
+import duckdb, json, math, re, sys, os
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# Closed set of oracle output types the driver's comparator renders the
+# same way Spark does. Anything else (HUGEINT from SUM(integer), UHUGEINT,
+# INTERVAL, ...) hash-mismatches driver-side even when values are equal,
+# so it is a hard local error: cast the column in the oracle SQL.
+ALLOWED_TYPES = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE",
+                 "FLOAT", "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP",
+                 "TIMESTAMP WITH TIME ZONE", "BLOB"}
+
+def type_ok(t):
+    t = str(t).strip()
+    while t.endswith("[]"):  # list types: check the element type
+        t = t[:-2].strip()
+    if re.fullmatch(r"DECIMAL\(\d+,\s*\d+\)", t):
+        return True
+    return t in ALLOWED_TYPES
 
 def norm(v):
     if v is None:
@@ -57,12 +73,19 @@ def main():
             print(f"  [rows-only] {name}: {len(srows)} rows")
             continue
         try:
-            cur = con.execute(oracle[name])
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            rel = con.sql(oracle[name])
+            ocols = list(rel.columns)
+            otypes = [str(t) for t in rel.types]
+            orows = rel.fetchall()
         except Exception as e:
             n_fail += 1
             print(f"  [FAIL-sql ] {name}: oracle SQL error: {e}")
+            continue
+        bad = [(c, t) for c, t in zip(ocols, otypes) if not type_ok(t)]
+        if bad:
+            n_fail += 1
+            print(f"  [FAIL-type] {name}: engine-typed oracle columns {bad}"
+                  f" — cast them (e.g. CAST(... AS BIGINT)) in the oracle SQL")
             continue
         sc, sr = canon(scols, srows)
         oc, orr = canon(ocols, orows)
