@@ -388,7 +388,26 @@ object DedupOps extends OpModule {
     "dd9_dup_components" -> ((s, dir) =>
       components(s, dir)
         // the component id IS the keeper (min doc_id) by construction
-        .groupBy("component").agg(count(lit(1)).as("n_docs")))
+        .groupBy("component").agg(count(lit(1)).as("n_docs"))),
+
+    // DD10 (extension) — CROSS-SOURCE duplication report: documents whose
+    // normalized HEAD (first 40 chars — the boilerplate-prefix key that
+    // catches shared headers/templates exact hashing misses) appears
+    // under MORE THAN ONE source — the provenance question every
+    // multi-crawl corpus audit asks ("which pages did two crawls both
+    // capture, and who keeps them"). One shuffle on the fingerprint (a
+    // well-spread corpus-sized key with map-side partial aggregation);
+    // the ≥2-sources gate is a post-aggregate HAVING, so no
+    // pair-relation ever materializes.
+    "dd10_cross_source_dup" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          md5(substring(lower(trim(col("text"))), 1, 40)).as("fp"))
+        .groupBy("fp")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("source").as("n_sources"),
+          min("doc_id").as("keeper_id"))
+        .filter(col("n_sources") >= 2))
   )
 
   /** Min-label propagation to fixpoint over an undirected pair graph
@@ -468,6 +487,15 @@ object DedupOps extends OpModule {
       componentsOf(candidatePairs(cappedLshBands(s, dir))))
 
   def oracles: Map[String, String] = Map(
+    "dd10_cross_source_dup" ->
+      """SELECT fp, COUNT(*) AS n_docs,
+        |       COUNT(DISTINCT source) AS n_sources,
+        |       MIN(doc_id) AS keeper_id
+        |FROM (SELECT doc_id, source,
+        |             md5(substr(lower(trim(text)), 1, 40)) AS fp
+        |      FROM documents) t
+        |GROUP BY fp HAVING COUNT(DISTINCT source) >= 2""".stripMargin,
+
     "dd1_exact_dedup" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id,
         |       COUNT(*) AS n_copies

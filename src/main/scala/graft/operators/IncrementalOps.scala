@@ -69,6 +69,31 @@ object IncrementalOps extends OpModule {
           col("ts").as("valid_from"))
         .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
         .withColumn("is_current", col("valid_to").isNull)
+    }),
+
+    // K16 (extension) — small-file COMPACTION PLAN: assign each input
+    // unit to an output file so files land near a target size — the lake
+    // maintenance pass that keeps a 100 TB table's file count sane.
+    // Deterministic offset binning: an exclusive running sum of sizes
+    // per partition (source), bucket = floor(start_offset / target).
+    // The window partitions on `source` — at scale this relation is
+    // FILE-LEVEL METADATA (one row per data file from the catalog
+    // listing, ~10^5 rows for 100 TB), not the data itself, so the
+    // per-source window is over thousands of rows, never the corpus; the
+    // data movement the plan describes happens downstream as a
+    // partitioned rewrite that never shuffles (each output file reads
+    // its listed inputs).
+    "k16_compaction_plan" -> ((s, dir) => {
+      val target = 4000L // bytes per output file (fixture-scaled)
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("start_off", coalesce(sum("n_chars").over(w), lit(0L)))
+        .withColumn("out_file", floor(col("start_off") / lit(target)))
+        .groupBy("source", "out_file")
+        .agg(count(lit(1)).as("n_inputs"), sum("n_chars").as("n_bytes"))
+        .orderBy("source", "out_file")
     })
   )
 
@@ -94,6 +119,21 @@ object IncrementalOps extends OpModule {
         |       LEAD(ts) OVER w AS valid_to,
         |       (LEAD(ts) OVER w IS NULL) AS is_current
         |FROM events WHERE user_id < 20
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    "k16_compaction_plan" ->
+      """WITH off AS (
+        |  SELECT source, doc_id, n_chars,
+        |         CAST(COALESCE(SUM(n_chars) OVER (
+        |                PARTITION BY source ORDER BY doc_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |              0) AS BIGINT) AS start_off
+        |  FROM documents)
+        |SELECT source,
+        |       CAST(FLOOR(start_off / 4000.0) AS BIGINT) AS out_file,
+        |       COUNT(*) AS n_inputs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS n_bytes
+        |FROM off GROUP BY source, out_file
+        |ORDER BY source, out_file""".stripMargin
   )
 }

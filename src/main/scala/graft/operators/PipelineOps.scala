@@ -151,6 +151,41 @@ object PipelineOps extends OpModule {
           .select(col("ts").as("c_ts")))
     }),
 
+    // W12 (extension) — AS-OF join WITH TOLERANCE (pandas merge_asof
+    // tolerance= / kdb wj semantics): each purchase takes the latest
+    // preceding click of the same user ONLY if it is at most 10 minutes
+    // stale; older matches are dropped to NULL, exactly like a feature
+    // store refusing features past their freshness SLA. Same union +
+    // per-user window sweep as w6 (one shuffle on user_id, no
+    // purchase×click pair relation); the tolerance is a post-window
+    // column gate in exact integer microseconds, so the engines can
+    // never disagree on a boundary. Oracle: DuckDB's native ASOF join
+    // with the staleness CASE applied on top — an independent algorithm.
+    "w12_asof_tolerance" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val TolUs = 600000000L // 10 min
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("event_id").as("c_event_id"))
+        .select(col("user_id"), col("ts"), lit(0).as("tag"),
+          col("c_event_id"), lit(null).cast("bigint").as("p_event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("tag"),
+          lit(null).cast("bigint").as("c_event_id"),
+          col("event_id").as("p_event_id"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purchases)
+        .withColumn("m_id", last("c_event_id", ignoreNulls = true).over(w))
+        .withColumn("m_ts", last(when(col("tag") === 0, col("ts")),
+          ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .withColumn("stale_us", unix_micros(col("ts")) - unix_micros(col("m_ts")))
+        .select(col("p_event_id"), col("user_id"),
+          when(col("stale_us") <= TolUs, col("m_id")).as("c_event_id"),
+          when(col("stale_us") <= TolUs, col("stale_us")).as("staleness_us"))
+    }),
+
     // doc-level embedding pipeline: documents ⋈ embeddings → quality
     // gate → IVF assignment (nearest shared centroid, broadcast) →
     // per-(lang, list) corpus profile. The index-build/assign/profile
@@ -309,6 +344,26 @@ object PipelineOps extends OpModule {
         |FROM purchases p
         |ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
+    "w12_asof_tolerance" ->
+      """WITH clicks0 AS (
+        |  SELECT user_id, ts, MAX(event_id) AS c_event_id
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+        |purchases AS (
+        |  SELECT event_id AS p_event_id, user_id, ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |matched AS (
+        |  SELECT p.p_event_id, p.user_id, c.c_event_id,
+        |         epoch_us(p.ts) - epoch_us(c.ts) AS stale_us
+        |  FROM purchases p
+        |  ASOF LEFT JOIN clicks0 c
+        |    ON p.user_id = c.user_id AND p.ts >= c.ts)
+        |SELECT p_event_id, user_id,
+        |       CASE WHEN stale_us <= 600000000 THEN c_event_id END
+        |         AS c_event_id,
+        |       CASE WHEN stale_us <= 600000000 THEN stale_us END
+        |         AS staleness_us
+        |FROM matched""".stripMargin,
 
     "w7_range_join" ->
       """WITH p AS (SELECT event_id AS p_event_id, ts AS p_ts

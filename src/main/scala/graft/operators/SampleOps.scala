@@ -235,7 +235,20 @@ object SampleOps extends OpModule {
           round(max("rate"), 6).as("rate"),
           sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
         .orderBy("lang")
-    })
+    }),
+
+    // DS12 (extension) — QUALITY-WEIGHTED deterministic sampling: longer
+    // documents survive with probability proportional to length (capped),
+    // the "keep the substantive pages, thin the stubs" curation step.
+    // keep ⟺ h(text) mod 1000 < min(n_chars, 500) — pure map-side
+    // integer arithmetic on the content hash: no rand() (reproducible
+    // across retries/partitionings), no shuffle, no driver state. At
+    // 100 TB this is a scan with a filter — embarrassingly parallel.
+    "ds12_weighted_sample" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .filter(h60("wt:", col("text")) % 1000 <
+          least(col("n_chars"), lit(500L)))
+        .select("doc_id", "lang", "n_chars"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -370,6 +383,11 @@ object SampleOps extends OpModule {
          |                r.rate * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM documents d JOIN rates r ON d.lang = r.lang
          |GROUP BY d.lang
-         |ORDER BY d.lang""".stripMargin
+         |ORDER BY d.lang""".stripMargin,
+
+    "ds12_weighted_sample" ->
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE ${h60Sql("wt:", "text")} % 1000 <
+         |      LEAST(n_chars, 500)""".stripMargin
   )
 }

@@ -243,6 +243,28 @@ object TextOps extends OpModule {
         .crossJoin(broadcast(total))
         .select(col("w"), col("cnt"), col("rank"),
           round(col("cum") / col("total"), 6).as("cum_share"))
+    }),
+
+    // TX12 (extension) — per-language Zipf profile: corpus-level
+    // type-token ratio and head-term concentration (the share of the
+    // single most frequent term), the curation dashboard numbers that
+    // flag a language slice as boilerplate-heavy before training. One
+    // shuffle on (lang, w) with map-side partial counts (lang is carried
+    // through the explode, so NO documents join), then a tiny per-lang
+    // rollup — the (lang, w) key is corpus-vocabulary-sized and
+    // well-spread, never the cardinality-|langs| key.
+    "tx12_zipf_topshare" -> ((s, dir) => {
+      val lw = Tables.documents(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+      lw.groupBy("lang")
+        .agg(sum("cnt").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          max("cnt").as("top_cnt"))
+        .select(col("lang"), col("n_tokens"), col("n_types"),
+          round(col("n_types") / col("n_tokens"), 6).as("ttr"),
+          round(col("top_cnt") / col("n_tokens"), 6).as("top_share"))
     })
   )
 
@@ -390,6 +412,19 @@ object TextOps extends OpModule {
         |       ROUND(SUM(cnt) OVER (ORDER BY cnt DESC, w
         |                            ROWS UNBOUNDED PRECEDING) / total.total,
         |             6) AS cum_share
-        |FROM top, total""".stripMargin)
+        |FROM top, total""".stripMargin),
+
+    "tx12_zipf_topshare" -> Sql.query(
+      """lw AS (
+        |  SELECT lang, w, COUNT(*) AS cnt FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS w
+        |    FROM documents) t
+        |  WHERE w <> '' GROUP BY lang, w)""".stripMargin)(
+      """SELECT lang,
+        |       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+        |       COUNT(*) AS n_types,
+        |       ROUND(COUNT(*) / CAST(SUM(cnt) AS DOUBLE), 6) AS ttr,
+        |       ROUND(MAX(cnt) / CAST(SUM(cnt) AS DOUBLE), 6) AS top_share
+        |FROM lw GROUP BY lang""".stripMargin)
   )
 }

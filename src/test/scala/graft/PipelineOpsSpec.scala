@@ -481,6 +481,87 @@ class PipelineOpsSpec extends SparkSpec {
     assert(byStatus.map(r => BigDecimal(r._6)).sum == BigDecimal(grand.head._6))
   }
 
+  test("w12: tolerance gate — every surviving match is fresh, and w12 is w6 restricted") {
+    val w12 = run("w12_asof_tolerance").collect()
+      .map(r => r.getLong(0) -> (Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+      .toMap
+    // one output row per purchase
+    val nPurchases = graft.sources.Tables.events(spark, Sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(w12.size == nPurchases)
+    // staleness, when present, is within [0, 10 min] in exact micros
+    assert(w12.values.forall {
+      case (Some(_), Some(st)) => st >= 0L && st <= 600000000L
+      case (None, None) => true
+      case _ => false // id and staleness must be null together
+    })
+    // w12's surviving matches agree with w6's unrestricted as-of pick
+    val w6 = run("w6_asof_join").collect()
+      .map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Long]))
+      .toMap
+    w12.foreach { case (p, (mId, _)) =>
+      if (mId.isDefined) assert(w6(p) == mId, s"purchase $p: w12=$mId w6=${w6(p)}")
+    }
+    // the gate is non-trivial in both directions on the fixture
+    assert(w12.values.exists(_._1.isDefined) && w12.values.exists(_._1.isEmpty))
+  }
+
+  test("k16: compaction buckets tile each source's byte range contiguously") {
+    val rows = run("k16_compaction_plan").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val totals = graft.sources.Tables.documents(spark, Sf)
+      .groupBy("source").agg(sum("n_chars").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (src, bs) =>
+      // bucket ids are contiguous from 0 (offset binning leaves no holes)
+      assert(bs.map(_._2).sorted.toSeq == (0L until bs.length).toSeq)
+      // bytes are partitioned exactly: per-source sum matches the table
+      assert(bs.map(_._4).sum == totals(src))
+      // every bucket except possibly the last starts before its target
+      // boundary is crossed, so it holds >= 1 input
+      assert(bs.forall(_._3 >= 1))
+    }
+  }
+
+  test("ds12: the kept set is exactly the hash-threshold set (independent md5 recompute)") {
+    // recompute the keep predicate through functions.md5 — an
+    // independent path from the Hash60 catalyst expression under test
+    val kept = run("ds12_weighted_sample").collect().map(_.getLong(0)).toSet
+    val expected = graft.sources.Tables.documents(spark, Sf)
+      .withColumn("h", conv(substring(md5(concat(lit("wt:"), col("text"))), 1, 15), 16, 10)
+        .cast("long") % 1000)
+      .filter(col("h") < least(col("n_chars"), lit(500L)))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == expected)
+    assert(kept.nonEmpty && kept.size < spark.read.parquet(s"$Sf/documents.parquet").count())
+  }
+
+  test("tx12: per-lang Zipf stats are internally consistent") {
+    val rows = run("tx12_zipf_topshare").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nTok, nTyp, ttr, top) =>
+      assert(nTyp >= 1 && nTyp <= nTok)
+      assert(ttr > 0 && ttr <= 1)
+      // the most frequent type is at least the mean frequency share
+      assert(top >= 1.0 / nTyp - 1e-6 && top <= 1.0)
+    }
+    // token totals reconcile with the corpus-wide token count
+    val total = graft.operators.TextOps.tokens(spark, Sf).count()
+    assert(rows.map(_._2).sum == total)
+  }
+
+  test("dd10: cross-source groups genuinely span sources") {
+    val rows = run("dd10_cross_source_dup").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).distinct.length == rows.length) // one row per fp
+    rows.foreach { case (_, nDocs, nSources, _) =>
+      assert(nSources >= 2 && nDocs >= nSources)
+    }
+  }
+
   test("nn10: the norm-augmented cosine ranking equals the direct inner-product ranking") {
     import graft.operators.SimilarityOps.{dot, emb}
     val viaAug = run("nn10_mips_topk").collect().map(_.getLong(0)).toSeq
