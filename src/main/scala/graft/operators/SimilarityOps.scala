@@ -264,6 +264,47 @@ object SimilarityOps extends OpModule {
         .orderBy(col("acos").desc, col("vec_id"))
         .limit(10)
         .select(col("vec_id"), round(dot("emb", "qe"), 6).as("ip"))
+    }),
+
+    // NN11 (extension) — ANN INDEX-QUALITY EVALUATION: recall@10 of the
+    // sign-bucket LSH path (nn2's index) against brute-force ground
+    // truth, per query — the measurement that decides whether an ANN
+    // index is good enough to ship. One corpus scan scores all 8 query
+    // vectors (broadcast query side, corpus never shuffles to score);
+    // both top-10 cuts use the ds4 two-phase rank — phase 1 ranks within
+    // (qid, input partition) and keeps ≤ K, so the final per-qid rank
+    // sees ≤ K × numPartitions rows, never the corpus (qid cardinality
+    // is 8: a direct per-qid window would be 8 reducers at 100 TB).
+    // Ground truth over the FULL corpus is the eval-sample regime:
+    // recall is evaluated on a fixed query sample, not all-pairs.
+    "nn11_recall_eval" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val K = 10
+      def top(df: DataFrame): DataFrame = {
+        val order = Seq(col("cos").desc, col("vec_id"))
+        val pre = Window.partitionBy(col("qid"), spark_partition_id())
+          .orderBy(order: _*)
+        val fin = Window.partitionBy("qid").orderBy(order: _*)
+        df.withColumn("prn", row_number().over(pre)).filter(col("prn") <= K)
+          .withColumn("rn", row_number().over(fin)).filter(col("rn") <= K)
+          .select("qid", "vec_id")
+      }
+      val b = emb(s, dir).withColumn("bucket", bucketExpr)
+      val q = b.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("bucket").as("qbucket"),
+          col("emb").as("qe"))
+      val scored = b.crossJoin(broadcast(q))
+        .withColumn("cos",
+          dot("emb", "qe") / (sqrt(dot("emb", "emb")) * sqrt(dot("qe", "qe"))))
+      val bf = top(scored)
+      val lsh = top(scored.filter(col("bucket") === col("qbucket")))
+      bf.join(lsh.withColumn("hit", lit(1)), Seq("qid", "vec_id"), "left")
+        .groupBy("qid")
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .select(col("qid"), col("n_hit"),
+          round(col("n_hit") / col("k"), 6).as("recall"))
+        .orderBy("qid")
     })
   )
 
@@ -272,6 +313,29 @@ object SimilarityOps extends OpModule {
       |  (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(q.qe, q.qe))), 6)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "nn11_recall_eval" -> Sql.query(embSql, bucketsSql,
+      "q AS (SELECT vec_id AS qid, bucket AS qbucket, emb AS qe FROM buckets WHERE vec_id < 8)",
+      """scored AS (
+        |  SELECT q.qid, q.qbucket, e.vec_id, e.bucket,
+        |         list_dot_product(e.emb, q.qe) /
+        |           (sqrt(list_dot_product(e.emb, e.emb)) *
+        |            sqrt(list_dot_product(q.qe, q.qe))) AS cos
+        |  FROM buckets e, q)""".stripMargin,
+      """bf AS (SELECT qid, vec_id FROM (
+        |  SELECT qid, vec_id,
+        |         ROW_NUMBER() OVER (PARTITION BY qid
+        |           ORDER BY cos DESC, vec_id) AS rn
+        |  FROM scored) t WHERE rn <= 10)""".stripMargin,
+      """lsh AS (SELECT qid, vec_id FROM (
+        |  SELECT qid, vec_id,
+        |         ROW_NUMBER() OVER (PARTITION BY qid
+        |           ORDER BY cos DESC, vec_id) AS rn
+        |  FROM scored WHERE bucket = qbucket) t WHERE rn <= 10)""".stripMargin)(
+      """SELECT qid, CAST(COUNT(lsh.vec_id) AS BIGINT) AS n_hit,
+        |       ROUND(COUNT(lsh.vec_id) / (COUNT(*) * 1.0), 6) AS recall
+        |FROM bf LEFT JOIN lsh USING (qid, vec_id)
+        |GROUP BY qid ORDER BY qid""".stripMargin),
+
     "nn1_cosine_topk" -> Sql.query(embSql,
       "q AS (SELECT emb AS qe FROM emb WHERE vec_id = 0)")(
       s"""SELECT e.vec_id, $cosSql AS cos

@@ -562,6 +562,19 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("nn11: recall@10 is bounded and every query at least finds itself") {
+    val rows = run("nn11_recall_eval").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 8)
+    rows.foreach { case (_, nHit, recall) =>
+      // a query vector sits in its own bucket at cos 1.0, so the LSH
+      // path can never miss it: recall@10 >= 1/10 always
+      assert(nHit >= 1 && nHit <= 10)
+      assert(recall >= 0.1 - 1e-9 && recall <= 1.0)
+      assert(math.abs(recall - nHit / 10.0) < 1e-9)
+    }
+  }
+
   test("nn10: the norm-augmented cosine ranking equals the direct inner-product ranking") {
     import graft.operators.SimilarityOps.{dot, emb}
     val viaAug = run("nn10_mips_topk").collect().map(_.getLong(0)).toSeq
