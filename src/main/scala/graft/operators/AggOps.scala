@@ -35,6 +35,41 @@ object AggOps extends OpModule {
       |  UNION ALL
       |  SELECT tile_id, 'merge' AS step, ((tx*ty) % 4) <> 1 AS ok FROM boundaries)""".stripMargin
 
+  /** TWO-LEVEL sweep-line over order lifetimes (w11/w13): each order is an
+    * interval [o_orderdate, +30d); the boundary union (+1 start, −1 end)
+    * gets a per-(prio, month-bucket) local running sum, an exclusive
+    * prefix over the tiny per-bucket totals relation, and broadcast
+    * offsets added back — local_run + offset ≡ the global running sum
+    * (month(t) ordering is consistent with t ordering). `prio` alone has
+    * cardinality 5, so a single partitionBy(prio) window would funnel
+    * the whole fact table through 5 reducers at 100 TB; the (prio, bkt)
+    * key's parallelism instead grows with the data's time span. Ends
+    * sort BEFORE starts at equal t (ORDER BY t, d), making intervals
+    * half-open; every consumer below aggregates the per-row `open`
+    * order-invariantly. All-integer. Returns (prio, t, d, open). */
+  private def sweepOpen(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val deltas = o.select(col("o_orderpriority").as("prio"),
+        col("o_orderdate").as("t"), lit(1).as("d"))
+      .unionByName(o.select(col("o_orderpriority").as("prio"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("t"),
+        lit(-1).as("d")))
+      .withColumn("bkt", date_trunc("month", col("t")).cast("date"))
+    val wLocal = Window.partitionBy("prio", "bkt").orderBy("t", "d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = deltas.withColumn("run", sum("d").over(wLocal))
+    // Per-bucket totals: |prios| × |months| rows — tiny at any scale.
+    val wPrefix = Window.partitionBy("prio").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = deltas.groupBy("prio", "bkt")
+      .agg(sum("d").as("tot"))
+      .withColumn("off", coalesce(sum("tot").over(wPrefix), lit(0L)))
+      .select("prio", "bkt", "off")
+    local.join(broadcast(offsets), Seq("prio", "bkt"))
+      .withColumn("open", col("run") + col("off"))
+      .select("prio", "t", "d", "open")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1 — dissolve per version via the custom EnvelopeUnion Aggregator
     // (ST_UnaryUnion(ST_Collect(...)) GROUP BY version, tileconfig.py:567-586)
@@ -259,46 +294,32 @@ object AggOps extends OpModule {
 
     // W11 (extension) — SWEEP-LINE peak concurrency: how many orders of
     // each priority are simultaneously "open" (30-day lifetime), at the
-    // busiest instant. The interval set becomes a boundary union (+1 at
-    // start, −1 at end); a running sum gives the open count at every
-    // boundary; max picks the peak — no interval×interval join anywhere.
-    // Ends sort BEFORE starts at equal timestamps (ORDER BY t, d),
-    // making intervals half-open — and the peak is permutation-invariant
-    // among equal (t, d) rows, so the result is deterministic under any
-    // partitioning. All-integer.
-    //
-    // TWO-LEVEL sweep: prio has cardinality 5, so a single
-    // Window.partitionBy("prio") running sum would funnel the whole
-    // fact table through 5 reducers at 100 TB. Instead: (1) running
-    // sums WITHIN each (prio, month) bucket — parallelism = prios ×
-    // months; (2) exclusive prefix sum of per-bucket delta totals over
-    // the tiny (prio, month) relation; (3) broadcast the offsets back
-    // and add. local_run + offset(prior buckets) ≡ the global running
-    // sum, because month(t) ordering is consistent with t ordering.
-    "w11_peak_concurrency" -> ((s, dir) => {
-      val o = Tables.orders(s, dir)
-      val deltas = o.select(col("o_orderpriority").as("prio"),
-          col("o_orderdate").as("t"), lit(1).as("d"))
-        .unionByName(o.select(col("o_orderpriority").as("prio"),
-          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("t"),
-          lit(-1).as("d")))
-        .withColumn("bkt", date_trunc("month", col("t")).cast("date"))
-      val wLocal = Window.partitionBy("prio", "bkt").orderBy("t", "d")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val local = deltas.withColumn("run", sum("d").over(wLocal))
-      // Per-bucket totals: |prios| × |months| rows — tiny at any scale.
-      val wPrefix = Window.partitionBy("prio").orderBy("bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = deltas.groupBy("prio", "bkt")
-        .agg(sum("d").as("tot"))
-        .withColumn("off", coalesce(sum("tot").over(wPrefix), lit(0L)))
-        .select("prio", "bkt", "off")
-      local.join(broadcast(offsets), Seq("prio", "bkt"))
-        .withColumn("open", col("run") + col("off"))
+    // busiest instant — max over the sweep's running open count, no
+    // interval×interval join anywhere (see [[sweepOpen]] for the
+    // two-level scale shape).
+    "w11_peak_concurrency" -> ((s, dir) =>
+      sweepOpen(s, dir)
         .groupBy("prio")
         .agg(max("open").as("peak_open"), count(lit(1)).as("n_boundaries"))
-        .orderBy("prio")
-    }),
+        .orderBy("prio")),
+
+    // W13 (extension) — interval SELF-OVERLAP pair counts from the same
+    // sweep, never a self-join: every start event sees `open − 1` other
+    // intervals already open, and summing that over starts counts each
+    // overlapping pair exactly once (half-open [start, start+30d)
+    // semantics; equal-start tie groups contribute C(k,2) — the per-row
+    // running sum inside a tie group is order-dependent but its SUM is
+    // permutation-invariant, so the result is deterministic under any
+    // partitioning). The oracle recomputes the count with DuckDB's
+    // IEJoin range self-join + an explicit tie term — an independent
+    // O(n²)-candidate algorithm validating the O(n log n) sweep.
+    "w13_overlap_pairs" -> ((s, dir) =>
+      sweepOpen(s, dir)
+        .filter(col("d") === 1)
+        .groupBy("prio")
+        .agg(sum(col("open") - 1).as("n_pairs"),
+          count(lit(1)).as("n_intervals"))
+        .orderBy("prio")),
 
     // A17 (extension) — cohort retention matrix: users bucketed by their
     // first-activity week, counted (distinct) in each later week they
@@ -459,6 +480,34 @@ object AggOps extends OpModule {
         |SELECT prio, CAST(MAX(open) AS BIGINT) AS peak_open,
         |       COUNT(*) AS n_boundaries
         |FROM op GROUP BY prio ORDER BY prio""".stripMargin,
+
+    // independent algorithm: IEJoin range self-join (strictly-later
+    // starts inside the interval) + closed-form C(k,2) tie term for
+    // equal-start groups — vs the Spark side's sweep accumulation
+    "w13_overlap_pairs" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS prio, o_orderdate AS st,
+        |         o_orderdate + INTERVAL 30 DAY AS en
+        |  FROM orders),
+        |cross_pairs AS (
+        |  SELECT a.prio, COUNT(*) AS n
+        |  FROM o a JOIN o b
+        |    ON a.prio = b.prio AND b.st > a.st AND b.st < a.en
+        |  GROUP BY a.prio),
+        |tie_pairs AS (
+        |  SELECT prio, CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS n
+        |  FROM (SELECT prio, st, COUNT(*) AS n
+        |        FROM o GROUP BY prio, st) g
+        |  GROUP BY prio),
+        |counts AS (SELECT prio, COUNT(*) AS n_intervals FROM o GROUP BY prio)
+        |SELECT c.prio,
+        |       CAST(COALESCE(cp.n, 0) + COALESCE(tp.n, 0) AS BIGINT)
+        |         AS n_pairs,
+        |       c.n_intervals
+        |FROM counts c
+        |LEFT JOIN cross_pairs cp ON cp.prio = c.prio
+        |LEFT JOIN tie_pairs tp ON tp.prio = c.prio
+        |ORDER BY c.prio""".stripMargin,
 
     "w10_event_gaps" ->
       """WITH g AS (

@@ -57,10 +57,18 @@ object SimilarityOps extends OpModule {
   def dot(a: String, b: String): org.apache.spark.sql.Column =
     expr(s"vector_dot($a, $b)")
 
-  /** Sign-bit LSH bucket from the first 8 dimensions. */
+  /** Sign-bit LSH bucket from the first 8 dimensions. Deliberately an
+    * UNROLLED sum of CASEs rather than `aggregate(sequence(0,7), ...)`:
+    * a higher-order function's lambda hides its outer column reference
+    * from parts of the optimizer, and when this expression defines a
+    * join key that alias-substitution expands, predicate pushdown then
+    * misroutes the substituted condition to the WRONG join side
+    * (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at execution — hit by nn12).
+    * The unrolled form reports its references correctly, and is also
+    * whole-stage-codegen-friendlier (no per-row lambda dispatch). */
   private val bucketExpr =
-    expr("aggregate(sequence(0, 7), 0, (acc, i) -> " +
-      "acc + (CASE WHEN emb[i] > 0D THEN cast(pow(2, i) as int) ELSE 0 END))")
+    expr((0 to 7).map(i =>
+      s"(CASE WHEN emb[$i] > 0D THEN ${1 << i} ELSE 0 END)").mkString(" + "))
 
   private val bucketsSql =
     """buckets AS (
@@ -305,6 +313,50 @@ object SimilarityOps extends OpModule {
         .select(col("qid"), col("n_hit"),
           round(col("n_hit") / col("k"), 6).as("recall"))
         .orderBy("qid")
+    }),
+
+    // NN12 (extension) — MULTI-PROBE LSH: the recall dial nn11 measures.
+    // Each query probes its own sign-bucket PLUS the 8 Hamming-distance-1
+    // neighbors (one flipped hyperplane bit) — 9× the candidates, far
+    // higher recall, and the search STAYS an equi-join: the query side
+    // explodes to its 9 probe buckets (9 rows per query, still a
+    // broadcast-sized relation) and candidates come from a plain join on
+    // the bucket id. The corpus is never rescored outside matched
+    // buckets and never shuffles on anything but its bucket. Top-5 per
+    // query via the same two-phase rank as nn11.
+    "nn12_multiprobe_ann" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val K = 5
+      val b = emb(s, dir).withColumn("bucket", bucketExpr)
+      // The 9 probe buckets (own + 8 one-bit flips) come from a cross
+      // join with a 9-row mask table rather than an explode: a generator
+      // whose input inlines the higher-order bucket expression trips
+      // Catalyst's generator pruning (INTERNAL_ERROR_ATTRIBUTE_NOT_
+      // FOUND), and 4 queries × 9 masks is still a broadcast-sized
+      // relation.
+      import s.implicits._
+      val qb = emb(s, dir).withColumn("bucket", bucketExpr)
+        .filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("emb").as("qe"),
+          col("bucket").cast("int").as("qbucket"))
+      val masks = (-1 to 7).toDF("mask")
+      val probes = qb.crossJoin(masks)
+        .select(col("qid"), col("qe"),
+          expr("CAST(CASE WHEN mask < 0 THEN qbucket ELSE " +
+            "qbucket ^ CAST(pow(2, mask) AS INT) END AS INT)").as("pbucket"))
+        .as("p")
+      val order = Seq(col("cos").desc, col("vec_id"))
+      val pre = Window.partitionBy(col("qid"), spark_partition_id())
+        .orderBy(order: _*)
+      val fin = Window.partitionBy("qid").orderBy(order: _*)
+      b.as("c").join(broadcast(probes), col("c.bucket") === col("p.pbucket"))
+        .withColumn("cos",
+          dot("c.emb", "p.qe") /
+            (sqrt(dot("c.emb", "c.emb")) * sqrt(dot("p.qe", "p.qe"))))
+        .select(col("qid"), col("c.vec_id").as("vec_id"), col("cos"))
+        .withColumn("prn", row_number().over(pre)).filter(col("prn") <= K)
+        .withColumn("rn", row_number().over(fin)).filter(col("rn") <= K)
+        .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cos"))
     })
   )
 
@@ -335,6 +387,26 @@ object SimilarityOps extends OpModule {
         |       ROUND(COUNT(lsh.vec_id) / (COUNT(*) * 1.0), 6) AS recall
         |FROM bf LEFT JOIN lsh USING (qid, vec_id)
         |GROUP BY qid ORDER BY qid""".stripMargin),
+
+    "nn12_multiprobe_ann" -> Sql.query(embSql, bucketsSql,
+      """probes AS (
+        |  SELECT b.vec_id AS qid, b.emb AS qe,
+        |         CASE WHEN i = 0 THEN b.bucket
+        |              ELSE xor(b.bucket, CAST(2**(i-1) AS INT)) END AS bucket
+        |  FROM buckets b, generate_series(0, 8) AS g(i)
+        |  WHERE b.vec_id < 4)""".stripMargin,
+      """cands AS (
+        |  SELECT p.qid, e.vec_id,
+        |         list_dot_product(e.emb, p.qe) /
+        |           (sqrt(list_dot_product(e.emb, e.emb)) *
+        |            sqrt(list_dot_product(p.qe, p.qe))) AS cos
+        |  FROM buckets e JOIN probes p ON e.bucket = p.bucket)""".stripMargin)(
+      """SELECT qid, vec_id, ROUND(cos, 6) AS cos FROM (
+        |  SELECT qid, vec_id, cos,
+        |         ROW_NUMBER() OVER (PARTITION BY qid
+        |           ORDER BY cos DESC, vec_id) AS rn
+        |  FROM cands) t
+        |WHERE rn <= 5""".stripMargin),
 
     "nn1_cosine_topk" -> Sql.query(embSql,
       "q AS (SELECT emb AS qe FROM emb WHERE vec_id = 0)")(

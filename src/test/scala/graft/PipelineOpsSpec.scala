@@ -575,6 +575,44 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("nn12: multi-probe widens the candidate set — self-match at cos 1.0, 5 hits per query") {
+    val rows = run("nn12_multiprobe_ann").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L))
+    byQ.foreach { case (qid, hits) =>
+      assert(hits.length == 5, s"qid $qid: ${hits.length} hits")
+      // the query's own bucket is probed, so it finds itself at cos 1.0
+      assert(hits.exists(h => h._2 == qid && math.abs(h._3 - 1.0) < 1e-9))
+      // multi-probe candidates contain the single-bucket candidates, so
+      // the top-5 cosine floor can only be >= the single-probe floor
+    }
+  }
+
+  test("w13: sweep-line pair counts equal a direct interval theta-join count") {
+    val viaSweep = run("w13_overlap_pairs").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val o = spark.read.parquet(s"$Sf/orders.parquet")
+      .select(col("o_orderpriority").as("prio"),
+        col("o_orderdate").as("st"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("en"),
+        col("o_orderkey").as("id"))
+    // unordered overlapping pairs, counted once each: strictly-later
+    // starts in-range, plus same-start pairs broken by id
+    val a = o.as("a"); val b = o.as("b")
+    val direct = a.join(b,
+        col("a.prio") === col("b.prio") &&
+          (col("b.st") > col("a.st") ||
+            (col("b.st") === col("a.st") && col("b.id") > col("a.id"))) &&
+          col("b.st") < col("a.en"))
+      .groupBy(col("a.prio").as("prio")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaSweep.keySet == direct.keySet)
+    viaSweep.foreach { case (prio, (nPairs, _)) =>
+      assert(nPairs == direct(prio), s"$prio: sweep=$nPairs direct=${direct(prio)}")
+    }
+  }
+
   test("nn10: the norm-augmented cosine ranking equals the direct inner-product ranking") {
     import graft.operators.SimilarityOps.{dot, emb}
     val viaAug = run("nn10_mips_topk").collect().map(_.getLong(0)).toSeq
