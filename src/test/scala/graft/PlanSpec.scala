@@ -245,6 +245,33 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("tx12: the zipf profile joins nothing — lang rides the explode") {
+    val plan = executedPlan("tx12_zipf_topshare")
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+  }
+
+  test("w12: the tolerance as-of is join-free — two exchanges (click dedup + the window key)") {
+    val plan = finalPlan("w12_asof_tolerance")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("nn12: multi-probe candidates come from a broadcast equi-join; corpus never shuffles to join") {
+    val plan = executedPlan("nn12_multiprobe_ann")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the only nested-loop is the 4-query × 9-mask probe expansion —
+    // never the corpus-side candidate search
+    val bnlj = plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("mask")), plan)
+  }
+
+  test("dd10: the cross-source gate aggregates map-side before the fingerprint shuffle") {
+    val plan = executedPlan("dd10_cross_source_dup")
+    assert(plan.contains("partial_count") || plan.contains("partial_min"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("nn8: Lloyd assignment broadcasts the seeds; mean recompute is partial-agged") {
     val plan = executedPlan("nn8_kmeans_step")
     assert(plan.contains("BroadcastExchange"), plan)
