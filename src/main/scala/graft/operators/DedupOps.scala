@@ -278,23 +278,27 @@ object DedupOps extends OpModule {
     // hot-shingle df — the registered form IS the 100 TB form; the
     // uncapped brute-force survives as a fixture-scale golden in
     // PipelineOpsSpec.
-    "dd3_jaccard_pairs" -> ((s, dir) => {
-      val sh = cappedShingles(s, dir)
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val inter = sh.select(col("doc_id").as("doc_a"), col("sh"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.withColumnRenamed("doc_id", "doc_a")
-          .withColumnRenamed("sz", "sza"), Seq("doc_a"))
-        .join(sizes.withColumnRenamed("doc_id", "doc_b")
-          .withColumnRenamed("sz", "szb"), Seq("doc_b"))
+    "dd3_jaccard_pairs" -> ((s, dir) =>
+      pairIntersections(s, dir)
         .withColumn("jaccard",
           round(col("inter") / (col("sza") + col("szb") - col("inter")), 6))
         .filter(col("jaccard") >= 0.2)
-        .select("doc_a", "doc_b", "jaccard")
-    }),
+        .select("doc_a", "doc_b", "jaccard")),
+
+    // DD11 (extension) — Jaccard THRESHOLD-CALIBRATION histogram: the
+    // distribution of pairwise similarity over all co-shingled pairs,
+    // in tenth-wide bins — the artifact you stare at before choosing
+    // dd6's dedup threshold (where does the corpus's near-dup mass
+    // sit?). Binning is ALL-INTEGER: bin = (10·|∩|) div |∪| — no float
+    // ever crosses an engine boundary, so bucket edges cannot disagree.
+    // Same df-capped pair relation as dd3 (shared cached shingles, never
+    // quadratic in hot-shingle df); the histogram itself is a tiny
+    // 11-key aggregate.
+    "dd11_jaccard_hist" -> ((s, dir) =>
+      pairIntersections(s, dir)
+        .withColumn("bin", expr("(inter * 10) div (sza + szb - inter)"))
+        .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("bin")),
 
     // dd2 with the document-frequency cap applied BEFORE hashing — the
     // hot-bucket mitigation SCALE.md prescribes for 100 TB corpora.
@@ -409,6 +413,24 @@ object DedupOps extends OpModule {
           min("doc_id").as("keeper_id"))
         .filter(col("n_sources") >= 2))
   )
+
+  /** Co-shingled pair intersections over the df-capped shingle relation:
+    * (doc_a, doc_b, inter, sza, szb) for every pair sharing ≥ 1 capped
+    * shingle (dd3's Jaccard base and dd11's histogram base). The shuffle
+    * key is the shingle, the fan-out df-capped — never corpus-quadratic. */
+  private def pairIntersections(s: SparkSession, dir: String): DataFrame = {
+    val sh = cappedShingles(s, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("sz", "sza"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("sz", "szb"), Seq("doc_b"))
+  }
 
   /** Min-label propagation to fixpoint over an undirected pair graph
     * (doc_a, doc_b) → (doc_id, component). Each round is (a) one
@@ -545,6 +567,20 @@ object DedupOps extends OpModule {
         |JOIN sizes sa ON sa.doc_id = i.doc_a
         |JOIN sizes sb ON sb.doc_id = i.doc_b
         |WHERE ROUND(i.inter / (sa.sz + sb.sz - i.inter), 6) >= 0.2""".stripMargin),
+
+    "dd11_jaccard_hist" -> Sql.query(shinglesSql, cappedSql,
+      "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM capped GROUP BY doc_id)",
+      """inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM capped a JOIN capped b ON a.sh = b.sh
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)""".stripMargin)(
+      """SELECT (i.inter * 10) // (sa.sz + sb.sz - i.inter) AS bin,
+        |       COUNT(*) AS n_pairs
+        |FROM inter i
+        |JOIN sizes sa ON sa.doc_id = i.doc_a
+        |JOIN sizes sb ON sb.doc_id = i.doc_b
+        |GROUP BY 1 ORDER BY bin""".stripMargin),
 
     "dd8_shingle_dupfrac" -> Sql.query(shinglesSql,
       "dfreq AS (SELECT sh, COUNT(*) AS df FROM shingles GROUP BY sh)")(

@@ -613,6 +613,17 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("dd11: the histogram partitions dd3's pair relation and bins agree with exact jaccard") {
+    val hist = run("dd11_jaccard_hist").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist.nonEmpty && hist.keys.forall(b => b >= 0 && b <= 10))
+    // bins >= 2 must cover exactly the pairs dd3 reports (jaccard >= 0.2):
+    // integer binning (10*inter) div union >= 2 <=> inter/union >= 0.2
+    val dd3Pairs = run("dd3_jaccard_pairs").count()
+    assert(hist.filter(_._1 >= 2).values.sum == dd3Pairs,
+      s"hist=$hist dd3=$dd3Pairs")
+  }
+
   test("nn10: the norm-augmented cosine ranking equals the direct inner-product ranking") {
     import graft.operators.SimilarityOps.{dot, emb}
     val viaAug = run("nn10_mips_topk").collect().map(_.getLong(0)).toSeq
