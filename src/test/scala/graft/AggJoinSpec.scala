@@ -141,4 +141,26 @@ class AggJoinSpec extends SparkSpec {
     assert(byLang("fr")._3 > byLang("en")._3,
       "low-resource fr must get a higher keep rate than en")
   }
+
+  test("w11: the two-level sweep equals the single-window sweep (algebraic equivalence)") {
+    // the scale-shaped plan must be a pure rewrite of the semantics:
+    // recompute peak/boundaries with the direct cardinality-5 window
+    // (fine at test scale) and require identical results
+    import org.apache.spark.sql.expressions.Window
+    val viaTwoLevel = run("w11_peak_concurrency").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val o = spark.read.parquet(s"$Sf/orders.parquet")
+    val deltas = o.select(col("o_orderpriority").as("prio"),
+        col("o_orderdate").as("t"), lit(1).as("d"))
+      .unionByName(o.select(col("o_orderpriority").as("prio"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("t"),
+        lit(-1).as("d")))
+    val w = Window.partitionBy("prio").orderBy("t", "d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val direct = deltas.withColumn("open", sum("d").over(w))
+      .groupBy("prio")
+      .agg(max("open").as("peak_open"), count(lit(1)).as("n_boundaries"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaTwoLevel == direct)
+  }
 }
