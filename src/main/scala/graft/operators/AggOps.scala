@@ -155,6 +155,27 @@ object AggOps extends OpModule {
         .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 16))")
           .as("n_users"))),
 
+    // A18 (extension) — MERGEABLE-SKETCH re-aggregation: per-(type, day)
+    // HLL sketches built once, then union-merged to per-type totals —
+    // the incremental-analytics pattern that makes distinct-counting
+    // tractable at 100 TB (daily sketch materialization; any window's
+    // cardinality is a cheap register max-merge of O(days) sketches,
+    // never a re-scan). HLL union is REGISTER-EXACT (max-merge), so the
+    // merged estimate provably equals the single-pass a13 estimate —
+    // which the gate already pins to the exact count at fixture
+    // cardinalities. Both aggregation levels are partial-agg shuffles
+    // on shrinking keys.
+    "a18_sketch_merge" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(expr("hll_sketch_agg(user_id, 16)").as("sk"))
+      daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          expr("hll_sketch_estimate(hll_union_agg(sk, false))")
+            .as("n_users"))
+        .orderBy("event_type")
+    }),
+
     // A14 (extension) — pivot: the lang × split contingency matrix of
     // the training mix (the report every corpus-curation run ends with).
     // `pivot` with EXPLICIT values keeps the plan a single-pass
@@ -390,6 +411,15 @@ object AggOps extends OpModule {
     "a13_approx_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // a18: merged-sketch estimate must equal the EXACT counts — the
+    // union-exactness property plus a13's pinned estimate precision
+    "a18_sketch_merge" ->
+      """SELECT event_type,
+        |       COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+        |       COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     // a14: conditional aggregation — the pivot must equal the hand-built
     // contingency matrix

@@ -142,6 +142,14 @@ class AggJoinSpec extends SparkSpec {
       "low-resource fr must get a higher keep rate than en")
   }
 
+  test("a18: union-merged daily sketches estimate exactly like the single-pass sketch") {
+    val merged = run("a18_sketch_merge").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val single = run("a13_approx_distinct").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == single, s"merged=$merged single=$single")
+  }
+
   test("w11: the two-level sweep equals the single-window sweep (algebraic equivalence)") {
     // the scale-shaped plan must be a pure rewrite of the semantics:
     // recompute peak/boundaries with the direct cardinality-5 window
