@@ -46,8 +46,12 @@ object AggOps extends OpModule {
     * key's parallelism instead grows with the data's time span. Ends
     * sort BEFORE starts at equal t (ORDER BY t, d), making intervals
     * half-open; every consumer below aggregates the per-row `open`
-    * order-invariantly. All-integer. Returns (prio, t, d, open). */
-  private def sweepOpen(s: SparkSession, dir: String): DataFrame = {
+    * order-invariantly. All-integer. Returns (prio, t, d, open),
+    * persisted once per (session, dir) — w11 and w13 both consume it. */
+  private def sweepOpen(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Cached.of(s, s"w:sweep:$dir") { sweepOpenBuild(s, dir) }
+
+  private def sweepOpenBuild(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
     val deltas = o.select(col("o_orderpriority").as("prio"),
         col("o_orderdate").as("t"), lit(1).as("d"))

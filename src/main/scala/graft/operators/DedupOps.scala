@@ -417,20 +417,23 @@ object DedupOps extends OpModule {
   /** Co-shingled pair intersections over the df-capped shingle relation:
     * (doc_a, doc_b, inter, sza, szb) for every pair sharing ≥ 1 capped
     * shingle (dd3's Jaccard base and dd11's histogram base). The shuffle
-    * key is the shingle, the fan-out df-capped — never corpus-quadratic. */
-  private def pairIntersections(s: SparkSession, dir: String): DataFrame = {
-    val sh = cappedShingles(s, dir)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = sh.select(col("doc_id").as("doc_a"), col("sh"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("sz", "sza"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("sz", "szb"), Seq("doc_b"))
-  }
+    * key is the shingle, the fan-out df-capped — never corpus-quadratic.
+    * Persisted once per (session, dir): the self-join is the family's
+    * most expensive relation and two queries consume it. */
+  private def pairIntersections(s: SparkSession, dir: String): DataFrame =
+    Cached.of(s, s"dd:pairs:$dir") {
+      val sh = cappedShingles(s, dir)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = sh.select(col("doc_id").as("doc_a"), col("sh"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("sz", "sza"), Seq("doc_a"))
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("sz", "szb"), Seq("doc_b"))
+    }
 
   /** Min-label propagation to fixpoint over an undirected pair graph
     * (doc_a, doc_b) → (doc_id, component). Each round is (a) one
