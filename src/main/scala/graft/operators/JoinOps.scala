@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.OpModule
 import graft.model.TileGrid
-import graft.sources.{Sql, Tables}
+import graft.sources.{Cached, Sql, Tables}
 
 /** Join suite J1-J8 (SURVEY §2.4).
   *
@@ -173,6 +173,42 @@ object JoinOps extends OpModule {
           coalesce(col("bought"), lit(0))).as("stage"))
         .groupBy("stage").agg(count(lit(1)).as("n_users"))
         .orderBy("stage")
+    }),
+
+    // J12 (extension) — BLOOM-FILTER SEMI-JOIN REDUCTION: lineitem ⋈
+    // urgent orders, with the probe side pre-filtered by a fixed-size
+    // Bloom sketch of the build side's keys. The 100 TB shape this
+    // rehearses: the build side is selective but its key SET is still
+    // too large to broadcast as rows (no BHJ) — so instead of shuffling
+    // the entire fact table into the join, aggregate the build keys
+    // into a [[graft.functions.BloomFilterAgg]] bitset (12 bits/key,
+    // map-side mergeable, ~15 MB at 10M keys), broadcast THAT, and drop
+    // non-matching fact rows at the scan. The exchange then carries
+    // ~|matches| rows (+0.3% FPP residue) instead of |lineitem|.
+    // Correctness never depends on the sketch: no false negatives, and
+    // the exact equi-join behind it removes false positives — so the
+    // result is identical to the plain join (the oracle IS the plain
+    // join). The probe UDF sits outside codegen by design: one branchy
+    // bitset lookup replacing a full shuffle is the right trade.
+    "j12_bloom_prune" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.BloomFilterAgg
+      val sel = Cached.of(s, s"j12:urgent:$dir")(
+        Tables.orders(s, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey", "o_orderdate"))
+      val numBits = BloomFilterAgg.sizeFor(sel.count())
+      val sketch = sel.select(col("o_orderkey")).as[Long]
+        .select(new BloomFilterAgg(numBits).toColumn).head()
+      val bf = s.sparkContext.broadcast(sketch)
+      val probe = udf((k: Long) => BloomFilterAgg.contains(bf.value, k))
+      Tables.lineitem(s, dir)
+        .filter(probe(col("l_orderkey")))
+        .join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(Exact.decSumExpr(Exact.dec(col("l_extendedprice")) *
+          (lit(1) - Exact.dec(col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
     })
   )
 
@@ -283,6 +319,17 @@ object JoinOps extends OpModule {
         |  LEFT JOIN c ON v.user_id = c.user_id
         |  LEFT JOIN p ON v.user_id = p.user_id) t
         |GROUP BY stage
-        |ORDER BY stage""".stripMargin
+        |ORDER BY stage""".stripMargin,
+
+    // The sketch is invisible to semantics: the oracle is the PLAIN join.
+    "j12_bloom_prune" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+        |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |         (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1""".stripMargin
   )
 }
