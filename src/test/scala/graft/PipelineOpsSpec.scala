@@ -635,4 +635,54 @@ class PipelineOpsSpec extends SparkSpec {
       .limit(10).collect().map(_.getLong(0)).toSeq
     assert(viaAug == direct, s"aug=$viaAug direct=$direct")
   }
+
+  test("ds13: distributed two-phase rank equals the single-window global NTILE") {
+    import org.apache.spark.sql.expressions.Window
+    val got = run("ds13_curriculum_order").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = sources.Tables.documents(spark, Sf)
+      .select(col("doc_id"),
+        ntile(8).over(Window.orderBy(col("n_chars").desc, col("doc_id")))
+          .cast("long").as("stage"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ref)
+    // stage sizes differ by at most one, larger stages first (SQL NTILE)
+    val sizes = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    val ordered = (1L to 8L).map(sizes(_))
+    assert(ordered.max - ordered.min <= 1 && ordered == ordered.sorted.reverse)
+  }
+
+  test("ds14: no surviving train doc shares a 5-gram with the test split (string-level recompute)") {
+    import graft.operators.DedupOps.h60
+    val docs = sources.Tables.documents(spark, Sf)
+    val spl = docs
+      .withColumn("b", h60("spl:", col("text")) % 100)
+      .withColumn("split", when(col("b") < 80, "train")
+        .when(col("b") < 90, "val").otherwise("test"))
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("arr"))
+      .filter(size(col("arr")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(arr)-5), i -> array_join(slice(arr, i+1, 5), ' '))"))
+        .as("g")) // STRING grams — independent of the query's h60 keying
+    val testGrams = grams.join(spl.filter(col("split") === "test"), Seq("doc_id"))
+      .select("g").distinct().collect().map(_.getString(0)).toSet
+    val surviving = run("ds14_exact_decontam").collect().map(_.getLong(0)).toSet
+    val trainIds = spl.filter(col("split") === "train")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(surviving.subsetOf(trainIds))
+    val survivingGrams = grams
+      .filter(col("doc_id").isin(surviving.toSeq: _*))
+      .select("doc_id", "g").collect()
+    assert(survivingGrams.forall(r => !testGrams.contains(r.getString(1))))
+    // and every scrubbed train doc really does overlap the test set
+    val scrubbed = trainIds -- surviving
+    if (scrubbed.nonEmpty) {
+      val scrubbedOverlap = grams
+        .filter(col("doc_id").isin(scrubbed.toSeq: _*)).collect()
+        .groupBy(_.getLong(0))
+        .map { case (id, rs) => id -> rs.exists(r => testGrams.contains(r.getString(1))) }
+      assert(scrubbedOverlap.values.forall(identity), s"scrubbed without overlap: $scrubbedOverlap")
+    }
+  }
 }
