@@ -226,6 +226,38 @@ object SourceSinkOps extends OpModule {
           Exact.decSum(col("o_totalprice"), 2).as("revenue"))
     }),
 
+    // K17 — Z-ORDER LAYOUT: rewrite the fact table sorted by the Morton
+    // interleave of (l_partkey, l_suppkey) — [[graft.functions.ZOrder]],
+    // pure codegen'd bitwise Columns — then answer a 2-D box query from
+    // the re-laid-out copy. At 100 TB this is the data-layout half of
+    // scan performance: one range-partitioned sort at write time buys
+    // every later box query file-level min/max pruning on BOTH columns
+    // at once (single-column sort prunes only its own column; ZOrderSpec
+    // measures the file-count gap on this fixture). Semantics are
+    // layout-invariant by construction — the oracle is the same box
+    // aggregate over the ORIGINAL table.
+    "k17_zorder_layout" -> ((s, dir) => {
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_k17_${dir.hashCode}_${ProcessHandle.current.pid}").getPath
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice", "l_discount")
+        .withColumn("zv",
+          graft.functions.ZOrder.zvalue(col("l_partkey"), col("l_suppkey")))
+        .repartitionByRange(8, col("zv"))
+        .sortWithinPartitions("zv")
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .filter(col("l_partkey").between(50, 150) &&
+                col("l_suppkey").between(5, 25))
+        .agg(count(lit(1)).as("n_items"),
+          sum("l_quantity").as("sum_qty"),
+          Exact.decSumExpr(Exact.dec(col("l_extendedprice")) *
+            (lit(1) - Exact.dec(col("l_discount"))), 2).as("revenue"))
+    }),
+
     // O7 — statistics maintenance: VACUUM ANALYZE → ANALYZE TABLE COMPUTE
     // STATISTICS (db.py:79-99); surfaces the row count the CBO will use
     "o7_analyze_stats" -> ((s, _) => {
@@ -315,6 +347,17 @@ object SourceSinkOps extends OpModule {
         |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
         |            AS DOUBLE) AS revenue
         |FROM orders""".stripMargin,
+
+    // k17: layout is invisible to semantics — the oracle reads the
+    // ORIGINAL table with the same box predicate
+    "k17_zorder_layout" ->
+      """SELECT COUNT(*) AS n_items,
+        |       SUM(l_quantity) AS sum_qty,
+        |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |         (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 50 AND 150
+        |  AND l_suppkey BETWEEN 5 AND 25""".stripMargin,
 
     // o7: the row count ANALYZE wrote into the catalog must equal the
     // relation's true cardinality — checked as data, not catalog text
