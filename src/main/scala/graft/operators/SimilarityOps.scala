@@ -357,6 +357,57 @@ object SimilarityOps extends OpModule {
         .withColumn("prn", row_number().over(pre)).filter(col("prn") <= K)
         .withColumn("rn", row_number().over(fin)).filter(col("rn") <= K)
         .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cos"))
+    }),
+
+    // NN13 (extension) — PRODUCT QUANTIZATION + ADC: the memory half of
+    // billion-scale ANN (FAISS's IVF*,PQ* family). Each 64-d vector is
+    // cut into 4 subvectors of 16 dims; each subvector is replaced by
+    // the id of its nearest codebook centroid (here: the subvectors of
+    // the 16 lowest-vec_id anchors — a deterministic stand-in for a
+    // k-means codebook; the assignment/search algebra is identical), so
+    // a vector compresses 64 doubles → 4 small codes. Query scoring is
+    // ASYMMETRIC distance: the query stays full-precision and its
+    // distance to each DB vector is the sum of per-subspace distances to
+    // the CODED centroids — 4 table lookups per candidate, no original
+    // vectors touched.
+    //
+    // Scale shape: the codebook is k×m tiny and broadcasts everywhere;
+    // encode is one corpus scan (broadcast join + min-distance argmin,
+    // shuffle key (vec_id, sub) — well distributed); search scans only
+    // CODES (m longs/vector, ~32 B instead of 512 B — the point of PQ),
+    // with the query batch broadcast. Engine parity is exact: every
+    // distance is composed of VectorDot products that match DuckDB's
+    // list_dot_product bit-for-bit, the 4 subspace contributions are
+    // added in fixed pivot-column order (never a float SUM whose order
+    // the engine picks), and argmin ties break on centroid id.
+    "nn13_pq_adc" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, dir)
+      def slices(df: DataFrame, idAs: String, vecAs: String): DataFrame =
+        df.select(col("vec_id").as(idAs), explode(expr(
+          "transform(sequence(0, 3), j -> struct(j AS sub, slice(emb, j*16+1, 16) AS v))"))
+          .as("e"))
+          .select(col(idAs), col("e.sub").as("sub"), col("e.v").as(vecAs))
+      val cb = slices(e.filter(col("vec_id") < 16), "cid", "cvec")
+      val sl = slices(e, "vec_id", "v")
+      val asg = sl.join(broadcast(cb), Seq("sub"))
+        .withColumn("d2", dot("v", "v") - lit(2) * dot("v", "cvec")
+          + dot("cvec", "cvec"))
+      val mind = asg.groupBy("vec_id", "sub").agg(min("d2").as("md"))
+      val code = asg.join(mind, Seq("vec_id", "sub"))
+        .filter(col("d2") === col("md"))
+        .groupBy("vec_id", "sub").agg(min("cid").as("cid"))
+      val qsl = slices(e.filter(col("vec_id") < 4), "qid", "qv")
+      val contrib = code.join(broadcast(cb), Seq("sub", "cid"))
+        .join(broadcast(qsl), Seq("sub"))
+        .withColumn("d2", dot("qv", "qv") - lit(2) * dot("qv", "cvec")
+          + dot("cvec", "cvec"))
+      val adc = contrib.groupBy("qid", "vec_id")
+        .pivot("sub", Seq(0, 1, 2, 3)).agg(first(col("d2")))
+        .withColumn("adc", col("0") + col("1") + col("2") + col("3"))
+      val w = Window.partitionBy("qid").orderBy(col("adc"), col("vec_id"))
+      adc.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+        .select(col("qid"), col("vec_id"), round(col("adc"), 6).as("adc"))
     })
   )
 
@@ -521,6 +572,50 @@ object SimilarityOps extends OpModule {
       """SELECT e.vec_id, ROUND(list_dot_product(e.emb, q.qe), 6) AS ip
         |FROM emb e, q
         |ORDER BY list_dot_product(e.emb, q.qe) DESC, e.vec_id
-        |LIMIT 10""".stripMargin)
+        |LIMIT 10""".stripMargin),
+
+    // PQ replayed relationally: same codebook, same argmin (min distance
+    // then min cid), contributions added in fixed column order — every
+    // double is bit-identical to the Spark side, so the ADC ranking is
+    // deterministic and identical
+    "nn13_pq_adc" -> Sql.query(embSql,
+      """cb AS (
+        |  SELECT vec_id AS cid, j AS sub, emb[j*16+1 : j*16+16] AS cvec
+        |  FROM emb, generate_series(0, 3) g(j) WHERE vec_id < 16)""".stripMargin,
+      """sl AS (
+        |  SELECT vec_id, j AS sub, emb[j*16+1 : j*16+16] AS v
+        |  FROM emb, generate_series(0, 3) g(j))""".stripMargin,
+      """asg AS (
+        |  SELECT s.vec_id, s.sub, c.cid,
+        |         list_dot_product(s.v, s.v) - 2*list_dot_product(s.v, c.cvec)
+        |           + list_dot_product(c.cvec, c.cvec) AS d2
+        |  FROM sl s JOIN cb c ON s.sub = c.sub)""".stripMargin,
+      """code AS (
+        |  SELECT a.vec_id, a.sub, MIN(a.cid) AS cid
+        |  FROM asg a
+        |  JOIN (SELECT vec_id, sub, MIN(d2) AS md FROM asg GROUP BY 1, 2) m
+        |    ON a.vec_id = m.vec_id AND a.sub = m.sub AND a.d2 = m.md
+        |  GROUP BY 1, 2)""".stripMargin,
+      "qsl AS (SELECT vec_id AS qid, sub, v AS qv FROM sl WHERE vec_id < 4)",
+      """contrib AS (
+        |  SELECT q.qid, k.vec_id, k.sub,
+        |         list_dot_product(q.qv, q.qv) - 2*list_dot_product(q.qv, c.cvec)
+        |           + list_dot_product(c.cvec, c.cvec) AS d2
+        |  FROM code k
+        |  JOIN cb c ON k.cid = c.cid AND k.sub = c.sub
+        |  JOIN qsl q ON q.sub = k.sub)""".stripMargin,
+      """adcs AS (
+        |  SELECT qid, vec_id,
+        |         MAX(CASE WHEN sub = 0 THEN d2 END)
+        |           + MAX(CASE WHEN sub = 1 THEN d2 END)
+        |           + MAX(CASE WHEN sub = 2 THEN d2 END)
+        |           + MAX(CASE WHEN sub = 3 THEN d2 END) AS adc
+        |  FROM contrib GROUP BY 1, 2)""".stripMargin)(
+      """SELECT qid, vec_id, ROUND(adc, 6) AS adc FROM (
+        |  SELECT qid, vec_id, adc,
+        |         ROW_NUMBER() OVER (PARTITION BY qid
+        |           ORDER BY adc, vec_id) AS rn
+        |  FROM adcs) t
+        |WHERE rn <= 10""".stripMargin)
   )
 }

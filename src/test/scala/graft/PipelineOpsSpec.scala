@@ -636,6 +636,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(viaAug == direct, s"aug=$viaAug direct=$direct")
   }
 
+  test("nn13: anchors code to themselves (zero distance) and ADC approximates exact L2") {
+    import graft.operators.SimilarityOps.{dot, emb}
+    val rows = run("nn13_pq_adc").collect()
+    assert(rows.length == 4 * 10)
+    // ADC is a sum of squared distances — never negative (tiny float
+    // negatives would indicate a broken distance identity)
+    assert(rows.forall(_.getDouble(2) > -1e-9))
+    // every anchor query (qid < 4 ⊂ anchors) codes each subspace to its
+    // own subvector, so its self-ADC is exactly 0 → rank 1 is itself
+    val best = rows.groupBy(_.getLong(0)).view.mapValues(
+      _.minBy(r => (r.getDouble(2), r.getLong(1)))).toMap
+    (0L until 4L).foreach { q =>
+      assert(best(q).getLong(1) == q && best(q).getDouble(2) == 0.0,
+        s"query $q best=${best(q)}")
+    }
+    // ADC top-10 must overlap the exact-L2 top-10. The fixture is
+    // i.i.d.-random 64-d vectors — the hardest case for a 16-centroid
+    // codebook (no cluster structure to exploit), so demand only a
+    // non-empty overlap per query; real embedding corpora cluster and
+    // recall rises with codebook size (nn11 is the measuring harness)
+    val e = emb(spark, Sf)
+    (0L until 4L).foreach { q =>
+      val qe = e.filter(col("vec_id") === q).select(col("emb").as("qe"))
+      val exact = e.crossJoin(broadcast(qe))
+        .withColumn("d2", dot("emb", "emb") - lit(2) * dot("emb", "qe")
+          + dot("qe", "qe"))
+        .orderBy(col("d2"), col("vec_id")).limit(10)
+        .collect().map(_.getLong(0)).toSet
+      val got = rows.filter(_.getLong(0) == q).map(_.getLong(1)).toSet
+      assert((exact & got).nonEmpty, s"query $q: ADC top-10 disjoint from exact top-10")
+    }
+  }
+
   test("ds13: distributed two-phase rank equals the single-window global NTILE") {
     import org.apache.spark.sql.expressions.Window
     val got = run("ds13_curriculum_order").collect()
