@@ -349,6 +349,49 @@ class PlanSpec extends SparkSpec {
     assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(o_orderdate.*"), plan)
   }
 
+  test("j12: the bloom probe filters the fact scan BELOW the join") {
+    val plan = finalPlan("j12_bloom_prune")
+    // the probe must run scan-side (before the exchange), not post-join:
+    // in the plan text the fact side's Filter mentions the UDF and sits
+    // under the join operator
+    val joinIdx = plan.indexOf("Join")
+    val probeIdx = "UDF\\([a-z(]*l_orderkey".r.findFirstMatchIn(plan).map(_.start).getOrElse(-1)
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      s"probe not under the join: join@$joinIdx probe@$probeIdx\n$plan")
+    // and the join itself stays a hash equi-join on the key
+    assert(plan.contains("HashJoin"), plan)
+  }
+
+  test("ds13: no corpus-sized single-partition window — ranking is per range partition") {
+    val plan = finalPlan("ds13_curriculum_order")
+    // the row_number window must be partitioned (by pid), never global
+    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    val rnWindow = windows.find(_.contains("row_number"))
+    assert(rnWindow.isDefined, plan)
+    assert(rnWindow.get.contains("pid"),
+      s"row_number window not partitioned by pid: ${rnWindow.get}")
+    // and the corpus reaches it through a RANGE repartition (global order
+    // from contiguous partition ranges, not one reducer)
+    assert(plan.contains("rangepartitioning"), plan)
+  }
+
+  test("k17: box predicates are pushed into the re-laid-out parquet scan") {
+    val plan = executedPlan("k17_zorder_layout")
+    // the rendered PushedFilters list is length-truncated — assert the
+    // partkey range bounds and that suppkey made it into the pushed set
+    assert(plan.matches(
+      "(?s).*PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(l_partkey,50\\).*"), plan)
+    assert(plan.matches(
+      "(?s).*PushedFilters: \\[[^\\]]*IsNotNull\\(l_suppkey\\).*"), plan)
+    assert(plan.contains("(l_suppkey#") && plan.contains(" <= 150"), plan)
+  }
+
+  test("nn13: codebook and query sides broadcast — codes never shuffle to score") {
+    val plan = finalPlan("nn13_pq_adc")
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(nBroadcast >= 3, s"expected >=3 broadcast joins (cb×2, qsl):\n$plan")
+  }
+
   test("s8: DSv2 tiledir values match the fixture constants") {
     val got = run("s8_dsv2_tiledir").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
