@@ -68,7 +68,9 @@ object Bench {
       "pp4_curation_pipeline",
       "q8_market_share", "q15_top_supplier", "j11_event_funnel",
       "ds10_temperature_resample", "st11_stream_observe",
-      "k15_bucketed_join", "nn10_mips_topk")
+      "k15_bucketed_join", "nn10_mips_topk",
+      "j12_bloom_prune", "nn13_pq_adc", "ds13_curriculum_order",
+      "k17_zorder_layout")
     val resMap = results.toMap
     val qs = headline.flatMap(h => resMap.get(h).map(v => "\"" + h + "\":" + r3(v)))
       .mkString("{", ",", "}")
