@@ -180,6 +180,29 @@ object AggOps extends OpModule {
         .orderBy("event_type")
     }),
 
+    // A19 (extension) — HEAVY HITTERS: tokens with frequency > n/100 of
+    // the whole token stream, via a mergeable Misra–Gries sketch
+    // ([[graft.functions.MisraGries]], k=100 — retains every item with
+    // freq > n/k by the MG guarantee) followed by an EXACT counting pass
+    // over the ≤ k candidates. The 100 TB shape: an exact groupBy must
+    // shuffle every distinct token (corpus-sized junk vocabulary); the
+    // sketch pass shuffles k counters per partition, and the verify
+    // groupBy's shuffle carries only candidate tokens (broadcast
+    // semi-join gate before the exchange). Exact-verify means the
+    // sketch's undercounts never reach the output — the oracle is the
+    // plain exact query. Same approx-candidates → exact-verify shape as
+    // the dedup family.
+    "a19_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val tok = TextOps.tokens(s, dir).select("w")
+      val n = tok.count()
+      val cands = tok.as[String]
+        .select(new graft.functions.MisraGries(100).toColumn).head()
+      tok.join(broadcast(cands.toDF("w")), Seq("w"), "left_semi")
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > lit(n) / 100.0)
+    }),
+
     // A14 (extension) — pivot: the lang × split contingency matrix of
     // the training mix (the report every corpus-curation run ends with).
     // `pivot` with EXPLICIT values keeps the plan a single-pass
@@ -424,6 +447,18 @@ object AggOps extends OpModule {
         |       COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    // a19: the sketch is invisible to semantics (exact verify pass) —
+    // the oracle is the direct exact heavy-hitter query
+    "a19_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT w FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  WHERE w <> '')
+        |SELECT w, COUNT(*) AS cnt
+        |FROM tok
+        |GROUP BY w
+        |HAVING COUNT(*) > (SELECT COUNT(*) FROM tok) / 100.0""".stripMargin,
 
     // a14: conditional aggregation — the pivot must equal the hand-built
     // contingency matrix
