@@ -383,22 +383,9 @@ object SimilarityOps extends OpModule {
     "nn13_pq_adc" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val e = emb(s, dir)
-      def slices(df: DataFrame, idAs: String, vecAs: String): DataFrame =
-        df.select(col("vec_id").as(idAs), explode(expr(
-          "transform(sequence(0, 3), j -> struct(j AS sub, slice(emb, j*16+1, 16) AS v))"))
-          .as("e"))
-          .select(col(idAs), col("e.sub").as("sub"), col("e.v").as(vecAs))
-      val cb = slices(e.filter(col("vec_id") < 16), "cid", "cvec")
-      val sl = slices(e, "vec_id", "v")
-      val asg = sl.join(broadcast(cb), Seq("sub"))
-        .withColumn("d2", dot("v", "v") - lit(2) * dot("v", "cvec")
-          + dot("cvec", "cvec"))
-      val mind = asg.groupBy("vec_id", "sub").agg(min("d2").as("md"))
-      val code = asg.join(mind, Seq("vec_id", "sub"))
-        .filter(col("d2") === col("md"))
-        .groupBy("vec_id", "sub").agg(min("cid").as("cid"))
-      val qsl = slices(e.filter(col("vec_id") < 4), "qid", "qv")
-      val contrib = code.join(broadcast(cb), Seq("sub", "cid"))
+      val cb = pqCodebook(e)
+      val qsl = pqSlices(e.filter(col("vec_id") < 4), "qid", "qv")
+      val contrib = pqCodes(e).join(broadcast(cb), Seq("sub", "cid"))
         .join(broadcast(qsl), Seq("sub"))
         .withColumn("d2", dot("qv", "qv") - lit(2) * dot("qv", "cvec")
           + dot("cvec", "cvec"))
@@ -408,8 +395,74 @@ object SimilarityOps extends OpModule {
       val w = Window.partitionBy("qid").orderBy(col("adc"), col("vec_id"))
       adc.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
         .select(col("qid"), col("vec_id"), round(col("adc"), 6).as("adc"))
+    }),
+
+    // NN14 (extension) — IVF-PQ: the two index halves composed, the
+    // FAISS serving layout. IVF (nn4's per-label coarse quantizer)
+    // prunes the corpus to ONE probed list; PQ (nn13's codebook) scores
+    // only that list's CODES via asymmetric distance. At 100 TB the
+    // scan touches one list's codes: partition pruning picks the list,
+    // PQ shrinks its bytes 16× — neither full vectors nor other lists
+    // are read. Everything broadcast here is tiny (coarse centroids,
+    // codebook, query slices); the candidate gate is a broadcast
+    // semi-join on the probed label.
+    "nn14_ivfpq_ann" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 1)
+      val probed = centroids(e).crossJoin(
+          broadcast(q.select(col("emb").as("qe"))))
+        .withColumn("cos", dot("centroid", "qe") /
+          (sqrt(dot("centroid", "centroid")) * sqrt(dot("qe", "qe"))))
+        .orderBy(col("cos").desc, col("label")).limit(1)
+        .select("label")
+      val cands = e.join(broadcast(probed), Seq("label"))
+        .select("vec_id")
+      val cb = pqCodebook(e)
+      val qsl = pqSlices(q, "qid", "qv")
+      val contrib = pqCodes(e)
+        .join(broadcast(cands), Seq("vec_id"), "left_semi")
+        .join(broadcast(cb), Seq("sub", "cid"))
+        .join(broadcast(qsl), Seq("sub"))
+        .withColumn("d2", dot("qv", "qv") - lit(2) * dot("qv", "cvec")
+          + dot("cvec", "cvec"))
+      val adc = contrib.groupBy("qid", "vec_id")
+        .pivot("sub", Seq(0, 1, 2, 3)).agg(first(col("d2")))
+        .withColumn("adc", col("0") + col("1") + col("2") + col("3"))
+      val w = Window.partitionBy("qid").orderBy(col("adc"), col("vec_id"))
+      adc.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select(col("vec_id"), round(col("adc"), 6).as("adc"))
     })
   )
+
+  /** Cut a 64-d vector frame into PQ subvectors: one row per (id, sub ∈
+    * 0..3) with the 16-d slice. Shared by nn13/nn14. */
+  private def pqSlices(df: DataFrame, idAs: String, vecAs: String): DataFrame =
+    df.select(col("vec_id").as(idAs), explode(expr(
+      "transform(sequence(0, 3), j -> struct(j AS sub, slice(emb, j*16+1, 16) AS v))"))
+      .as("e"))
+      .select(col(idAs), col("e.sub").as("sub"), col("e.v").as(vecAs))
+
+  /** PQ codebook: the subvectors of the 16 lowest-vec_id anchors (a
+    * deterministic stand-in for a k-means codebook — the
+    * assignment/search algebra is identical). */
+  private def pqCodebook(e: DataFrame): DataFrame =
+    pqSlices(e.filter(col("vec_id") < 16), "cid", "cvec")
+
+  /** PQ encoding of the whole corpus: nearest-centroid id per (vector,
+    * subspace), argmin with deterministic (min distance, then min cid)
+    * tie-break — matches the oracle's relational replay bit-for-bit. */
+  private def pqCodes(e: DataFrame): DataFrame = {
+    val cb = pqCodebook(e)
+    val sl = pqSlices(e, "vec_id", "v")
+    val asg = sl.join(broadcast(cb), Seq("sub"))
+      .withColumn("d2", dot("v", "v") - lit(2) * dot("v", "cvec")
+        + dot("cvec", "cvec"))
+    val mind = asg.groupBy("vec_id", "sub").agg(min("d2").as("md"))
+    asg.join(mind, Seq("vec_id", "sub"))
+      .filter(col("d2") === col("md"))
+      .groupBy("vec_id", "sub").agg(min("cid").as("cid"))
+  }
 
   private val cosSql =
     """ROUND(list_dot_product(e.emb, q.qe) /
@@ -578,24 +631,7 @@ object SimilarityOps extends OpModule {
     // then min cid), contributions added in fixed column order — every
     // double is bit-identical to the Spark side, so the ADC ranking is
     // deterministic and identical
-    "nn13_pq_adc" -> Sql.query(embSql,
-      """cb AS (
-        |  SELECT vec_id AS cid, j AS sub, emb[j*16+1 : j*16+16] AS cvec
-        |  FROM emb, generate_series(0, 3) g(j) WHERE vec_id < 16)""".stripMargin,
-      """sl AS (
-        |  SELECT vec_id, j AS sub, emb[j*16+1 : j*16+16] AS v
-        |  FROM emb, generate_series(0, 3) g(j))""".stripMargin,
-      """asg AS (
-        |  SELECT s.vec_id, s.sub, c.cid,
-        |         list_dot_product(s.v, s.v) - 2*list_dot_product(s.v, c.cvec)
-        |           + list_dot_product(c.cvec, c.cvec) AS d2
-        |  FROM sl s JOIN cb c ON s.sub = c.sub)""".stripMargin,
-      """code AS (
-        |  SELECT a.vec_id, a.sub, MIN(a.cid) AS cid
-        |  FROM asg a
-        |  JOIN (SELECT vec_id, sub, MIN(d2) AS md FROM asg GROUP BY 1, 2) m
-        |    ON a.vec_id = m.vec_id AND a.sub = m.sub AND a.d2 = m.md
-        |  GROUP BY 1, 2)""".stripMargin,
+    "nn13_pq_adc" -> Sql.query((Seq(embSql) ++ pqSql ++ Seq(
       "qsl AS (SELECT vec_id AS qid, sub, v AS qv FROM sl WHERE vec_id < 4)",
       """contrib AS (
         |  SELECT q.qid, k.vec_id, k.sub,
@@ -610,12 +646,66 @@ object SimilarityOps extends OpModule {
         |           + MAX(CASE WHEN sub = 1 THEN d2 END)
         |           + MAX(CASE WHEN sub = 2 THEN d2 END)
         |           + MAX(CASE WHEN sub = 3 THEN d2 END) AS adc
-        |  FROM contrib GROUP BY 1, 2)""".stripMargin)(
+        |  FROM contrib GROUP BY 1, 2)""".stripMargin)): _*)(
       """SELECT qid, vec_id, ROUND(adc, 6) AS adc FROM (
         |  SELECT qid, vec_id, adc,
         |         ROW_NUMBER() OVER (PARTITION BY qid
         |           ORDER BY adc, vec_id) AS rn
         |  FROM adcs) t
-        |WHERE rn <= 10""".stripMargin)
+        |WHERE rn <= 10""".stripMargin),
+
+    // IVF-PQ: the coarse probe (cosine argmax over the 6-decimal-pinned
+    // centroids) and the code-only ADC rescoring, replayed relationally
+    "nn14_ivfpq_ann" -> Sql.query((Seq(embSql, centSql) ++ pqSql ++ Seq(
+      "q AS (SELECT emb AS qe FROM emb WHERE vec_id = 1)",
+      """probe AS (
+        |  SELECT label FROM cent, q
+        |  ORDER BY list_dot_product(centroid, qe) /
+        |    (sqrt(list_dot_product(centroid, centroid)) *
+        |     sqrt(list_dot_product(qe, qe))) DESC, label
+        |  LIMIT 1)""".stripMargin,
+      "cands AS (SELECT e.vec_id FROM emb e JOIN probe p ON e.label = p.label)",
+      "qsl AS (SELECT sub, v AS qv FROM sl WHERE vec_id = 1)",
+      """contrib AS (
+        |  SELECT k.vec_id, k.sub,
+        |         list_dot_product(q.qv, q.qv) - 2*list_dot_product(q.qv, c.cvec)
+        |           + list_dot_product(c.cvec, c.cvec) AS d2
+        |  FROM code k
+        |  JOIN cands x ON k.vec_id = x.vec_id
+        |  JOIN cb c ON k.cid = c.cid AND k.sub = c.sub
+        |  JOIN qsl q ON q.sub = k.sub)""".stripMargin,
+      """adcs AS (
+        |  SELECT vec_id,
+        |         MAX(CASE WHEN sub = 0 THEN d2 END)
+        |           + MAX(CASE WHEN sub = 1 THEN d2 END)
+        |           + MAX(CASE WHEN sub = 2 THEN d2 END)
+        |           + MAX(CASE WHEN sub = 3 THEN d2 END) AS adc
+        |  FROM contrib GROUP BY 1)""".stripMargin)): _*)(
+      """SELECT vec_id, ROUND(adc, 6) AS adc FROM (
+        |  SELECT vec_id, adc,
+        |         ROW_NUMBER() OVER (ORDER BY adc, vec_id) AS rn
+        |  FROM adcs) t
+        |WHERE rn <= 5""".stripMargin)
   )
+
+  /** Shared PQ relational core (codebook, slices, assignment, codes) —
+    * the oracle-side mirror of [[pqCodebook]]/[[pqSlices]]/[[pqCodes]]. */
+  private val pqSql: Seq[String] = Seq(
+    """cb AS (
+      |  SELECT vec_id AS cid, j AS sub, emb[j*16+1 : j*16+16] AS cvec
+      |  FROM emb, generate_series(0, 3) g(j) WHERE vec_id < 16)""".stripMargin,
+    """sl AS (
+      |  SELECT vec_id, j AS sub, emb[j*16+1 : j*16+16] AS v
+      |  FROM emb, generate_series(0, 3) g(j))""".stripMargin,
+    """asg AS (
+      |  SELECT s.vec_id, s.sub, c.cid,
+      |         list_dot_product(s.v, s.v) - 2*list_dot_product(s.v, c.cvec)
+      |           + list_dot_product(c.cvec, c.cvec) AS d2
+      |  FROM sl s JOIN cb c ON s.sub = c.sub)""".stripMargin,
+    """code AS (
+      |  SELECT a.vec_id, a.sub, MIN(a.cid) AS cid
+      |  FROM asg a
+      |  JOIN (SELECT vec_id, sub, MIN(d2) AS md FROM asg GROUP BY 1, 2) m
+      |    ON a.vec_id = m.vec_id AND a.sub = m.sub AND a.d2 = m.md
+      |  GROUP BY 1, 2)""".stripMargin)
 }

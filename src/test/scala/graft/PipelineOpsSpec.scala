@@ -669,6 +669,32 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("nn14: IVF-PQ candidates all come from the probed list; anchor query self-matches at 0") {
+    import graft.operators.SimilarityOps.{dot, emb}
+    val rows = run("nn14_ivfpq_ann").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(rows.length == 5)
+    // recompute the coarse probe directly: argmax cosine centroid for vec 1
+    val e = emb(spark, Sf)
+    val q = e.filter(col("vec_id") === 1).select(col("emb").as("qe"))
+    val probed = graft.operators.SimilarityOps.centroids(e)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", dot("centroid", "qe") /
+        (sqrt(dot("centroid", "centroid")) * sqrt(dot("qe", "qe"))))
+      .orderBy(col("cos").desc, col("label")).limit(1)
+      .collect().head.getInt(0)
+    val listIds = e.filter(col("label") === probed)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => listIds.contains(r._1)),
+      s"candidates outside probed list $probed: $rows")
+    // vec 1 is an anchor (self-ADC exactly 0): if its own list was
+    // probed, it must be rank 1 at 0.0
+    if (listIds.contains(1L)) {
+      val best = rows.minBy(r => (r._2, r._1))
+      assert(best == (1L -> 0.0), s"anchor not rank-1: $best")
+    }
+  }
+
   test("ds13: distributed two-phase rank equals the single-window global NTILE") {
     import org.apache.spark.sql.expressions.Window
     val got = run("ds13_curriculum_order").collect()
