@@ -369,6 +369,35 @@ object AggOps extends OpModule {
           count(lit(1)).as("n_intervals"))
         .orderBy("prio")),
 
+    // W14 (extension) — INTERVAL UNION COVERAGE: total time each user
+    // is "active" under 30-minute event windows, with overlaps counted
+    // ONCE — the union-of-intervals length, the dwell/uptime metric.
+    // Same boundary-sweep family as w11/w13 (never an interval self
+    // join): +1/−1 deltas, running open count per user, and the covered
+    // time is the sum of boundary-segment lengths where open > 0.
+    // user_id is a corpus-cardinality key, so the per-user window is
+    // well-distributed (the w8/w10 argument) — no two-level split
+    // needed. Ends sort before starts at equal t (ORDER BY t, d):
+    // half-open intervals, touching windows don't bridge. All-integer
+    // microseconds end to end — no float crosses the engine boundary.
+    "w14_interval_coverage" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
+      val b = ev.select(col("user_id"), col("ts").as("t"), lit(1).as("d"))
+        .unionByName(ev.select(col("user_id"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("t"),
+          lit(-1).as("d")))
+      val run = Window.partitionBy("user_id").orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val seq = Window.partitionBy("user_id").orderBy("t", "d")
+      b.withColumn("open", sum("d").over(run))
+        .withColumn("nxt_us", lead(unix_micros(col("t")), 1).over(seq))
+        .filter(col("open") > 0 && col("nxt_us").isNotNull)
+        .withColumn("cov_us", col("nxt_us") - unix_micros(col("t")))
+        .groupBy("user_id")
+        .agg(sum("cov_us").as("covered_us"),
+          count(lit(1)).as("n_segments"))
+    }),
+
     // A17 (extension) — cohort retention matrix: users bucketed by their
     // first-activity week, counted (distinct) in each later week they
     // returned. Two shuffles, both on keys that shrink the data: the
@@ -577,6 +606,28 @@ object AggOps extends OpModule {
         |LEFT JOIN cross_pairs cp ON cp.prio = c.prio
         |LEFT JOIN tie_pairs tp ON tp.prio = c.prio
         |ORDER BY c.prio""".stripMargin,
+
+    // w14: same sweep replayed relationally (windows are deterministic:
+    // ties carry zero-length segments whose membership is fixed by the
+    // (t, d) order both engines share)
+    "w14_interval_coverage" ->
+      """WITH b AS (
+        |  SELECT user_id, ts AS t, 1 AS d FROM events
+        |  UNION ALL
+        |  SELECT user_id, ts + INTERVAL 30 MINUTE AS t, -1 AS d FROM events),
+        |sw AS (
+        |  SELECT user_id, t, d,
+        |         SUM(d) OVER (PARTITION BY user_id ORDER BY t, d
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open,
+        |         LEAD(epoch_us(t)) OVER (PARTITION BY user_id
+        |           ORDER BY t, d) AS nxt_us
+        |  FROM b)
+        |SELECT user_id,
+        |       CAST(SUM(nxt_us - epoch_us(t)) AS BIGINT) AS covered_us,
+        |       COUNT(*) AS n_segments
+        |FROM sw
+        |WHERE open > 0 AND nxt_us IS NOT NULL
+        |GROUP BY user_id""".stripMargin,
 
     "w10_event_gaps" ->
       """WITH g AS (

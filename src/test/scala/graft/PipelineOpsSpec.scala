@@ -669,6 +669,28 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("w14: sweep coverage equals a direct interval-merge recompute") {
+    val got = run("w14_interval_coverage").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force: per user, sort [start, start+30min) intervals and
+    // merge overlapping/touching ones, summing merged lengths
+    val evs = sources.Tables.events(spark, Sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val win = 30L * 60 * 1000000
+    val expect = evs.groupBy(_._1).map { case (u, rs) =>
+      val iv = rs.map(_._2).sorted.map(s => (s, s + win))
+      var covered = 0L; var curS = iv.head._1; var curE = iv.head._2
+      iv.tail.foreach { case (s2, e2) =>
+        if (s2 > curE) { covered += curE - curS; curS = s2; curE = e2 }
+        else if (e2 > curE) curE = e2
+      }
+      covered += curE - curS
+      u -> covered
+    }
+    assert(got == expect)
+  }
+
   test("nn14: IVF-PQ candidates all come from the probed list; anchor query self-matches at 0") {
     import graft.operators.SimilarityOps.{dot, emb}
     val rows = run("nn14_ivfpq_ann").collect()
