@@ -209,6 +209,29 @@ object JoinOps extends OpModule {
         .agg(Exact.decSumExpr(Exact.dec(col("l_extendedprice")) *
           (lit(1) - Exact.dec(col("l_discount"))), 2).as("revenue"),
           count(lit(1)).as("n_items"))
+    }),
+
+    // J13 (extension) — SALTED SKEW JOIN behind the gate: the explicit
+    // fallback for keys so hot that even AQE's split shuffle blocks
+    // overwhelm one reducer ([[SkewJoin.saltedJoin]] — big side salted
+    // n ways, small side replicated n ways, join on (key, salt)).
+    // The salt only changes the SHUFFLE LAYOUT, never the result — which
+    // is exactly what this gate entry proves: the oracle is the plain
+    // unsalted join. The per-user first-event dimension is |users|-sized
+    // (the dimension-vs-fact shape where one whale user would otherwise
+    // pin a reducer); n_first_events can only be right if every fact row
+    // met its user's dimension row exactly once through the salt fan-out.
+    "j13_salted_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select("user_id", "event_type", "ts")
+      val firstTs = ev.groupBy("user_id").agg(min("ts").as("first_ts"))
+      SkewJoin.saltedJoin(ev, firstTs, "user_id", 8)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct("user_id").as("n_users"),
+          sum(when(col("ts") === col("first_ts"), 1).otherwise(0))
+            .as("n_first_events"))
+        .orderBy("event_type")
     })
   )
 
@@ -330,6 +353,18 @@ object JoinOps extends OpModule {
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    // The salt is invisible to semantics: the oracle is the plain join.
+    "j13_salted_join" ->
+      """WITH f AS (SELECT user_id, MIN(ts) AS first_ts
+        |           FROM events GROUP BY user_id)
+        |SELECT event_type, COUNT(*) AS n_events,
+        |       COUNT(DISTINCT e.user_id) AS n_users,
+        |       CAST(SUM(CASE WHEN e.ts = f.first_ts THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_first_events
+        |FROM events e JOIN f ON e.user_id = f.user_id
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
   )
 }

@@ -226,6 +226,34 @@ object SourceSinkOps extends OpModule {
           Exact.decSum(col("o_totalprice"), 2).as("revenue"))
     }),
 
+    // K18 — DYNAMIC PARTITION OVERWRITE: the lake idiom for partial
+    // re-materialization. Batch 1 lands the corpus partitioned by lang;
+    // batch 2 re-ingests ONE language (the re-crawl) with
+    // `partitionOverwriteMode=dynamic` — only the partitions present in
+    // the incoming batch are replaced, every other partition's files are
+    // untouched (static overwrite mode would wipe the whole root). At
+    // 100 TB this is what makes daily re-processing of one source/shard
+    // a partition-sized job instead of a table rewrite. The read-back
+    // aggregate can only be right if exactly the `en` partition was
+    // replaced and all others survived.
+    "k18_dynamic_partition_overwrite" -> ((s, dir) => {
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_k18_${dir.hashCode}_${ProcessHandle.current.pid}").getPath
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      val docs = Tables.documents(s, dir)
+      docs.select("doc_id", "n_chars", "lang")
+        .write.partitionBy("lang").mode("overwrite").parquet(out)
+      docs.filter(col("lang") === "en")
+        .select(col("doc_id"), (col("n_chars") * 2).as("n_chars"), col("lang"))
+        .write.partitionBy("lang").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic").parquet(out)
+      s.read.parquet(out)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+        .orderBy("lang")
+    }),
+
     // K17 — Z-ORDER LAYOUT: rewrite the fact table sorted by the Morton
     // interleave of (l_partkey, l_suppkey) — [[graft.functions.ZOrder]],
     // pure codegen'd bitwise Columns — then answer a 2-D box query from
@@ -347,6 +375,16 @@ object SourceSinkOps extends OpModule {
         |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
         |            AS DOUBLE) AS revenue
         |FROM orders""".stripMargin,
+
+    // k18: the final state — `en` rows carry the re-ingested (doubled)
+    // chars, every other partition the original — computed relationally
+    "k18_dynamic_partition_overwrite" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(CASE WHEN lang = 'en' THEN n_chars * 2
+        |                ELSE n_chars END) AS BIGINT) AS total_chars
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
 
     // k17: layout is invisible to semantics — the oracle reads the
     // ORIGINAL table with the same box predicate

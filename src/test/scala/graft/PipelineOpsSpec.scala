@@ -669,6 +669,45 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("j13: the salted join equals the plain join row-for-row") {
+    val ev = sources.Tables.events(spark, Sf).select("user_id", "event_type", "ts")
+    val firstTs = ev.groupBy("user_id").agg(min("ts").as("first_ts"))
+    val salted = operators.SkewJoin.saltedJoin(ev, firstTs, "user_id", 8)
+      .collect().map(_.toString).sorted
+    val plain = ev.join(firstTs, Seq("user_id"))
+      .collect().map(_.toString).sorted
+    assert(salted.sameElements(plain))
+  }
+
+  test("k18: dynamic overwrite replaces only the incoming partition's files") {
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_k18spec_${ProcessHandle.current.pid}").getPath
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    val docs = sources.Tables.documents(spark, Sf)
+    docs.select("doc_id", "n_chars", "lang")
+      .write.partitionBy("lang").mode("overwrite").parquet(out)
+    def files(lang: String): Set[String] =
+      Option(new java.io.File(s"$out/lang=$lang").listFiles())
+        .map(_.map(f => f.getName -> f.lastModified).toSet.map((p: (String, Long)) => p.toString))
+        .getOrElse(Set.empty)
+    val deBefore = files("de"); val enBefore = files("en")
+    docs.filter(col("lang") === "en")
+      .select(col("doc_id"), (col("n_chars") * 2).as("n_chars"), col("lang"))
+      .write.partitionBy("lang").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").parquet(out)
+    assert(files("de") == deBefore, "untouched partition was rewritten")
+    assert(files("en") != enBefore, "target partition was not replaced")
+    // and the read-back state is batch1 everywhere except en = batch2
+    val chars = spark.read.parquet(out).groupBy("lang")
+      .agg(sum("n_chars").as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = docs.groupBy("lang").agg(sum("n_chars").as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    base.foreach { case (l, c) =>
+      assert(chars(l) == (if (l == "en") 2 * c else c), s"lang $l")
+    }
+  }
+
   test("w14: sweep coverage equals a direct interval-merge recompute") {
     val got = run("w14_interval_coverage").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
