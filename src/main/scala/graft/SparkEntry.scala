@@ -31,6 +31,7 @@ object SparkEntry {
     SourceSinkOps,
     MergeScanOps,
     IncrementalOps,
+    GraphOps,
     DualLayoutOps,
     PipelineOps,
     BenchQueries,

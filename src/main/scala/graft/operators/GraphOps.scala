@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.OpModule
+import graft.sources.{Sql, Tables}
+
+/** Graph operators over relationship graphs derived from the fixture's
+  * fact tables: integer-mass PageRank and degree-oriented triangle
+  * counting. The reference's closest analogue is its tile-neighbour
+  * traversal (tileconfig.py:262-320 border expansion — a one-hop graph
+  * walk); these generalize one-hop neighbourhood logic to iterative and
+  * pattern-matching graph analytics, the shape a 100 TB corpus needs for
+  * link-graph quality signals (domain rank, community density).
+  *
+  * Scale stance:
+  *  - Both run as plain equi-joins on node ids — Pregel-without-Pregel.
+  *    Each PageRank iteration is one shuffle keyed by node id; at 100 TB
+  *    the edge relation is bucketed by `src` once and every iteration
+  *    reuses that layout (locally AQE handles it; no driver-side state,
+  *    no collect).
+  *  - EXACT INTEGER MASS, not floating-point: ranks are integer
+  *    micro-mass units and every step uses integer division, so the
+  *    result is independent of addition order — reproducible under ANY
+  *    partitioning/re-execution, which is also what makes it
+  *    oracle-checkable bit-exactly. (A float PageRank would differ by
+  *    reduction order across engines AND across retries of the same job —
+  *    determinism at scale is a correctness feature, not a test
+  *    convenience. Production would widen mass to DECIMAL if 1e-12
+  *    resolution is not enough.)
+  *  - Triangle counting degree-orients each edge (low-degree endpoint →
+  *    high-degree endpoint, id tiebreak) before the wedge join, the
+  *    standard bound that keeps per-reducer wedge fanout O(sqrt(m)) per
+  *    edge instead of O(max-degree) — the difference between a skew-safe
+  *    join and a hot-key blowup on celebrity nodes.
+  */
+object GraphOps extends OpModule {
+
+  /** Integer mass per node: 1e12 micro-units (≈ rank resolution 1e-12). */
+  val Mass = 1000000000000L
+  /** (1-d)·Mass with d = 0.85, exactly. */
+  val Teleport = 150000000000L
+
+  /** Undirected customer↔supplier edges (distinct trade pairs), node ids
+    * disjointly encoded: customer → 2k, supplier → 2k+1. */
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+    val e0 = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    e0.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(e0.select(col("b").as("src"), col("a").as("dst")))
+  }
+
+  /** Canonical undirected co-purchase edges (u < v) between customers in
+    * the custkey % 7 = 0 slice that share a part. The slice bounds the
+    * per-part clique the same way the dedup family's MaxDf cap bounds
+    * hot-shingle joins — at 100 TB the cap would be per-part top-K by
+    * key, the same deterministic guard. */
+  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val cp = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      .filter(col("o_custkey") % 7 === 0)
+      .join(Tables.lineitem(s, dir).select("l_orderkey", "l_partkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+    cp.as("a").join(cp.as("b"),
+        col("a.p") === col("b.p") && col("a.c") < col("b.c"))
+      .select(col("a.c").as("u"), col("b.c").as("v"))
+      .distinct()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // G1 (extension) — PAGERANK over the customer↔supplier trade graph,
+    // 3 power iterations, damping 0.85, integer micro-mass (see scale
+    // stance above). Per iteration: contribution = pr div deg per node,
+    // one groupBy(dst) shuffle to sum incoming shares. Top 20 by rank via
+    // TakeOrderedAndProject (no global sort materialization).
+    "g1_pagerank" -> ((s, dir) => {
+      val edges = tradeEdges(s, dir)
+      val deg = edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      var pr = deg.select(col("node"), lit(Mass).as("pr"))
+      for (_ <- 1 to 3) {
+        pr = edges
+          .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+          .join(deg.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst"), expr("pr div deg").as("share"))
+          .groupBy(col("dst").as("node"))
+          .agg((lit(Teleport) + expr("85 * sum(share) div 100")).as("pr"))
+      }
+      pr.orderBy(col("pr").desc, col("node")).limit(20)
+    }),
+
+    // G2 (extension) — TRIANGLE COUNT on the co-purchase graph by
+    // degree-oriented wedge join: orient each edge from its lower-degree
+    // endpoint (id tiebreak), join oriented⋈oriented on the wedge
+    // midpoint, close with a semi-join back onto the oriented edge set.
+    // Counts each triangle exactly once; orientation bounds the wedge
+    // fanout per node by O(sqrt(m)), so no reducer ever enumerates a
+    // celebrity node's full neighbourhood squared.
+    "g2_triangle_count" -> ((s, dir) => {
+      val und = copurchaseEdges(s, dir)
+      val deg = und.select(col("u").as("n"))
+        .unionByName(und.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      // orient: x→y iff (deg(x), x) < (deg(y), y)
+      val oriented = und
+        .join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), Seq("u"))
+        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), Seq("v"))
+        .select(
+          when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+            col("u")).otherwise(col("v")).as("x"),
+          when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+            col("v")).otherwise(col("u")).as("y"))
+      val wedges = oriented.as("e1")
+        .join(oriented.as("e2"), col("e1.y") === col("e2.x"))
+        .select(col("e1.x").as("p"), col("e1.y").as("q"), col("e2.y").as("r"))
+      // close the wedge: (p,r) must be an edge in EITHER orientation
+      val closing = oriented.select(col("x").as("p"), col("y").as("r"))
+        .unionByName(oriented.select(col("y").as("p"), col("x").as("r")))
+      wedges.join(closing, Seq("p", "r"), "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+    })
+  )
+
+  /** DuckDB CTEs mirroring [[tradeEdges]]. */
+  private val tradeSql =
+    """e0 AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
+      |       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      |edges AS (SELECT a AS src, b AS dst FROM e0
+      |          UNION ALL SELECT b AS src, a AS dst FROM e0),
+      |deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src)""".stripMargin
+
+  /** One DuckDB PageRank step from CTE `prev` to a new named CTE. */
+  private def prStep(name: String, prev: String): String =
+    s"""$name AS (SELECT e.dst AS node,
+       |       CAST($Teleport + (85 * SUM(p.pr // d.deg)) // 100 AS BIGINT) AS pr
+       |FROM edges e JOIN $prev p ON e.src = p.node JOIN deg d ON e.src = d.node
+       |GROUP BY e.dst)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    // g1: the oracle replays the same integer-mass power iteration —
+    // integer division makes both engines' results order-independent,
+    // so they can only agree if the graph AND the recurrence agree.
+    "g1_pagerank" -> Sql.query(
+      tradeSql,
+      s"pr0 AS (SELECT node, CAST($Mass AS BIGINT) AS pr FROM deg)",
+      prStep("pr1", "pr0"), prStep("pr2", "pr1"), prStep("pr3", "pr2"))(
+      "SELECT node, pr FROM pr3 ORDER BY pr DESC, node LIMIT 20"),
+
+    // g2: the oracle counts ordered triangles u<v<w directly (no
+    // orientation trick) — two independent enumeration strategies must
+    // agree on the exact count.
+    "g2_triangle_count" ->
+      """WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |            WHERE o_custkey % 7 = 0),
+        |und AS (SELECT DISTINCT a.c AS u, b.c AS v
+        |        FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c)
+        |SELECT COUNT(*) AS n_triangles
+        |FROM und e1
+        |JOIN und e2 ON e1.v = e2.u
+        |JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin
+  )
+}
