@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -201,6 +201,35 @@ object AggOps extends OpModule {
       tok.join(broadcast(cands.toDF("w")), Seq("w"), "left_semi")
         .groupBy("w").agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") > lit(n) / 100.0)
+    }),
+
+    // A20 (extension) — COUNT-MIN SKETCH, oracle-exact: a d=3 × w=64
+    // counter grid over the token stream, bucketed by the portable h60
+    // hash, estimate(key) = min over rows of its bucket count. The
+    // whole sketch is two partial-agg shuffles of at most d·w counter
+    // rows — at 100 TB the token stream collapses map-side into 192
+    // counters per partition, and point-frequency queries broadcast the
+    // 192-row sketch instead of re-scanning the corpus (the per-key
+    // estimate join below enumerates the vocabulary only because the
+    // gate compares every key). CMS never underestimates
+    // (cm_est ≥ exact_cnt, pinned in PropertySpec); the oracle replays
+    // the identical grid in SQL, so the estimates match bit-exactly —
+    // the sketch itself is under test, not just its exact verify pass
+    // (the a19 shape).
+    "a20_countmin" -> ((s, dir) => {
+      val tok = TextOps.tokens(s, dir).select("w")
+      val rows = array((0 to 2).map(lit): _*)
+      val bkt = (i: Column) =>
+        DedupOps.h60("cm:", concat(i.cast("string"), lit("|"), col("w"))) % 64
+      val sketch = tok.withColumn("i", explode(rows))
+        .withColumn("bkt", bkt(col("i")))
+        .groupBy("i", "bkt").agg(count(lit(1)).as("c"))
+      val exact = tok.groupBy("w").agg(count(lit(1)).as("exact_cnt"))
+      val est = exact.select(col("w")).withColumn("i", explode(rows))
+        .withColumn("bkt", bkt(col("i")))
+        .join(sketch, Seq("i", "bkt"))
+        .groupBy("w").agg(min(col("c")).as("cm_est"))
+      exact.join(est, Seq("w")).orderBy("w")
     }),
 
     // A14 (extension) — pivot: the lang × split contingency matrix of
@@ -488,6 +517,29 @@ object AggOps extends OpModule {
         |FROM tok
         |GROUP BY w
         |HAVING COUNT(*) > (SELECT COUNT(*) FROM tok) / 100.0""".stripMargin,
+
+    // a20: the oracle replays the SAME d×w counter grid (portable h60
+    // bucketing), so the CMS estimates themselves are compared bit-exact
+    "a20_countmin" -> {
+      val h = graft.operators.DedupOps.h60Sql("cm:", "CAST(i AS VARCHAR) || '|' || w")
+      s"""WITH tok AS (
+         |  SELECT w FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+         |  WHERE w <> ''),
+         |ids AS (SELECT 0 AS i UNION ALL SELECT 1 UNION ALL SELECT 2),
+         |sketch AS (
+         |  SELECT i, $h % 64 AS bkt, COUNT(*) AS c
+         |  FROM tok CROSS JOIN ids GROUP BY 1, 2),
+         |exact AS (SELECT w, COUNT(*) AS exact_cnt FROM tok GROUP BY w),
+         |est AS (
+         |  SELECT kb.w, MIN(s.c) AS cm_est
+         |  FROM (SELECT e.w, ids.i, $h % 64 AS bkt FROM exact e CROSS JOIN ids) kb
+         |  JOIN sketch s ON kb.i = s.i AND kb.bkt = s.bkt
+         |  GROUP BY kb.w)
+         |SELECT e.w, e.exact_cnt, t.cm_est
+         |FROM exact e JOIN est t ON e.w = t.w
+         |ORDER BY e.w""".stripMargin
+    },
 
     // a14: conditional aggregation — the pivot must equal the hand-built
     // contingency matrix

@@ -94,6 +94,38 @@ object IncrementalOps extends OpModule {
         .groupBy("source", "out_file")
         .agg(count(lit(1)).as("n_inputs"), sum("n_chars").as("n_bytes"))
         .orderBy("source", "out_file")
+    }),
+
+    // K19 (extension) — SNAPSHOT DIFF: classify every key across two
+    // table versions as added / removed / changed / unchanged — the audit
+    // primitive behind incremental publishes ("what did this ingest
+    // actually change?"). The revision here is a deterministic mutation
+    // of orders (drop keys ≡1 mod 89, reprice keys ≡0 mod 97, insert a
+    // shifted copy of keys ≡5 mod 101) so both engines derive base and
+    // revision from the same parquet bytes. Shape: one full-outer join on
+    // the primary key — the ONE place full-outer is right: both sides are
+    // key-partitioned table versions of the same table, so at 100 TB with
+    // both snapshots bucketed by key (k15's layout) the join is a
+    // zero-shuffle sort-merge; the output is a per-class rollup, never a
+    // row-level collect.
+    "k19_snapshot_diff" -> ((s, dir) => {
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+      val rev = base.filter(col("k") % 89 =!= 1)
+        .withColumn("price",
+          when(col("k") % 97 === 0, col("price") + 10.0).otherwise(col("price")))
+        .unionByName(base.filter(col("k") % 101 === 5)
+          .select((col("k") + 10000000L).as("k"), col("price")))
+      base.as("b").join(rev.as("r"), col("b.k") === col("r.k"), "full_outer")
+        .select(
+          when(col("b.k").isNull, "added")
+            .when(col("r.k").isNull, "removed")
+            .when(col("b.price") =!= col("r.price"), "changed")
+            .otherwise("unchanged").as("status"),
+          coalesce(col("b.k"), col("r.k")).as("k"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), min("k").as("min_key"), max("k").as("max_key"))
+        .orderBy("status")
     })
   )
 
@@ -134,6 +166,26 @@ object IncrementalOps extends OpModule {
         |       COUNT(*) AS n_inputs,
         |       CAST(SUM(n_chars) AS BIGINT) AS n_bytes
         |FROM off GROUP BY source, out_file
-        |ORDER BY source, out_file""".stripMargin
+        |ORDER BY source, out_file""".stripMargin,
+
+    // k19: the oracle rebuilds the same deterministic revision and
+    // classifies via the same full-outer compare
+    "k19_snapshot_diff" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS price FROM orders),
+        |rev AS (
+        |  SELECT k, CASE WHEN k % 97 = 0 THEN price + 10.0 ELSE price END AS price
+        |  FROM base WHERE k % 89 <> 1
+        |  UNION ALL
+        |  SELECT k + 10000000 AS k, price FROM base WHERE k % 101 = 5),
+        |diff AS (
+        |  SELECT CASE WHEN b.k IS NULL THEN 'added'
+        |              WHEN r.k IS NULL THEN 'removed'
+        |              WHEN b.price <> r.price THEN 'changed'
+        |              ELSE 'unchanged' END AS status,
+        |         COALESCE(b.k, r.k) AS k
+        |  FROM base b FULL OUTER JOIN rev r ON b.k = r.k)
+        |SELECT status, COUNT(*) AS n,
+        |       MIN(k) AS min_key, MAX(k) AS max_key
+        |FROM diff GROUP BY status ORDER BY status""".stripMargin
   )
 }

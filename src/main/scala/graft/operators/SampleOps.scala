@@ -321,6 +321,45 @@ object SampleOps extends OpModule {
       spl.filter(col("split") === "train")
         .join(dirty, Seq("doc_id"), "left_anti")
         .select("doc_id")
+    }),
+
+    // DS15 (extension) — DISTRIBUTION DRIFT: exact two-sample
+    // Kolmogorov–Smirnov distance of each source's length distribution
+    // against the rest of the corpus — the per-ingest drift monitor that
+    // flags a crawler shard whose documents suddenly look different.
+    // EXACT INTEGER FORM: D = max|F_a−F_b| is computed as the integer
+    // numerator max|cumA·n_b − cumB·n_a| over the value grid, so the
+    // statistic is order-independent and engine-exact; the one float
+    // (ks = d_num/(n_a·n_b)) is a single IEEE division both engines do
+    // identically. Scale shape: everything after the first groupBy runs
+    // on the (source × distinct-value) grid — VALUE-DOMAIN sized, not
+    // corpus sized (lengths are bounded); the windows partition by
+    // source, so no single-partition sort ever sees the corpus.
+    "ds15_ks_drift" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // per-(source, value) and per-value counts on the aggregated grid
+      val sv = docs.groupBy("source", "n_chars").agg(count(lit(1)).as("c_sv"))
+      val v = docs.groupBy("n_chars").agg(count(lit(1)).as("c_v"))
+      val na = docs.groupBy("source").agg(count(lit(1)).as("n_a"))
+      val total = docs.count()
+      // dense grid: every source × every observed value
+      val grid = na.select("source").crossJoin(broadcast(v))
+        .join(sv, Seq("source", "n_chars"), "left")
+        .na.fill(0L, Seq("c_sv"))
+      val w = Window.partitionBy("source").orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid
+        .withColumn("cum_a", sum("c_sv").over(w))
+        .withColumn("cum_all", sum("c_v").over(w))
+        .join(na, Seq("source"))
+        .withColumn("n_b", lit(total) - col("n_a"))
+        .withColumn("dev",
+          abs(col("cum_a") * col("n_b") - (col("cum_all") - col("cum_a")) * col("n_a")))
+        .groupBy("source")
+        .agg(first("n_a").as("n_a"), first("n_b").as("n_b"),
+          max("dev").as("d_num"))
+        .withColumn("ks", col("d_num") / (col("n_a") * col("n_b")))
+        .orderBy("source")
     })
   )
 
@@ -494,6 +533,37 @@ object SampleOps extends OpModule {
         |  WHERE s.split = 'train')""".stripMargin)(
       """SELECT s.doc_id
         |FROM spl s LEFT JOIN dirty d ON s.doc_id = d.doc_id
-        |WHERE s.split = 'train' AND d.doc_id IS NULL""".stripMargin)
+        |WHERE s.split = 'train' AND d.doc_id IS NULL""".stripMargin),
+
+    // ds15: the oracle replays the integer KS numerator over the same
+    // grid (window sums cast back from DuckDB's HUGEINT before output)
+    "ds15_ks_drift" ->
+      """WITH sv AS (SELECT source, n_chars, COUNT(*) AS c_sv
+        |            FROM documents GROUP BY 1, 2),
+        |v AS (SELECT n_chars, COUNT(*) AS c_v FROM documents GROUP BY 1),
+        |na AS (SELECT source, COUNT(*) AS n_a FROM documents GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n FROM documents),
+        |grid AS (
+        |  SELECT s.source, v.n_chars, v.c_v, COALESCE(sv.c_sv, 0) AS c_sv
+        |  FROM (SELECT source FROM na) s
+        |  CROSS JOIN v
+        |  LEFT JOIN sv ON sv.source = s.source AND sv.n_chars = v.n_chars),
+        |cum AS (
+        |  SELECT source, n_chars,
+        |         CAST(SUM(c_sv) OVER w AS BIGINT) AS cum_a,
+        |         CAST(SUM(c_v) OVER w AS BIGINT) AS cum_all
+        |  FROM grid
+        |  WINDOW w AS (PARTITION BY source ORDER BY n_chars
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |dev AS (
+        |  SELECT c.source, na.n_a, t.n - na.n_a AS n_b,
+        |         ABS(c.cum_a * (t.n - na.n_a)
+        |             - (c.cum_all - c.cum_a) * na.n_a) AS dev
+        |  FROM cum c JOIN na ON c.source = na.source CROSS JOIN tot t)
+        |SELECT source, n_a, CAST(n_b AS BIGINT) AS n_b,
+        |       CAST(MAX(dev) AS BIGINT) AS d_num,
+        |       CAST(MAX(dev) AS BIGINT) / (n_a * n_b) AS ks
+        |FROM dev GROUP BY source, n_a, n_b
+        |ORDER BY source""".stripMargin
   )
 }

@@ -265,6 +265,52 @@ object TextOps extends OpModule {
         .select(col("lang"), col("n_tokens"), col("n_types"),
           round(col("n_types") / col("n_tokens"), 6).as("ttr"),
           round(col("top_cnt") / col("n_tokens"), 6).as("top_share"))
+    }),
+
+    // TX13 (extension) — INVERTED INDEX build: token → document
+    // frequency, total term frequency, and a bounded posting sample (the
+    // 10 smallest doc_ids). One shuffle keyed by token; posting lists are
+    // HARD-CAPPED before output, so no row can grow with corpus size —
+    // the full posting list at 100 TB stays as the (token-bucketed)
+    // exploded relation itself, and df/tf are plain mergeable partial
+    // aggregates. sort_array makes the sample deterministic under any
+    // partitioning (collect_set order is not).
+    "tx13_inverted_index" -> ((s, dir) =>
+      tokens(s, dir)
+        .groupBy("w")
+        .agg(countDistinct("doc_id").as("df"),
+          count(lit(1)).as("tf"),
+          slice(sort_array(collect_set(col("doc_id"))), 1, 10).as("postings"))
+        .orderBy("w")),
+
+    // TX14 (extension) — OOV-BIGRAM RATE: score each corpus slice by the
+    // fraction of its word bigrams unseen in a reference half (doc_id
+    // parity split — on this fixture's round-robin ids that selects
+    // alternating sources, i.e. scoring held-out sources against
+    // reference sources) — the cheap n-gram-LM novelty/contamination
+    // signal
+    // (a high rate flags drifted or garbled shards; a near-zero rate on
+    // held-out data flags leakage). Integer core (two COUNTs), one IEEE
+    // division for the rate. Scale: bigram vocab join is an equi-join on
+    // the bigram string — at 100 TB it would join on h60(bigram) with the
+    // same df-cap guard as the dedup family; the output is one row per
+    // source.
+    "tx14_oov_bigram_rate" -> ((s, dir) => {
+      val bg = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("arr"))
+        .filter(size(col("arr")) >= 2)
+        .select(col("doc_id"), col("source"), explode(expr(
+          "transform(sequence(0, size(arr)-2), i -> concat_ws(' ', arr[i], arr[i+1]))"))
+          .as("bg"))
+      val refVocab = bg.filter(col("doc_id") % 2 === 0).select("bg").distinct()
+        .withColumn("seen", lit(1))
+      bg.filter(col("doc_id") % 2 === 1)
+        .join(refVocab, Seq("bg"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_bg"),
+          count(when(col("seen").isNull, lit(1))).as("n_oov"))
+        .withColumn("oov_rate", col("n_oov") / col("n_bg"))
+        .orderBy("source")
     })
   )
 
@@ -425,6 +471,33 @@ object TextOps extends OpModule {
         |       COUNT(*) AS n_types,
         |       ROUND(COUNT(*) / CAST(SUM(cnt) AS DOUBLE), 6) AS ttr,
         |       ROUND(MAX(cnt) / CAST(SUM(cnt) AS DOUBLE), 6) AS top_share
-        |FROM lw GROUP BY lang""".stripMargin)
+        |FROM lw GROUP BY lang""".stripMargin),
+
+    // tx13: list_sort pins the posting sample; df/tf are plain counts
+    "tx13_inverted_index" -> Sql.query(tokensSql)(
+      """SELECT w,
+        |       COUNT(DISTINCT doc_id) AS df,
+        |       COUNT(*) AS tf,
+        |       list_sort(list(DISTINCT doc_id))[1:10] AS postings
+        |FROM tokens GROUP BY w ORDER BY w""".stripMargin),
+
+    // tx14: COUNT + FILTER (never SUM(int) — HUGEINT) over the same
+    // parity-split bigram join
+    "tx14_oov_bigram_rate" ->
+      """WITH bg AS (
+        |  SELECT doc_id, source,
+        |         unnest(list_transform(range(1, len(arr)),
+        |                               i -> arr[i] || ' ' || arr[i+1])) AS bg
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS arr
+        |        FROM documents)
+        |  WHERE len(arr) >= 2),
+        |vocab AS (SELECT DISTINCT bg FROM bg WHERE doc_id % 2 = 0)
+        |SELECT e.source,
+        |       COUNT(*) AS n_bg,
+        |       COUNT(*) FILTER (WHERE v.bg IS NULL) AS n_oov,
+        |       COUNT(*) FILTER (WHERE v.bg IS NULL) / COUNT(*) AS oov_rate
+        |FROM bg e LEFT JOIN vocab v ON e.bg = v.bg
+        |WHERE e.doc_id % 2 = 1
+        |GROUP BY e.source ORDER BY e.source""".stripMargin
   )
 }

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.GraphOps
+
+/** Independent in-memory reference models for the round-8 analytics ops
+  * (graph, sketch, drift, n-gram). Each test recomputes the operator's
+  * result with a deliberately different, single-threaded algorithm on
+  * collected sf0.001 data and compares exactly — a third voice next to
+  * the DuckDB oracle (which shares the SQL formulation) and the Spark
+  * plan. Integer-exact ops compare bit-for-bit. */
+class ModelCheckSpec extends SparkSpec {
+
+  private def tradePairs: Seq[(Long, Long)] = {
+    val o = spark.read.parquet(s"$Sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey") * 2, col("l_suppkey") * 2 + 1).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+  }
+
+  test("g1: distributed PageRank equals the sequential integer-mass model") {
+    val pairs = tradePairs
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    var pr: Map[Long, Long] = deg.map { case (n, _) => n -> GraphOps.Mass }.toMap
+    for (_ <- 1 to 3) {
+      val incoming = edges
+        .groupBy(_._2)
+        .map { case (dst, es) =>
+          dst -> es.iterator.map { case (src, _) => pr(src) / deg(src) }.sum
+        }
+      pr = incoming.map { case (n, in) =>
+        n -> (GraphOps.Teleport + 85L * in / 100L)
+      }.toMap
+    }
+    val expect = pr.toSeq.sortBy { case (n, p) => (-p, n) }.take(20)
+    val got = run("g1_pagerank").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect)
+  }
+
+  test("g2: degree-oriented triangle count equals the adjacency-set model") {
+    val cp = spark.read.parquet(s"$Sf/orders.parquet")
+      .filter(col("o_custkey") % 7 === 0)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(spark.read.parquet(s"$Sf/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byPart = cp.groupBy(_._2).values
+    val und = byPart.flatMap { rows =>
+      val cs = rows.map(_._1).distinct.sorted
+      for (i <- cs.indices; j <- (i + 1) until cs.size) yield (cs(i), cs(j))
+    }.toSet
+    val adj = (und.toSeq ++ und.toSeq.map(_.swap))
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    val expect = und.iterator.map { case (u, v) =>
+      (adj(u) & adj(v)).count(w => w > v)
+    }.sum
+    assert(und.nonEmpty && expect > 0, "fixture must yield a non-trivial graph")
+    val got = run("g2_triangle_count").collect()(0).getLong(0)
+    assert(got == expect)
+  }
+
+  test("a20: count-min estimates equal the model sketch and never underestimate") {
+    val toks = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w")).filter(col("w") =!= "")
+      .collect().map(_.getString(0)).toSeq
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16)
+    }
+    val sketch: Map[(Int, Long), Long] = toks
+      .flatMap(w => (0 to 2).map(i => (i, h60(s"cm:$i|$w") % 64)))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val exact = toks.groupBy(identity).map { case (w, v) => w -> v.size.toLong }
+    val rows = run("a20_countmin").collect()
+    assert(rows.length == exact.size)
+    rows.foreach { r =>
+      val (w, exactCnt, est) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val modelEst = (0 to 2).map(i => sketch((i, h60(s"cm:$i|$w") % 64))).min
+      assert(exactCnt == exact(w))
+      assert(est == modelEst, s"estimate mismatch for $w")
+      assert(est >= exactCnt, s"CMS underestimated $w")
+    }
+  }
+
+  test("ds15: KS numerators equal the direct two-sample model per source") {
+    val vals = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(col("source"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val grid = vals.map(_._2).distinct.sorted
+    val expect = vals.map(_._1).distinct.sorted.map { src =>
+      val a = vals.filter(_._1 == src).map(_._2)
+      val b = vals.filter(_._1 != src).map(_._2)
+      val d = grid.map(v =>
+        math.abs(a.count(_ <= v).toLong * b.length - b.count(_ <= v).toLong * a.length)).max
+      (src, a.length.toLong, b.length.toLong, d)
+    }.toSeq
+    val got = run("ds15_ks_drift").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect)
+  }
+
+  test("tx14: OOV bigram rates equal the direct parity-split model") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bigrams(t: String): Seq[String] = {
+      val a = t.split(" ", -1)
+      if (a.length < 2) Seq.empty
+      else (0 until a.length - 1).map(i => s"${a(i)} ${a(i + 1)}")
+    }
+    val vocab = docs.filter(_._1 % 2 == 0).flatMap(d => bigrams(d._3)).toSet
+    val expect = docs.filter(_._1 % 2 == 1)
+      .flatMap { case (_, src, t) => bigrams(t).map(src -> _) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (src, bgs) =>
+        val oov = bgs.count(b => !vocab.contains(b._2)).toLong
+        (src, bgs.length.toLong, oov)
+      }
+    val got = run("tx14_oov_bigram_rate").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+    run("tx14_oov_bigram_rate").collect().foreach { r =>
+      val rate = r.getDouble(3)
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+}
