@@ -403,4 +403,37 @@ class PlanSpec extends SparkSpec {
       ("t3_0", 6L, (0 until 6).map(3 * 10 + _).sum.toLong, 7500 + 2000))
     assert(got.toSeq == want)
   }
+
+  test("g1: every PageRank iteration is equi-join + shuffle — no nested loop, no cartesian") {
+    val plan = executedPlan("g1_pagerank")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // top-20 must be TakeOrderedAndProject, not a global sort of all nodes
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("g2: wedge join and closing semi-join are equi-joins — no nested loop") {
+    val plan = executedPlan("g2_triangle_count")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
+  test("a20: the sketch is built with map-side partial aggregation") {
+    val plan = executedPlan("a20_countmin")
+    assert(plan.contains("partial_count"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("ds15: windows run on the value grid partitioned by source, never the corpus") {
+    val plan = executedPlan("ds15_ks_drift")
+    // the only Window node partitions by source
+    val winLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("source")), plan)
+  }
+
+  test("tx14: the bigram-vocabulary probe is a hash equi-join, no nested loop") {
+    val plan = executedPlan("tx14_oov_bigram_rate")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
 }
