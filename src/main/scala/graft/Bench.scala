@@ -70,7 +70,8 @@ object Bench {
       "ds10_temperature_resample", "st11_stream_observe",
       "k15_bucketed_join", "nn10_mips_topk",
       "j12_bloom_prune", "nn13_pq_adc", "ds13_curriculum_order",
-      "k17_zorder_layout")
+      "k17_zorder_layout", "g1_pagerank", "g2_triangle_count",
+      "a20_countmin", "ds15_ks_drift")
     val resMap = results.toMap
     val qs = headline.flatMap(h => resMap.get(h).map(v => "\"" + h + "\":" + r3(v)))
       .mkString("{", ",", "}")
