@@ -123,6 +123,50 @@ object GraphOps extends OpModule {
         .unionByName(oriented.select(col("y").as("p"), col("x").as("r")))
       wedges.join(closing, Seq("p", "r"), "left_semi")
         .agg(count(lit(1)).as("n_triangles"))
+    }),
+
+    // G3 (extension) — GLOBAL CLUSTERING COEFFICIENT: 3·triangles /
+    // wedges, the one-number community-density summary. Triangles reuse
+    // g2's degree-oriented join; the wedge total is a pure per-node
+    // aggregate Σ d(d−1)/2 (integer — no pair enumeration). Both counts
+    // are single-row relations, combined with a broadcast cross of two
+    // 1-row frames; cc is the only float (one IEEE division, rounded).
+    "g3_clustering_coeff" -> ((s, dir) => {
+      val und = copurchaseEdges(s, dir)
+      val deg = und.select(col("u").as("n"))
+        .unionByName(und.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val wedges = deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+      val tri = queries("g2_triangle_count")(s, dir)
+      tri.crossJoin(broadcast(wedges))
+        .select(col("n_triangles"), col("n_wedges"),
+          round(lit(3) * col("n_triangles") / col("n_wedges"), 6).as("global_cc"))
+    }),
+
+    // V4 (extension) — the g1 recurrence through the SQL FRONT DOOR:
+    // a reference user can paste the chained-CTE PageRank (the exact
+    // oracle text, modulo `div` spelling) at spark.sql() and get g1's
+    // rows — proving the iterative integer-mass shape survives Spark's
+    // SQL parser/optimizer unchanged. Must produce exactly g1's result.
+    "v4_sql_pagerank" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      def step(name: String, prev: String): String =
+        s"""$name AS (SELECT e.dst AS node,
+           |       $Teleport + (85 * SUM(p.pr div d.deg)) div 100 AS pr
+           |FROM edges e JOIN $prev p ON e.src = p.node JOIN deg d ON e.src = d.node
+           |GROUP BY e.dst)""".stripMargin
+      s.sql(
+        s"""WITH e0 AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
+           |            FROM orders_v o JOIN lineitem_v l ON o.o_orderkey = l.l_orderkey),
+           |edges AS (SELECT a AS src, b AS dst FROM e0
+           |          UNION ALL SELECT b AS src, a AS dst FROM e0),
+           |deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+           |pr0 AS (SELECT node, CAST($Mass AS BIGINT) AS pr FROM deg),
+           |${step("pr1", "pr0")},
+           |${step("pr2", "pr1")},
+           |${step("pr3", "pr2")}
+           |SELECT node, pr FROM pr3 ORDER BY pr DESC, node LIMIT 20""".stripMargin)
     })
   )
 
@@ -146,6 +190,32 @@ object GraphOps extends OpModule {
     // integer division makes both engines' results order-independent,
     // so they can only agree if the graph AND the recurrence agree.
     "g1_pagerank" -> Sql.query(
+      tradeSql,
+      s"pr0 AS (SELECT node, CAST($Mass AS BIGINT) AS pr FROM deg)",
+      prStep("pr1", "pr0"), prStep("pr2", "pr1"), prStep("pr3", "pr2"))(
+      "SELECT node, pr FROM pr3 ORDER BY pr DESC, node LIMIT 20"),
+
+    // g3: wedge total and cc recomputed from the un-oriented graph
+    "g3_clustering_coeff" ->
+      """WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |            WHERE o_custkey % 7 = 0),
+        |und AS (SELECT DISTINCT a.c AS u, b.c AS v
+        |        FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c),
+        |deg AS (SELECT n, COUNT(*) AS d FROM (
+        |          SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und) t
+        |        GROUP BY n),
+        |w AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+        |tri AS (SELECT COUNT(*) AS n_triangles
+        |        FROM und e1 JOIN und e2 ON e1.v = e2.u
+        |        JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT tri.n_triangles, w.n_wedges,
+        |       ROUND(3 * tri.n_triangles / w.n_wedges, 6) AS global_cc
+        |FROM tri, w""".stripMargin,
+
+    // v4: identical oracle to g1 — the SQL front door must reproduce the
+    // DataFrame path's rows exactly
+    "v4_sql_pagerank" -> Sql.query(
       tradeSql,
       s"pr0 AS (SELECT node, CAST($Mass AS BIGINT) AS pr FROM deg)",
       prStep("pr1", "pr0"), prStep("pr2", "pr1"), prStep("pr3", "pr2"))(

@@ -126,6 +126,33 @@ object IncrementalOps extends OpModule {
         .groupBy("status")
         .agg(count(lit(1)).as("n"), min("k").as("min_key"), max("k").as("max_key"))
         .orderBy("status")
+    }),
+
+    // K20 (extension) — INCREMENTAL STATS MAINTENANCE: per-partition
+    // catalog stats (row count, min/max price) maintained by MERGING the
+    // standing stats with the delta batch's stats — never re-scanning
+    // the base. The semantics under test IS mergeability: the oracle
+    // computes the same stats from the whole table in one pass, so the
+    // gate proves merge(stats(base), stats(delta)) == stats(base∪delta)
+    // — the algebraic property that makes O7's ANALYZE incremental at
+    // 100 TB (count/min/max are commutative monoids; avg derives from
+    // count+sum downstream; distinct counts would need a18's HLL merge).
+    // The month split uses k12's snapshot-cut convention.
+    "k20_stats_merge" -> ((s, dir) => {
+      val cut = lit("1998-01-01").cast("timestamp")
+      def stats(df: DataFrame): DataFrame = df
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("o_totalprice").as("min_price"),
+          max("o_totalprice").as("max_price"))
+      val o = Tables.orders(s, dir)
+      stats(o.filter(col("o_orderdate") < cut))
+        .unionByName(stats(o.filter(col("o_orderdate") >= cut)))
+        .groupBy("month")
+        .agg(sum("n_rows").as("n_rows"),
+          min("min_price").as("min_price"),
+          max("max_price").as("max_price"))
+        .orderBy("month")
     })
   )
 
@@ -186,6 +213,15 @@ object IncrementalOps extends OpModule {
         |  FROM base b FULL OUTER JOIN rev r ON b.k = r.k)
         |SELECT status, COUNT(*) AS n,
         |       MIN(k) AS min_key, MAX(k) AS max_key
-        |FROM diff GROUP BY status ORDER BY status""".stripMargin
+        |FROM diff GROUP BY status ORDER BY status""".stripMargin,
+
+    // k20: the oracle computes the SAME stats from the full table in one
+    // pass — merge(base, delta) must equal recompute
+    "k20_stats_merge" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |       COUNT(*) AS n_rows,
+        |       MIN(o_totalprice) AS min_price,
+        |       MAX(o_totalprice) AS max_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -90,6 +90,28 @@ class ModelCheckSpec extends SparkSpec {
     }
   }
 
+  test("g3: clustering coefficient matches wedges/triangles recomputed from g2's model") {
+    val r = run("g3_clustering_coeff").collect()(0)
+    val (tri, wedges, cc) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(tri == run("g2_triangle_count").collect()(0).getLong(0))
+    assert(tri * 3 <= wedges, "3T <= W always (each triangle closes 3 wedges)")
+    assert(cc == BigDecimal(3.0 * tri / wedges)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("v4: the SQL front-door PageRank reproduces g1's rows exactly") {
+    val g1 = run("g1_pagerank").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val v4 = run("v4_sql_pagerank").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(v4 == g1)
+  }
+
+  test("k20: the snapshot cut splits orders non-trivially, so the merge is exercised") {
+    val o = spark.read.parquet(s"$Sf/orders.parquet")
+    val base = o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")).count()
+    val delta = o.count() - base
+    assert(base > 0 && delta > 0, s"degenerate cut: base=$base delta=$delta")
+  }
+
   test("ds15: KS numerators equal the direct two-sample model per source") {
     val vals = spark.read.parquet(s"$Sf/documents.parquet")
       .select(col("source"), col("n_chars"))
