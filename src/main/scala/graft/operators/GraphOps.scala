@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.OpModule
-import graft.sources.{Sql, Tables}
+import graft.sources.{Cached, Sql, Tables}
 
 /** Graph operators over relationship graphs derived from the fixture's
   * fact tables: integer-mass PageRank and degree-oriented triangle
@@ -43,34 +43,40 @@ object GraphOps extends OpModule {
   val Teleport = 150000000000L
 
   /** Undirected customer↔supplier edges (distinct trade pairs), node ids
-    * disjointly encoded: customer → 2k, supplier → 2k+1. */
-  private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
-    val e0 = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
-      .join(Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey"),
-        col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
-      .distinct()
-    e0.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(e0.select(col("b").as("src"), col("a").as("dst")))
-  }
+    * disjointly encoded: customer → 2k, supplier → 2k+1. Persisted via
+    * [[Cached]]: every PageRank iteration (and g1/v4 both) joins this
+    * relation — without the persist the plan re-derives the
+    * orders⋈lineitem distinct once per iteration per consumer, a
+    * 12×-scan blowup at 100 TB. */
+  private[operators] def tradeEdges(s: SparkSession, dir: String): DataFrame =
+    Cached.of(s, s"g:edges:$dir") {
+      val e0 = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      e0.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(e0.select(col("b").as("src"), col("a").as("dst")))
+    }
 
   /** Canonical undirected co-purchase edges (u < v) between customers in
     * the custkey % 7 = 0 slice that share a part. The slice bounds the
     * per-part clique the same way the dedup family's MaxDf cap bounds
     * hot-shingle joins — at 100 TB the cap would be per-part top-K by
     * key, the same deterministic guard. */
-  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
-    val cp = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
-      .filter(col("o_custkey") % 7 === 0)
-      .join(Tables.lineitem(s, dir).select("l_orderkey", "l_partkey"),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-      .distinct()
-    cp.as("a").join(cp.as("b"),
-        col("a.p") === col("b.p") && col("a.c") < col("b.c"))
-      .select(col("a.c").as("u"), col("b.c").as("v"))
-      .distinct()
-  }
+  private[operators] def copurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    Cached.of(s, s"g:copurchase:$dir") {
+      val cp = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+        .filter(col("o_custkey") % 7 === 0)
+        .join(Tables.lineitem(s, dir).select("l_orderkey", "l_partkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+      cp.as("a").join(cp.as("b"),
+          col("a.p") === col("b.p") && col("a.c") < col("b.c"))
+        .select(col("a.c").as("u"), col("b.c").as("v"))
+        .distinct()
+    }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // G1 (extension) — PAGERANK over the customer↔supplier trade graph,
@@ -80,8 +86,10 @@ object GraphOps extends OpModule {
     // TakeOrderedAndProject (no global sort materialization).
     "g1_pagerank" -> ((s, dir) => {
       val edges = tradeEdges(s, dir)
-      val deg = edges.groupBy(col("src").as("node"))
-        .agg(count(lit(1)).as("deg"))
+      // degree relation joined once per iteration — persisted alongside
+      // the edges so iterations re-read, never re-aggregate
+      val deg = Cached.of(s, s"g:deg:$dir")(
+        edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
       var pr = deg.select(col("node"), lit(Mass).as("pr"))
       for (_ <- 1 to 3) {
         pr = edges
