@@ -285,6 +285,20 @@ object DedupOps extends OpModule {
         .filter(col("jaccard") >= 0.2)
         .select("doc_a", "doc_b", "jaccard")),
 
+    // DD12 (extension) — CONTAINMENT near-dup detection: |∩| / min(|A|,
+    // |B|) ≥ 0.8 — the asymmetric measure that catches DOC-INSIDE-DOC
+    // duplication (quoted inclusions, boilerplate-wrapped reposts) that
+    // Jaccard structurally misses: a 100-shingle doc embedded in a
+    // 1000-shingle doc has containment 1.0 but Jaccard ≤ 0.1, under any
+    // dd3 threshold. Same df-capped cached pair relation as dd3/dd11 —
+    // one new float per surviving pair, zero new shuffles.
+    "dd12_containment" -> ((s, dir) =>
+      pairIntersections(s, dir)
+        .withColumn("containment",
+          round(col("inter") / least(col("sza"), col("szb")), 6))
+        .filter(col("containment") >= 0.8)
+        .select("doc_a", "doc_b", "containment")),
+
     // DD11 (extension) — Jaccard THRESHOLD-CALIBRATION histogram: the
     // distribution of pairwise similarity over all co-shingled pairs,
     // in tenth-wide bins — the artifact you stare at before choosing
@@ -570,6 +584,20 @@ object DedupOps extends OpModule {
         |JOIN sizes sa ON sa.doc_id = i.doc_a
         |JOIN sizes sb ON sb.doc_id = i.doc_b
         |WHERE ROUND(i.inter / (sa.sz + sb.sz - i.inter), 6) >= 0.2""".stripMargin),
+
+    "dd12_containment" -> Sql.query(shinglesSql, cappedSql,
+      "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM capped GROUP BY doc_id)",
+      """inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM capped a JOIN capped b ON a.sh = b.sh
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)""".stripMargin)(
+      """SELECT i.doc_a, i.doc_b,
+        |       ROUND(i.inter / LEAST(sa.sz, sb.sz), 6) AS containment
+        |FROM inter i
+        |JOIN sizes sa ON sa.doc_id = i.doc_a
+        |JOIN sizes sb ON sb.doc_id = i.doc_b
+        |WHERE ROUND(i.inter / LEAST(sa.sz, sb.sz), 6) >= 0.8""".stripMargin),
 
     "dd11_jaccard_hist" -> Sql.query(shinglesSql, cappedSql,
       "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM capped GROUP BY doc_id)",

@@ -335,33 +335,39 @@ object SampleOps extends OpModule {
     // on the (source × distinct-value) grid — VALUE-DOMAIN sized, not
     // corpus sized (lengths are bounded); the windows partition by
     // source, so no single-partition sort ever sees the corpus.
-    "ds15_ks_drift" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      // per-(source, value) and per-value counts on the aggregated grid
-      val sv = docs.groupBy("source", "n_chars").agg(count(lit(1)).as("c_sv"))
-      val v = docs.groupBy("n_chars").agg(count(lit(1)).as("c_v"))
-      val na = docs.groupBy("source").agg(count(lit(1)).as("n_a"))
-      val total = docs.count()
-      // dense grid: every source × every observed value
-      val grid = na.select("source").crossJoin(broadcast(v))
-        .join(sv, Seq("source", "n_chars"), "left")
-        .na.fill(0L, Seq("c_sv"))
-      val w = Window.partitionBy("source").orderBy("n_chars")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      grid
-        .withColumn("cum_a", sum("c_sv").over(w))
-        .withColumn("cum_all", sum("c_v").over(w))
-        .join(na, Seq("source"))
-        .withColumn("n_b", lit(total) - col("n_a"))
-        .withColumn("dev",
-          abs(col("cum_a") * col("n_b") - (col("cum_all") - col("cum_a")) * col("n_a")))
-        .groupBy("source")
-        .agg(first("n_a").as("n_a"), first("n_b").as("n_b"),
-          max("dev").as("d_num"))
-        .withColumn("ks", col("d_num") / (col("n_a") * col("n_b")))
-        .orderBy("source")
-    })
+    "ds15_ks_drift" -> ((s, dir) =>
+      ksFromCounts(Tables.documents(s, dir)
+        .groupBy("source", "n_chars").agg(count(lit(1)).as("c_sv"))))
   )
+
+  /** KS finish over a pre-aggregated (source, n_chars, c_sv) count grid —
+    * shared by ds15 (batch) and st12 (the same grid maintained by a
+    * streaming stateful aggregation). Everything here is value-domain
+    * sized; the corpus was reduced away by the caller's one groupBy. */
+  private[graft] def ksFromCounts(sv: DataFrame): DataFrame = {
+    val v = sv.groupBy("n_chars").agg(sum("c_sv").as("c_v"))
+    val na = sv.groupBy("source").agg(sum("c_sv").as("n_a"))
+    val total = sv.agg(sum("c_sv").as("n_total"))
+    // dense grid: every source × every observed value
+    val grid = na.select("source").crossJoin(broadcast(v))
+      .join(sv, Seq("source", "n_chars"), "left")
+      .na.fill(0L, Seq("c_sv"))
+    val w = Window.partitionBy("source").orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("cum_a", sum("c_sv").over(w))
+      .withColumn("cum_all", sum("c_v").over(w))
+      .join(na, Seq("source"))
+      .crossJoin(broadcast(total))
+      .withColumn("n_b", col("n_total") - col("n_a"))
+      .withColumn("dev",
+        abs(col("cum_a") * col("n_b") - (col("cum_all") - col("cum_a")) * col("n_a")))
+      .groupBy("source")
+      .agg(first("n_a").as("n_a"), first("n_b").as("n_b"),
+        max("dev").as("d_num"))
+      .withColumn("ks", col("d_num") / (col("n_a") * col("n_b")))
+      .orderBy("source")
+  }
 
   def oracles: Map[String, String] = Map(
     "ds1_hash_sample" ->
@@ -537,7 +543,12 @@ object SampleOps extends OpModule {
 
     // ds15: the oracle replays the integer KS numerator over the same
     // grid (window sums cast back from DuckDB's HUGEINT before output)
-    "ds15_ks_drift" ->
+    "ds15_ks_drift" -> ksOracleSql
+  )
+
+  /** ds15's oracle — also the oracle for the streaming grid variant
+    * (st12), which must converge to the identical batch answer. */
+  private[graft] val ksOracleSql: String =
       """WITH sv AS (SELECT source, n_chars, COUNT(*) AS c_sv
         |            FROM documents GROUP BY 1, 2),
         |v AS (SELECT n_chars, COUNT(*) AS c_v FROM documents GROUP BY 1),
@@ -565,5 +576,4 @@ object SampleOps extends OpModule {
         |       CAST(MAX(dev) AS BIGINT) / (n_a * n_b) AS ks
         |FROM dev GROUP BY source, n_a, n_b
         |ORDER BY source""".stripMargin
-  )
 }

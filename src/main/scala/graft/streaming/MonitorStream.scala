@@ -297,6 +297,28 @@ object MonitorStream extends OpModule {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
       runToTable(s, gated, "complete")
+    }),
+
+    // ST12 (extension) — STREAMING DRIFT MONITOR: ds15's per-source KS
+    // statistic fed by streaming ingest. The stream maintains only the
+    // BOUNDED piece of state — the (source × n_chars) count grid, whose
+    // size is value-domain × sources regardless of how much data has
+    // flowed — and the KS analytics run as a batch view over the
+    // materialized state store (sketch-in-the-stream, analytics-on-the-
+    // store: the same split a18 uses for daily HLL sketches). Converges
+    // to the batch ds15 answer under ANY micro-batch slicing because
+    // counts are associative — which is why the batch oracle can pin it.
+    "st12_stream_drift" -> ((s, dir) => {
+      val docs = Tables.documentsStream(s, dir).select("source", "n_chars")
+      val grid = runToTable(s,
+        docs.groupBy("source", "n_chars").count(), "complete")
+        .withColumnRenamed("count", "c_sv")
+      // Re-base the converged state snapshot on a LogicalRDD: the KS
+      // finish self-joins the grid (grid ⋈ its own aggregates), and the
+      // memory-sink View is not a MultiInstanceRelation, so the analyzer
+      // can't deduplicate its attributes the way it does for file scans.
+      graft.operators.SampleOps.ksFromCounts(
+        s.createDataFrame(grid.rdd, grid.schema))
     })
   )
 
@@ -319,6 +341,9 @@ object MonitorStream extends OpModule {
         |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE n_chars >= 200
         |GROUP BY lang""".stripMargin,
+
+    // st12 must converge to the batch ds15 answer — same oracle
+    "st12_stream_drift" -> graft.operators.SampleOps.ksOracleSql,
 
     // batch-boundary-free: the converged snapshot is the latest state
     // per user no matter how the stream was sliced into micro-batches
