@@ -71,7 +71,7 @@ object Bench {
       "k15_bucketed_join", "nn10_mips_topk",
       "j12_bloom_prune", "nn13_pq_adc", "ds13_curriculum_order",
       "k17_zorder_layout", "g1_pagerank", "g2_triangle_count",
-      "a20_countmin", "ds15_ks_drift")
+      "a20_countmin", "ds15_ks_drift", "st12_stream_drift", "dd12_containment")
     val resMap = results.toMap
     val qs = headline.flatMap(h => resMap.get(h).map(v => "\"" + h + "\":" + r3(v)))
       .mkString("{", ",", "}")

@@ -427,6 +427,32 @@ object AggOps extends OpModule {
           count(lit(1)).as("n_segments"))
     }),
 
+    // W15 (extension) — CALENDAR GAP-FILL + FORWARD FILL: the hourly
+    // monitor rollup densified to one row per (tile, hour) across each
+    // tile's own observed span, gap hours flagged, and the last observed
+    // mem_peak carried forward through gaps. The calendar is generated
+    // per tile from its min/max hour (sequence + explode) — sized by
+    // TIME SPAN × tiles, never by corpus rows — and the fill is one
+    // last(ignoreNulls) window per tile. At 100 TB the hourly rollup
+    // (first groupBy) has already shrunk the fact table to the grid, so
+    // everything downstream of the first shuffle is calendar-sized.
+    "w15_gap_fill" -> ((s, dir) => {
+      val hourly = Tables.monitorLog(s, dir)
+        .groupBy(col("tile_id"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n_obs"), max("mem_rss").as("mem_peak"))
+      val cal = hourly.groupBy("tile_id")
+        .agg(min("hour").as("h0"), max("hour").as("h1"))
+        .select(col("tile_id"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+      val w = Window.partitionBy("tile_id").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cal.join(hourly, Seq("tile_id", "hour"), "left")
+        .select(col("tile_id"), col("hour"),
+          coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+          col("n_obs").isNull.as("is_gap"),
+          last("mem_peak", ignoreNulls = true).over(w).as("mem_peak_filled"))
+    }),
+
     // A17 (extension) — cohort retention matrix: users bucketed by their
     // first-activity week, counted (distinct) in each later week they
     // returned. Two shuffles, both on keys that shrink the data: the
@@ -581,6 +607,28 @@ object AggOps extends OpModule {
         |         AS cpu_total,
         |       MAX(mem_rss) AS mem_peak
         |FROM monitor GROUP BY tile_id, date_trunc('hour', ts)""".stripMargin),
+
+    // w15: DuckDB regenerates the per-tile hour calendar and replays the
+    // forward fill with last_value IGNORE NULLS
+    "w15_gap_fill" -> Sql.query(Sql.monitor,
+      """hourly AS (
+        |  SELECT tile_id, date_trunc('hour', ts) AS hour,
+        |         COUNT(*) AS n_obs, MAX(mem_rss) AS mem_peak
+        |  FROM monitor GROUP BY 1, 2)""".stripMargin,
+      """cal AS (
+        |  SELECT tile_id,
+        |         unnest(generate_series(MIN(hour), MAX(hour),
+        |                                INTERVAL 1 HOUR)) AS hour
+        |  FROM hourly GROUP BY tile_id)""".stripMargin)(
+      """SELECT c.tile_id, c.hour,
+        |       COALESCE(h.n_obs, 0) AS n_obs,
+        |       h.n_obs IS NULL AS is_gap,
+        |       last_value(h.mem_peak IGNORE NULLS) OVER (
+        |         PARTITION BY c.tile_id ORDER BY c.hour
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS mem_peak_filled
+        |FROM cal c LEFT JOIN hourly h
+        |  ON h.tile_id = c.tile_id AND h.hour = c.hour""".stripMargin),
 
     "w5_monitor_delta" -> Sql.query(Sql.monitor)(
       """SELECT tile_id, event_id,

@@ -299,6 +299,28 @@ object DedupOps extends OpModule {
         .filter(col("containment") >= 0.8)
         .select("doc_a", "doc_b", "containment")),
 
+    // DD13 (extension) — INCREMENTAL new-batch-vs-corpus dedup: the
+    // continuous-crawl shape. The corpus side (doc_id % 10 < 8 here; in
+    // production the PERSISTED band index of everything already kept) is
+    // probed by only the NEW batch's bands through the same (band, bkey)
+    // equi-join — never new×new or corpus×corpus, so the incremental
+    // cost is proportional to the BATCH, not the corpus. Per new doc:
+    // how many distinct corpus docs its buckets hit and the smallest
+    // such partner (the keeper it would dedup against). Uses the
+    // df-capped bands — the hot-bucket cap matters MORE here, since the
+    // corpus side of a boilerplate bucket grows with every ingest.
+    "dd13_incremental_dedup" -> ((s, dir) => {
+      val bands = cappedLshBands(s, dir)
+      val corpus = bands.filter(col("doc_id") % 10 < 8)
+        .select(col("band"), col("bkey"), col("doc_id").as("corpus_doc"))
+      val fresh = bands.filter(col("doc_id") % 10 >= 8)
+        .select(col("band"), col("bkey"), col("doc_id").as("new_doc"))
+      fresh.join(corpus, Seq("band", "bkey"))
+        .groupBy("new_doc")
+        .agg(countDistinct("corpus_doc").as("n_matches"),
+          min("corpus_doc").as("keeper"))
+    }),
+
     // DD11 (extension) — Jaccard THRESHOLD-CALIBRATION histogram: the
     // distribution of pairwise similarity over all co-shingled pairs,
     // in tenth-wide bins — the artifact you stare at before choosing
@@ -584,6 +606,14 @@ object DedupOps extends OpModule {
         |JOIN sizes sa ON sa.doc_id = i.doc_a
         |JOIN sizes sb ON sb.doc_id = i.doc_b
         |WHERE ROUND(i.inter / (sa.sz + sb.sz - i.inter), 6) >= 0.2""".stripMargin),
+
+    "dd13_incremental_dedup" -> Sql.query(cappedLshCtes: _*)(
+      """SELECT n.doc_id AS new_doc,
+        |       COUNT(DISTINCT c.doc_id) AS n_matches,
+        |       MIN(c.doc_id) AS keeper
+        |FROM cbands n JOIN cbands c ON n.band = c.band AND n.bkey = c.bkey
+        |WHERE n.doc_id % 10 >= 8 AND c.doc_id % 10 < 8
+        |GROUP BY n.doc_id""".stripMargin),
 
     "dd12_containment" -> Sql.query(shinglesSql, cappedSql,
       "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM capped GROUP BY doc_id)",

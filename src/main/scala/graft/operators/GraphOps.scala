@@ -151,6 +151,30 @@ object GraphOps extends OpModule {
           round(lit(3) * col("n_triangles") / col("n_wedges"), 6).as("global_cc"))
     }),
 
+    // G4 (extension) — MULTI-SOURCE BFS hop distances over the trade
+    // graph from the nation-0 supplier frontier: 4 fixed rounds of
+    // min-distance propagation, one node-keyed shuffle per round — the
+    // same Pregel-without-Pregel shape as g1, and like g1 the state is
+    // exact integers, so the result is reduction-order-independent and
+    // bit-reproducible under any partitioning. Each round unions the
+    // current label set with neighbour labels+1 and takes the per-node
+    // min; unreached nodes simply never appear (no corpus-wide
+    // initialization). Output is the hop-distance histogram — 5 rows,
+    // whatever the graph size.
+    "g4_bfs_hops" -> ((s, dir) => {
+      val edges = tradeEdges(s, dir)
+      var dist = Tables.supplier(s, dir)
+        .filter(col("s_nationkey") === 0)
+        .select((col("s_suppkey") * 2 + 1).as("node"), lit(0).as("d"))
+      for (_ <- 1 to 4) {
+        dist = dist.unionByName(
+            edges.join(dist.withColumnRenamed("node", "src"), Seq("src"))
+              .select(col("dst").as("node"), (col("d") + 1).as("d")))
+          .groupBy("node").agg(min("d").as("d"))
+      }
+      dist.groupBy("d").agg(count(lit(1)).as("n_nodes")).orderBy("d")
+    }),
+
     // V4 (extension) — the g1 recurrence through the SQL FRONT DOOR:
     // a reference user can paste the chained-CTE PageRank (the exact
     // oracle text, modulo `div` spelling) at spark.sql() and get g1's
@@ -193,6 +217,15 @@ object GraphOps extends OpModule {
        |FROM edges e JOIN $prev p ON e.src = p.node JOIN deg d ON e.src = d.node
        |GROUP BY e.dst)""".stripMargin
 
+  /** One BFS min-distance round from CTE `prev` to a new named CTE. */
+  private def bfsStep(name: String, prev: String): String =
+    s"""$name AS (SELECT node, MIN(d) AS d FROM (
+       |  SELECT node, d FROM $prev
+       |  UNION ALL
+       |  SELECT e.dst AS node, p.d + 1 AS d
+       |  FROM $prev p JOIN edges e ON e.src = p.node) t
+       |GROUP BY node)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     // g1: the oracle replays the same integer-mass power iteration —
     // integer division makes both engines' results order-independent,
@@ -228,6 +261,17 @@ object GraphOps extends OpModule {
       s"pr0 AS (SELECT node, CAST($Mass AS BIGINT) AS pr FROM deg)",
       prStep("pr1", "pr0"), prStep("pr2", "pr1"), prStep("pr3", "pr2"))(
       "SELECT node, pr FROM pr3 ORDER BY pr DESC, node LIMIT 20"),
+
+    // g4: the same 4 fixed min-propagation rounds as chained CTEs; the
+    // seed set and +1 recurrence must agree exactly for the histogram
+    // to match (integer state — no tolerance anywhere)
+    "g4_bfs_hops" -> Sql.query(
+      tradeSql,
+      """d0 AS (SELECT s_suppkey*2+1 AS node, 0 AS d
+        |       FROM supplier WHERE s_nationkey = 0)""".stripMargin,
+      bfsStep("d1", "d0"), bfsStep("d2", "d1"),
+      bfsStep("d3", "d2"), bfsStep("d4", "d3"))(
+      "SELECT d, COUNT(*) AS n_nodes FROM d4 GROUP BY d ORDER BY d"),
 
     // g2: the oracle counts ordered triangles u<v<w directly (no
     // orientation trick) — two independent enumeration strategies must

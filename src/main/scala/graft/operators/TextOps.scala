@@ -311,6 +311,35 @@ object TextOps extends OpModule {
           count(when(col("seen").isNull, lit(1))).as("n_oov"))
         .withColumn("oov_rate", col("n_oov") / col("n_bg"))
         .orderBy("source")
+    }),
+
+    // TX15 (extension) — CO-OCCURRENCE LIFT: for every canonical word
+    // pair (wa < wb), observed document co-occurrence vs the
+    // independence expectation — lift = N·c_ab / (c_a·c_b) over
+    // document-PRESENCE counts. The integer-count PMI surrogate: no log
+    // ever crosses an engine boundary (exp-family floats differ by libm
+    // across engines); the single IEEE division of exact integers is
+    // identical everywhere, rounded at 6. The pair join fans out per doc
+    // by (distinct words)², bounded by doc length — at 100 TB the guard
+    // is a per-doc top-K token cap (the dedup family's MaxDf argument
+    // applied doc-wise) and c_a·c_b widens to DECIMAL. Both count
+    // relations are vocabulary-sized → broadcast; output is vocab²-
+    // bounded, never corpus-sized.
+    "tx15_cooccurrence_lift" -> ((s, dir) => {
+      val pres = tokens(s, dir).select("doc_id", "w").distinct()
+      val wc = pres.groupBy("w").agg(count(lit(1)).as("c"))
+      val ndocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      pres.as("a").join(pres.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+        .groupBy(col("a.w").as("wa"), col("b.w").as("wb"))
+        .agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 50)
+        .join(broadcast(wc.select(col("w").as("wa"), col("c").as("c_a"))), Seq("wa"))
+        .join(broadcast(wc.select(col("w").as("wb"), col("c").as("c_b"))), Seq("wb"))
+        .crossJoin(broadcast(ndocs))
+        .select(col("wa"), col("wb"), col("c_ab"),
+          round(col("n_docs") * col("c_ab") / (col("c_a") * col("c_b")), 6)
+            .as("lift"))
     })
   )
 
@@ -498,6 +527,22 @@ object TextOps extends OpModule {
         |       COUNT(*) FILTER (WHERE v.bg IS NULL) / COUNT(*) AS oov_rate
         |FROM bg e LEFT JOIN vocab v ON e.bg = v.bg
         |WHERE e.doc_id % 2 = 1
-        |GROUP BY e.source ORDER BY e.source""".stripMargin
+        |GROUP BY e.source ORDER BY e.source""".stripMargin,
+
+    // tx15: presence counts and the lift ratio replayed over the same
+    // canonical-pair join; all inputs to the division are exact integers
+    "tx15_cooccurrence_lift" -> Sql.query(tokensSql,
+      "pres AS (SELECT DISTINCT doc_id, w FROM tokens)",
+      "wc AS (SELECT w, COUNT(*) AS c FROM pres GROUP BY w)",
+      "nd AS (SELECT COUNT(*) AS n_docs FROM documents)",
+      """pairs AS (
+        |  SELECT a.w AS wa, b.w AS wb, COUNT(*) AS c_ab
+        |  FROM pres a JOIN pres b ON a.doc_id = b.doc_id AND a.w < b.w
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 50)""".stripMargin)(
+      """SELECT p.wa, p.wb, p.c_ab,
+        |       ROUND(nd.n_docs * p.c_ab / (ca.c * cb.c), 6) AS lift
+        |FROM pairs p
+        |JOIN wc ca ON ca.w = p.wa
+        |JOIN wc cb ON cb.w = p.wb, nd""".stripMargin)
   )
 }

@@ -319,6 +319,47 @@ object MonitorStream extends OpModule {
       // can't deduplicate its attributes the way it does for file scans.
       graft.operators.SampleOps.ksFromCounts(
         s.createDataFrame(grid.rdd, grid.schema))
+    }),
+
+    // ST13 (extension) — INCREMENTAL LAKE INGEST with Trigger.AvailableNow
+    // + a durable checkpoint: the "process whatever landed, then stop"
+    // batch-of-streams idiom that replaces cron-batch ingestion. Two
+    // physical runs: run 1 ingests the even-doc slice, run 2 starts a NEW
+    // query against the SAME checkpoint after the odd slice lands — the
+    // file-source log makes run 2 read ONLY the new files (incremental
+    // cost = new data, exactly-once progress), while the state store
+    // carries the per-lang aggregate across runs. The converged result
+    // must equal the one-shot batch aggregate — counts are associative,
+    // so ANY ingest slicing converges identically, which is what lets a
+    // plain batch oracle pin a two-run streaming pipeline.
+    "st13_availablenow_ingest" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_st13_${ProcessHandle.current.pid}_${dir.hashCode}").getPath
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val data = s"$base/data"
+      val name = s"graft_stream_${nameSeq.incrementAndGet()}"
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        def runOnce(): Unit = {
+          val q = s.readStream.schema(docs.schema).parquet(data)
+            .groupBy("lang")
+            .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+            .writeStream.outputMode("complete").format("memory")
+            .queryName(name)
+            .option("checkpointLocation", s"$base/ckpt")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          try q.awaitTermination() finally q.stop()
+        }
+        docs.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(data)
+        runOnce()
+        docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(data)
+        runOnce()
+      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+      s.table(name)
     })
   )
 
@@ -344,6 +385,13 @@ object MonitorStream extends OpModule {
 
     // st12 must converge to the batch ds15 answer — same oracle
     "st12_stream_drift" -> graft.operators.SampleOps.ksOracleSql,
+
+    // st13: slicing-independent — the two-run AvailableNow ingest must
+    // land on the one-shot batch aggregate
+    "st13_availablenow_ingest" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang""".stripMargin,
 
     // batch-boundary-free: the converged snapshot is the latest state
     // per user no matter how the stream was sliced into micro-batches
