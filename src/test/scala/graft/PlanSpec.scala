@@ -436,4 +436,31 @@ class PlanSpec extends SparkSpec {
     val plan = executedPlan("tx14_oov_bigram_rate")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
   }
+
+  test("w15: the gap-fill window partitions by tile and the calendar join is an equi-join") {
+    val plan = executedPlan("w15_gap_fill")
+    val winLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("tile_id")), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("tx15: both vocabulary-count joins broadcast; the pair join is a hash equi-join") {
+    val plan = executedPlan("tx15_cooccurrence_lift")
+    // wc joins (vocab-sized) + the 1-row n_docs cross: >= 3 broadcasts
+    val nBroadcast = "Broadcast".r.findAllIn(plan).size
+    assert(nBroadcast >= 3, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("dd13: new-vs-corpus probe is an equi-join on the band bucket — no nested loop") {
+    val plan = executedPlan("dd13_incremental_dedup")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("band"), plan)
+  }
+
+  test("g4: every BFS round is equi-join + shuffle — no nested loop, no cartesian") {
+    val plan = executedPlan("g4_bfs_hops")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
