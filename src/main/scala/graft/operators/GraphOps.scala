@@ -109,29 +109,7 @@ object GraphOps extends OpModule {
     // Counts each triangle exactly once; orientation bounds the wedge
     // fanout per node by O(sqrt(m)), so no reducer ever enumerates a
     // celebrity node's full neighbourhood squared.
-    "g2_triangle_count" -> ((s, dir) => {
-      val und = copurchaseEdges(s, dir)
-      val deg = und.select(col("u").as("n"))
-        .unionByName(und.select(col("v").as("n")))
-        .groupBy("n").agg(count(lit(1)).as("d"))
-      // orient: x→y iff (deg(x), x) < (deg(y), y)
-      val oriented = und
-        .join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), Seq("u"))
-        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), Seq("v"))
-        .select(
-          when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
-            col("u")).otherwise(col("v")).as("x"),
-          when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
-            col("v")).otherwise(col("u")).as("y"))
-      val wedges = oriented.as("e1")
-        .join(oriented.as("e2"), col("e1.y") === col("e2.x"))
-        .select(col("e1.x").as("p"), col("e1.y").as("q"), col("e2.y").as("r"))
-      // close the wedge: (p,r) must be an edge in EITHER orientation
-      val closing = oriented.select(col("x").as("p"), col("y").as("r"))
-        .unionByName(oriented.select(col("y").as("p"), col("x").as("r")))
-      wedges.join(closing, Seq("p", "r"), "left_semi")
-        .agg(count(lit(1)).as("n_triangles"))
-    }),
+    "g2_triangle_count" -> ((s, dir) => triangles(s, dir)),
 
     // G3 (extension) — GLOBAL CLUSTERING COEFFICIENT: 3·triangles /
     // wedges, the one-number community-density summary. Triangles reuse
@@ -145,14 +123,15 @@ object GraphOps extends OpModule {
         .unionByName(und.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("d"))
       val wedges = deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
-      val tri = queries("g2_triangle_count")(s, dir)
+      val tri = triangles(s, dir)
       tri.crossJoin(broadcast(wedges))
         .select(col("n_triangles"), col("n_wedges"),
           round(lit(3) * col("n_triangles") / col("n_wedges"), 6).as("global_cc"))
     }),
 
     // G4 (extension) — MULTI-SOURCE BFS hop distances over the trade
-    // graph from the nation-0 supplier frontier: 4 fixed rounds of
+    // graph from the decimal-supplier frontier (s_suppkey % 10 = 0 —
+    // a seed set that is non-empty at every SF): 4 fixed rounds of
     // min-distance propagation, one node-keyed shuffle per round — the
     // same Pregel-without-Pregel shape as g1, and like g1 the state is
     // exact integers, so the result is reduction-order-independent and
@@ -164,13 +143,20 @@ object GraphOps extends OpModule {
     "g4_bfs_hops" -> ((s, dir) => {
       val edges = tradeEdges(s, dir)
       var dist = Tables.supplier(s, dir)
-        .filter(col("s_nationkey") === 0)
+        .filter(col("s_suppkey") % 10 === 0)
         .select((col("s_suppkey") * 2 + 1).as("node"), lit(0).as("d"))
       for (_ <- 1 to 4) {
+        // localCheckpoint per round: the recurrence references `dist`
+        // twice (carried labels + neighbour propagation), so without
+        // lineage truncation the final action re-executes round k's
+        // subtree 2^(4-k) times — the componentsLoop argument; each
+        // round's relation is frontier-sized, so the materialization
+        // is tiny. (Cluster scale: reliable checkpoint, same shape.)
         dist = dist.unionByName(
             edges.join(dist.withColumnRenamed("node", "src"), Seq("src"))
               .select(col("dst").as("node"), (col("d") + 1).as("d")))
           .groupBy("node").agg(min("d").as("d"))
+          .localCheckpoint()
       }
       dist.groupBy("d").agg(count(lit(1)).as("n_nodes")).orderBy("d")
     }),
@@ -216,6 +202,39 @@ object GraphOps extends OpModule {
        |       CAST($Teleport + (85 * SUM(p.pr // d.deg)) // 100 AS BIGINT) AS pr
        |FROM edges e JOIN $prev p ON e.src = p.node JOIN deg d ON e.src = d.node
        |GROUP BY e.dst)""".stripMargin
+
+  /** Triangle count (1 row) by degree-oriented wedge join: orient each
+    * edge from its lower-degree endpoint (id tiebreak), join
+    * oriented⋈oriented on the wedge midpoint, close with a semi-join
+    * back onto the edge set. Counts each triangle exactly once;
+    * orientation bounds wedge fanout per node at O(√m), so no reducer
+    * enumerates a celebrity node's neighbourhood squared. Persisted via
+    * [[Cached]] — g2 and g3 both consume it, and the wedge join is the
+    * graph family's most expensive relation. */
+  private def triangles(s: SparkSession, dir: String): DataFrame =
+    Cached.of(s, s"g:tri:$dir") {
+      val und = copurchaseEdges(s, dir)
+      val deg = und.select(col("u").as("n"))
+        .unionByName(und.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      // orient: x→y iff (deg(x), x) < (deg(y), y)
+      val oriented = und
+        .join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), Seq("u"))
+        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), Seq("v"))
+        .select(
+          when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+            col("u")).otherwise(col("v")).as("x"),
+          when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+            col("v")).otherwise(col("u")).as("y"))
+      val wedges = oriented.as("e1")
+        .join(oriented.as("e2"), col("e1.y") === col("e2.x"))
+        .select(col("e1.x").as("p"), col("e1.y").as("q"), col("e2.y").as("r"))
+      // close the wedge: (p,r) must be an edge in EITHER orientation
+      val closing = oriented.select(col("x").as("p"), col("y").as("r"))
+        .unionByName(oriented.select(col("y").as("p"), col("x").as("r")))
+      wedges.join(closing, Seq("p", "r"), "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+    }
 
   /** One BFS min-distance round from CTE `prev` to a new named CTE. */
   private def bfsStep(name: String, prev: String): String =
@@ -268,7 +287,7 @@ object GraphOps extends OpModule {
     "g4_bfs_hops" -> Sql.query(
       tradeSql,
       """d0 AS (SELECT s_suppkey*2+1 AS node, 0 AS d
-        |       FROM supplier WHERE s_nationkey = 0)""".stripMargin,
+        |       FROM supplier WHERE s_suppkey % 10 = 0)""".stripMargin,
       bfsStep("d1", "d0"), bfsStep("d2", "d1"),
       bfsStep("d3", "d2"), bfsStep("d4", "d3"))(
       "SELECT d, COUNT(*) AS n_nodes FROM d4 GROUP BY d ORDER BY d"),

@@ -154,4 +154,72 @@ class ModelCheckSpec extends SparkSpec {
       assert(rate >= 0.0 && rate <= 1.0)
     }
   }
+
+  test("g4: BFS hop histogram equals the sequential frontier model") {
+    val adj = tradePairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    val seeds = spark.read.parquet(s"$Sf/supplier.parquet")
+      .filter(col("s_suppkey") % 10 === 0)
+      .select(col("s_suppkey") * 2 + 1)
+      .collect().map(_.getLong(0)).toSet
+    var dist: Map[Long, Int] = seeds.map(_ -> 0).toMap
+    for (k <- 1 to 4) {
+      val frontier = dist.collect { case (n, d) if d == k - 1 => n }.toSet
+      val nxt = frontier.flatMap(n => adj.getOrElse(n, Set.empty[Long]))
+      dist = dist ++ nxt.filterNot(dist.contains).map(_ -> k)
+    }
+    val expect = dist.values.groupBy(identity)
+      .map { case (d, xs) => (d, xs.size.toLong) }.toSeq.sortBy(_._1)
+    val got = run("g4_bfs_hops").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got == expect)
+    assert(got.map(_._2).sum > seeds.size, "BFS never left the seed set")
+  }
+
+  test("w15: gap-fill equals the sequential calendar model") {
+    val HourUs = 3600L * 1000000L
+    val rows = graft.sources.Tables.monitorLog(spark, Sf)
+      .select(col("tile_id"), unix_micros(col("ts")).as("us"), col("mem_rss"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val hourly = rows.groupBy(r => (r._1, r._2 / HourUs * HourUs))
+      .map { case ((tile, h), xs) => (tile, h) -> (xs.length.toLong, xs.map(_._3).max) }
+    val expect = hourly.keys.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (tile, hs) =>
+        val (h0, h1) = (hs.map(_._2).min, hs.map(_._2).max)
+        var lastPeak: Option[Long] = None
+        (h0 to h1 by HourUs).map { h =>
+          val obs = hourly.get((tile, h))
+          obs.foreach { case (_, peak) => lastPeak = Some(peak) }
+          (tile, h, obs.map(_._1).getOrElse(0L), obs.isEmpty, lastPeak)
+        }
+    }
+    val got = run("w15_gap_fill").collect().map { r =>
+      (r.getString(0), r.getTimestamp(1).getTime * 1000L, r.getLong(2),
+        r.getBoolean(3), if (r.isNullAt(4)) None else Some(r.getLong(4)))
+    }.toSeq.sortBy(t => (t._1, t._2))
+    assert(got == expect)
+    assert(got.exists(_._4), "no gap hours at all — fill path unexercised")
+  }
+
+  test("tx15: co-occurrence lifts equal the direct presence-count model") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val pres = docs.map { case (_, t) => t.split(" ").filter(_.nonEmpty).toSet }
+    val wc = pres.flatten.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val n = docs.length.toLong
+    val expect = pres.flatMap { ws =>
+      val s = ws.toSeq.sorted
+      for (i <- s.indices; j <- (i + 1) until s.size) yield (s(i), s(j))
+    }.groupBy(identity).collect { case ((wa, wb), xs) if xs.size >= 50 =>
+      val lift = BigDecimal(n.toDouble * xs.size / (wc(wa) * wc(wb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (wa, wb, xs.size.toLong, lift)
+    }.toSeq.sortBy(t => (t._1, t._2))
+    val got = run("tx15_cooccurrence_lift").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    assert(got == expect)
+    assert(got.nonEmpty, "threshold 50 left no pairs at sf0.001")
+  }
 }
