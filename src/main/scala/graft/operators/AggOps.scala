@@ -453,6 +453,28 @@ object AggOps extends OpModule {
           last("mem_peak", ignoreNulls = true).over(w).as("mem_peak_filled"))
     }),
 
+    // W16 (extension) — OHLC DOWNSAMPLE: per (event_type, day)
+    // open/high/low/close/volume over the event value stream — the
+    // canonical time-series compaction. Open/close are exact
+    // argmin/argmax by the total (ts, event_id) order, computed as
+    // min/max of a (us, event_id, value) struct — a single map-side-
+    // combinable aggregate: no window, no per-partition sort, one
+    // shuffle keyed by (type, day) with partial aggregation. The struct
+    // comparison never reaches the float field (event_id is unique), so
+    // both engines pick the identical row and the raw doubles compare
+    // bit-exactly with no rounding anywhere.
+    "w16_ohlc" -> ((s, dir) => {
+      def byTime(v: String) = struct(unix_micros(col("ts")).as("us"),
+        col("event_id").as("eid"), col("value").as(v))
+      Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(min(byTime("v")).getField("v").as("open"),
+          max(byTime("v")).getField("v").as("close"),
+          max("value").as("high"), min("value").as("low"),
+          count(lit(1)).as("volume"))
+    }),
+
     // A17 (extension) — cohort retention matrix: users bucketed by their
     // first-activity week, counted (distinct) in each later week they
     // returned. Two shuffles, both on keys that shrink the data: the
@@ -607,6 +629,18 @@ object AggOps extends OpModule {
         |         AS cpu_total,
         |       MAX(mem_rss) AS mem_peak
         |FROM monitor GROUP BY tile_id, date_trunc('hour', ts)""".stripMargin),
+
+    // w16: arg_min/arg_max over the zero-padded (epoch_us, event_id)
+    // string reproduces the struct-ordering pick exactly (event_id is
+    // unique, so the value field never participates in the order)
+    "w16_ohlc" ->
+      """SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |       arg_min(value, printf('%020d|%020d', epoch_us(ts), event_id))
+        |         AS open,
+        |       arg_max(value, printf('%020d|%020d', epoch_us(ts), event_id))
+        |         AS close,
+        |       MAX(value) AS high, MIN(value) AS low, COUNT(*) AS volume
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     // w15: DuckDB regenerates the per-tile hour calendar and replays the
     // forward fill with last_value IGNORE NULLS

@@ -337,7 +337,27 @@ object SampleOps extends OpModule {
     // source, so no single-partition sort ever sees the corpus.
     "ds15_ks_drift" -> ((s, dir) =>
       ksFromCounts(Tables.documents(s, dir)
-        .groupBy("source", "n_chars").agg(count(lit(1)).as("c_sv"))))
+        .groupBy("source", "n_chars").agg(count(lit(1)).as("c_sv")))),
+
+    // DS16 (extension) — EMBARGO TIME SPLIT: train strictly before the
+    // cut, evaluation only after cut + 2-day embargo, the boundary band
+    // DROPPED — temporal decontamination for backtest-style evaluation
+    // (events near the cut leak information across the boundary in both
+    // directions; the embargo band is the standard guard, the temporal
+    // sibling of ds7/ds14's content decontamination). Pure per-row
+    // predicates + one aggregate per split: corpus-sized map work, one
+    // shuffle on a 2-value key, 2-row output.
+    "ds16_embargo_split" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("split",
+          when(col("ts") < to_timestamp(lit("2024-01-20")), "train")
+            .when(col("ts") >= to_timestamp(lit("2024-01-22")), "test"))
+        .filter(col("split").isNotNull)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct("user_id").as("n_users"),
+          min("ts").as("min_ts"), max("ts").as("max_ts"))
+        .orderBy("split"))
   )
 
   /** KS finish over a pre-aggregated (source, n_chars, c_sv) count grid —
@@ -543,7 +563,17 @@ object SampleOps extends OpModule {
 
     // ds15: the oracle replays the integer KS numerator over the same
     // grid (window sums cast back from DuckDB's HUGEINT before output)
-    "ds15_ks_drift" -> ksOracleSql
+    "ds15_ks_drift" -> ksOracleSql,
+
+    "ds16_embargo_split" ->
+      """SELECT CASE WHEN ts < TIMESTAMP '2024-01-20' THEN 'train'
+        |            ELSE 'test' END AS split,
+        |       COUNT(*) AS n_events,
+        |       COUNT(DISTINCT user_id) AS n_users,
+        |       MIN(ts) AS min_ts, MAX(ts) AS max_ts
+        |FROM events
+        |WHERE ts < TIMESTAMP '2024-01-20' OR ts >= TIMESTAMP '2024-01-22'
+        |GROUP BY 1 ORDER BY split""".stripMargin
   )
 
   /** ds15's oracle — also the oracle for the streaming grid variant
