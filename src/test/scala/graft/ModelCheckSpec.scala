@@ -222,4 +222,42 @@ class ModelCheckSpec extends SparkSpec {
     assert(got == expect)
     assert(got.nonEmpty, "threshold 50 left no pairs at sf0.001")
   }
+
+  test("w16: open/close equal the sequential first/last-by-(ts,event_id) model") {
+    val ev = graft.sources.Tables.events(spark, Sf)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val DayUs = 86400L * 1000000L
+    val expect = ev.groupBy(r => (r._1, r._2 / DayUs)).map { case (_, xs) =>
+      val sorted = xs.sortBy(r => (r._2, r._3))
+      ((sorted.head._1, sorted.head._2 / DayUs), sorted.head._4, sorted.last._4,
+        xs.map(_._4).max, xs.map(_._4).min, xs.length.toLong)
+    }.toSeq.sortBy(_._1)
+    val got = run("w16_ohlc").collect().map { r =>
+      ((r.getString(0), r.getDate(1).toLocalDate.toEpochDay * 86400L * 1000000L / DayUs),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))
+    }.toSeq.sortBy(_._1)
+    assert(got == expect)
+  }
+
+  test("st13: the second AvailableNow run reads only the newly landed files") {
+    run("st13_availablenow_ingest").collect()
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_st13_${ProcessHandle.current.pid}_${Sf.hashCode}")
+    val offsets = new java.io.File(base, "ckpt/offsets").list().toSet
+    assert(offsets.contains("0") && offsets.contains("1"),
+      s"expected exactly the two AvailableNow batches, saw $offsets")
+    // the file-source manifest for batch 1 must contain only files absent
+    // from batch 0 — exactly-once incremental progress, not a re-read
+    def manifest(b: Int): Set[String] = {
+      val src = scala.io.Source.fromFile(new java.io.File(base, s"ckpt/sources/0/$b"))
+      try src.getLines().filter(_.startsWith("{")).map { l =>
+        l.split("\"path\":\"")(1).split("\"")(0)
+      }.toSet finally src.close()
+    }
+    val (b0, b1) = (manifest(0), manifest(1))
+    assert(b0.nonEmpty && b1.nonEmpty)
+    assert((b0 & b1).isEmpty, s"batch 1 re-read ${(b0 & b1).size} old files")
+  }
 }

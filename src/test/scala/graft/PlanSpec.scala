@@ -463,4 +463,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("w16: OHLC is one partial-agg shuffle — no window, no sort, no join") {
+    val plan = executedPlan("w16_ohlc")
+    assert(plan.contains("partial_min") && plan.contains("partial_max"), plan)
+    assert(!plan.contains("windowspecdefinition"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("ds16: the embargo split is map-side predicates + one aggregate — no join") {
+    val plan = executedPlan("ds16_embargo_split")
+    assert(plan.contains("partial_count"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
 }
