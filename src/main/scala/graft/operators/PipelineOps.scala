@@ -97,6 +97,40 @@ object PipelineOps extends OpModule {
           |ORDER BY lang""".stripMargin)
     }),
 
+    // V5 (extension) — the as-of join through the SQL FRONT DOOR: w6's
+    // union-window formulation as pasteable Spark SQL (window `last(x,
+    // true)` carries the most recent click forward per user). Proves the
+    // one-shuffle as-of shape survives the SQL parser/optimizer intact —
+    // same oracle as w6 (DuckDB's native ASOF LEFT JOIN), so all THREE
+    // routes (Column API, Spark SQL text, DuckDB ASOF) must agree row
+    // for row.
+    "v5_sql_asof" -> ((s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events_v5")
+      s.sql(
+        """WITH clicks0 AS (
+          |  SELECT user_id, ts, MAX(event_id) AS c_event_id
+          |  FROM events_v5 WHERE event_type = 'click' GROUP BY user_id, ts),
+          |clicks AS (
+          |  SELECT c0.user_id, c0.ts, 0 AS tag, c0.c_event_id,
+          |         e.value AS c_value, CAST(NULL AS BIGINT) AS p_event_id
+          |  FROM clicks0 c0 JOIN events_v5 e ON e.event_id = c0.c_event_id),
+          |purchases AS (
+          |  SELECT user_id, ts, 1 AS tag, CAST(NULL AS BIGINT) AS c_event_id,
+          |         CAST(NULL AS DOUBLE) AS c_value, event_id AS p_event_id
+          |  FROM events_v5 WHERE event_type = 'purchase'),
+          |u AS (SELECT * FROM clicks UNION ALL SELECT * FROM purchases),
+          |m AS (SELECT *,
+          |        last(c_event_id, true) OVER (
+          |          PARTITION BY user_id ORDER BY ts, tag
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_id,
+          |        last(c_value, true) OVER (
+          |          PARTITION BY user_id ORDER BY ts, tag
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_val
+          |      FROM u)
+          |SELECT p_event_id, user_id, m_id AS c_event_id, m_val AS c_value
+          |FROM m WHERE tag = 1""".stripMargin)
+    }),
+
     // as-of join (beyond-reference training-pipeline op): each purchase
     // matched to the user's most recent prior-or-simultaneous click.
     // Implementation is the scalable union-window form — tag both
@@ -313,6 +347,23 @@ object PipelineOps extends OpModule {
     })
   )
 
+  /** w6/v5's shared oracle — DuckDB's native ASOF LEFT JOIN, an
+    * independent algorithm both Spark routes must reproduce exactly. */
+  private val asofOracleSql: String =
+    """WITH clicks0 AS (
+      |  SELECT user_id, ts, MAX(event_id) AS c_event_id
+      |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+      |clicks AS (
+      |  SELECT c0.user_id, c0.ts, c0.c_event_id, e.value AS c_value
+      |  FROM clicks0 c0 JOIN events e ON e.event_id = c0.c_event_id),
+      |purchases AS (
+      |  SELECT event_id AS p_event_id, user_id, ts
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.p_event_id, p.user_id, c.c_event_id, c.c_value
+      |FROM purchases p
+      |ASOF LEFT JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "v1_sql_frontend" -> Sql.query(Sql.boundaries)(
       s"""SELECT tile_id FROM boundaries
@@ -330,20 +381,10 @@ object PipelineOps extends OpModule {
          |GROUP BY lang
          |ORDER BY lang""".stripMargin,
 
-    "w6_asof_join" ->
-      """WITH clicks0 AS (
-        |  SELECT user_id, ts, MAX(event_id) AS c_event_id
-        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
-        |clicks AS (
-        |  SELECT c0.user_id, c0.ts, c0.c_event_id, e.value AS c_value
-        |  FROM clicks0 c0 JOIN events e ON e.event_id = c0.c_event_id),
-        |purchases AS (
-        |  SELECT event_id AS p_event_id, user_id, ts
-        |  FROM events WHERE event_type = 'purchase')
-        |SELECT p.p_event_id, p.user_id, c.c_event_id, c.c_value
-        |FROM purchases p
-        |ASOF LEFT JOIN clicks c
-        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+    "w6_asof_join" -> asofOracleSql,
+
+    // v5: the SQL-front-door as-of must match the same native ASOF oracle
+    "v5_sql_asof" -> asofOracleSql,
 
     "w12_asof_tolerance" ->
       """WITH clicks0 AS (
