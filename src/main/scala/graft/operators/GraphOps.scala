@@ -140,26 +140,19 @@ object GraphOps extends OpModule {
     // min; unreached nodes simply never appear (no corpus-wide
     // initialization). Output is the hop-distance histogram — 5 rows,
     // whatever the graph size.
-    "g4_bfs_hops" -> ((s, dir) => {
-      val edges = tradeEdges(s, dir)
-      var dist = Tables.supplier(s, dir)
-        .filter(col("s_suppkey") % 10 === 0)
-        .select((col("s_suppkey") * 2 + 1).as("node"), lit(0).as("d"))
-      for (_ <- 1 to 4) {
-        // localCheckpoint per round: the recurrence references `dist`
-        // twice (carried labels + neighbour propagation), so without
-        // lineage truncation the final action re-executes round k's
-        // subtree 2^(4-k) times — the componentsLoop argument; each
-        // round's relation is frontier-sized, so the materialization
-        // is tiny. (Cluster scale: reliable checkpoint, same shape.)
-        dist = dist.unionByName(
-            edges.join(dist.withColumnRenamed("node", "src"), Seq("src"))
-              .select(col("dst").as("node"), (col("d") + 1).as("d")))
-          .groupBy("node").agg(min("d").as("d"))
-          .localCheckpoint()
-      }
-      dist.groupBy("d").agg(count(lit(1)).as("n_nodes")).orderBy("d")
-    }),
+    // Rounds localCheckpoint per generation inside [[bfsHistogram]]: the
+    // recurrence references `dist` twice (carried labels + neighbour
+    // propagation), so without lineage truncation the final action
+    // re-executes round k's subtree 2^(rounds-k) times — the
+    // componentsLoop argument; each round's relation is frontier-sized,
+    // so the materialization is tiny. (Cluster scale: reliable
+    // checkpoint, same shape.)
+    "g4_bfs_hops" -> ((s, dir) =>
+      bfsHistogram(tradeEdges(s, dir),
+        Tables.supplier(s, dir)
+          .filter(col("s_suppkey") % 10 === 0)
+          .select((col("s_suppkey") * 2 + 1).as("node"), lit(0).as("d")),
+        rounds = 4)),
 
     // V4 (extension) — the g1 recurrence through the SQL FRONT DOOR:
     // a reference user can paste the chained-CTE PageRank (the exact
@@ -212,8 +205,12 @@ object GraphOps extends OpModule {
     * [[Cached]] — g2 and g3 both consume it, and the wedge join is the
     * graph family's most expensive relation. */
   private def triangles(s: SparkSession, dir: String): DataFrame =
-    Cached.of(s, s"g:tri:$dir") {
-      val und = copurchaseEdges(s, dir)
+    Cached.of(s, s"g:tri:$dir")(trianglesOf(copurchaseEdges(s, dir)))
+
+  /** The degree-oriented count over any canonical (u < v) edge relation —
+    * exposed for the synthetic-graph property specs (star/clique/cycle),
+    * which pin the orientation logic independently of the fixture. */
+  private[graft] def trianglesOf(und: DataFrame): DataFrame = {
       val deg = und.select(col("u").as("n"))
         .unionByName(und.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("d"))
@@ -234,7 +231,23 @@ object GraphOps extends OpModule {
         .unionByName(oriented.select(col("y").as("p"), col("x").as("r")))
       wedges.join(closing, Seq("p", "r"), "left_semi")
         .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** The fixed-round BFS over any (src, dst) edge relation from a
+    * (node, d=0) seed frame — g4's recurrence, exposed for the
+    * synthetic-graph specs (path/star distances known in closed form). */
+  private[graft] def bfsHistogram(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    var dist = seeds
+    for (_ <- 1 to rounds) {
+      dist = dist.unionByName(
+          edges.join(dist.withColumnRenamed("node", "src"), Seq("src"))
+            .select(col("dst").as("node"), (col("d") + 1).as("d")))
+        .groupBy("node").agg(min("d").as("d"))
+        .localCheckpoint()
     }
+    dist.groupBy("d").agg(count(lit(1)).as("n_nodes")).orderBy("d")
+  }
 
   /** One BFS min-distance round from CTE `prev` to a new named CTE. */
   private def bfsStep(name: String, prev: String): String =

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DedupOps, GraphOps}
+
+/** Closed-form synthetic-graph properties for the graph family, plus the
+  * incremental-dedup restriction invariant — structures whose answers are
+  * known a priori, pinning the algorithms independently of both the
+  * fixture data and the DuckDB oracle. */
+class GraphSpec extends SparkSpec {
+
+  private def und(pairs: Seq[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    pairs.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.toDF("u", "v")
+  }
+
+  private def triCount(pairs: Seq[(Long, Long)]): Long =
+    GraphOps.trianglesOf(und(pairs)).collect()(0).getLong(0)
+
+  test("triangles: star K1,n has none — the celebrity-hub shape that breaks unoriented joins") {
+    val star = (1L to 40L).map(i => (0L, i))
+    assert(triCount(star) == 0L)
+  }
+
+  test("triangles: clique K8 has C(8,3) = 56") {
+    val k8 = for (i <- 0L until 8L; j <- (i + 1) until 8L) yield (i, j)
+    assert(triCount(k8) == 56L)
+  }
+
+  test("triangles: wheel W12 (hub + 12-cycle rim) has exactly 12") {
+    val rim = (0L until 12L).map(i => (100L + i, 100L + (i + 1) % 12))
+    val spokes = (0L until 12L).map(i => (0L, 100L + i))
+    assert(triCount(rim ++ spokes) == 12L)
+  }
+
+  test("BFS: path graph distances are exact and clipped at the round budget") {
+    import spark.implicits._
+    // path 0-1-2-...-9, seed at 0, 4 rounds => one node at each d in 0..4
+    val e0 = (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst")
+    val edges = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = Seq((0L, 0)).toDF("node", "d")
+    val got = GraphOps.bfsHistogram(edges, seeds, rounds = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got == (0 to 4).map(d => (d, 1L)))
+  }
+
+  test("BFS: star from the hub reaches every leaf at distance 1 in one round") {
+    import spark.implicits._
+    val e0 = (1L to 25L).map(i => (0L, i)).toDF("src", "dst")
+    val edges = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = Seq((0L, 0)).toDF("node", "d")
+    val got = GraphOps.bfsHistogram(edges, seeds, rounds = 1)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got == Seq((0, 1L), (1, 25L)))
+  }
+
+  test("dd13 is exactly dd7's candidate pairs restricted to new×corpus") {
+    val pairs = run("dd7_minhash_dfcap").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // dd7 emits doc_a < doc_b; classify each side by the dd13 batch rule
+    val crossSide = pairs.flatMap { case (a, b) =>
+      Seq((a, b), (b, a)).collect {
+        case (nw, old) if nw % 10 >= 8 && old % 10 < 8 => (nw, old)
+      }
+    }
+    val expect = crossSide.groupBy(_._1).map { case (nw, es) =>
+      (nw, es.map(_._2).distinct.length.toLong, es.map(_._2).min)
+    }.toSeq.sorted
+    val got = run("dd13_incremental_dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(got == expect)
+    assert(got.nonEmpty, "no new-vs-corpus candidates at sf0.001 — probe unexercised")
+  }
+
+  test("dd12 containment >= jaccard on every pair, and catches pairs dd3 misses") {
+    val j = run("dd3_jaccard_pairs").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val c = run("dd12_containment").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // containment >= jaccard pointwise (|∩|/min >= |∩|/|∪|)
+    for ((k, cv) <- c if j.contains(k)) assert(cv >= j(k) - 1e-9, s"$k")
+    assert(c.nonEmpty)
+  }
+}
