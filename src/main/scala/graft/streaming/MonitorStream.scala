@@ -360,6 +360,27 @@ object MonitorStream extends OpModule {
         runOnce()
       } finally s.conf.set("spark.sql.shuffle.partitions", saved)
       s.table(name)
+    }),
+
+    // ST14 (extension) — STREAMING DECONTAMINATION at ingest: the
+    // exact-hash arm of ds14/ds7 applied before data ever lands. New
+    // documents stream in; any doc whose content hash appears in the
+    // STATIC reference set (the even-doc half here; in production the
+    // benchmark/eval corpus) is dropped by a stream-static LEFT ANTI
+    // join. Stateless on the stream side — no watermark, no store: each
+    // micro-batch is a broadcast-hash anti probe, so the converged
+    // output equals the batch anti-join under ANY slicing, which is what
+    // lets the batch oracle pin a streaming admission filter.
+    "st14_stream_decontam" -> ((s, dir) => {
+      val ref = Tables.documents(s, dir)
+        .filter(col("doc_id") % 2 === 0)
+        .select(md5(col("text")).as("h")).distinct()
+      val stream = Tables.documentsStream(s, dir)
+        .filter(col("doc_id") % 2 === 1)
+        .withColumn("h", md5(col("text")))
+      runToTable(s,
+        stream.join(ref, Seq("h"), "left_anti").select("doc_id", "lang"),
+        "append")
     })
   )
 
@@ -385,6 +406,13 @@ object MonitorStream extends OpModule {
 
     // st12 must converge to the batch ds15 answer — same oracle
     "st12_stream_drift" -> graft.operators.SampleOps.ksOracleSql,
+
+    // st14: the streamed admission filter must equal the batch anti-join
+    "st14_stream_decontam" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE doc_id % 2 = 1
+        |  AND md5(text) NOT IN
+        |      (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)""".stripMargin,
 
     // st13: slicing-independent — the two-run AvailableNow ingest must
     // land on the one-shot batch aggregate
