@@ -453,6 +453,25 @@ object AggOps extends OpModule {
           last("mem_peak", ignoreNulls = true).over(w).as("mem_peak_filled"))
     }),
 
+    // A21 (extension) — EXACT MODE per group with a deterministic
+    // tiebreak (highest count, then lexicographically smallest value):
+    // the most frequent token per language. Two aggregations, both
+    // map-side combinable — the (lang, w) count shuffle, then the pick
+    // as min(struct(−cnt, w)) which needs no window and no sort (the
+    // w16 struct-ordering trick pointed at argmax). At 100 TB the first
+    // shuffle is the only data-sized stage; the pick stage sees
+    // vocabulary-sized input.
+    "a21_mode_token" -> ((s, dir) => {
+      val lw = Tables.documents(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+      lw.groupBy("lang")
+        .agg(min(struct((-col("cnt")).as("nc"), col("w").as("w"))).as("m"))
+        .select(col("lang"), col("m.w").as("mode_w"), (-col("m.nc")).as("cnt"))
+        .orderBy("lang")
+    }),
+
     // W16 (extension) — OHLC DOWNSAMPLE: per (event_type, day)
     // open/high/low/close/volume over the event value stream — the
     // canonical time-series compaction. Open/close are exact
@@ -629,6 +648,22 @@ object AggOps extends OpModule {
         |         AS cpu_total,
         |       MAX(mem_rss) AS mem_peak
         |FROM monitor GROUP BY tile_id, date_trunc('hour', ts)""".stripMargin),
+
+    // a21: the oracle picks the mode with an explicit (cnt DESC, w ASC)
+    // window rank — a different formulation that must land on the same
+    // deterministic pick
+    "a21_mode_token" ->
+      """WITH lw AS (
+        |  SELECT lang, w, COUNT(*) AS cnt FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS w
+        |    FROM documents) t
+        |  WHERE w <> '' GROUP BY lang, w)
+        |SELECT lang, w AS mode_w, cnt FROM (
+        |  SELECT lang, w, cnt,
+        |         ROW_NUMBER() OVER (PARTITION BY lang
+        |           ORDER BY cnt DESC, w) AS rn
+        |  FROM lw) r
+        |WHERE rn = 1 ORDER BY lang""".stripMargin,
 
     // w16: arg_min/arg_max over the zero-padded (epoch_us, event_id)
     // string reproduces the struct-ordering pick exactly (event_id is
