@@ -236,6 +236,50 @@ object SourceSinkOps extends OpModule {
     // a partition-sized job instead of a table rewrite. The read-back
     // aggregate can only be right if exactly the `en` partition was
     // replaced and all others survived.
+    // K21 (extension) — WRITE-AUDIT-PUBLISH: the lake promotion gate.
+    // Each batch lands in a STAGING path first; audits (row count,
+    // duplicate-primary-key count) run against the STAGED FILES — never
+    // the live table — and only a passing audit publishes via an atomic
+    // directory swap. Batch 1 is clean and publishes; batch 2 carries 10
+    // injected duplicate keys, fails the audit, and the live table
+    // provably still serves batch 1. The query returns the audit LEDGER
+    // (what a production pipeline records); the audits themselves are
+    // distributed aggregates over the staged parquet — only their 1-row
+    // results reach the driver. At 100 TB the swap is a metastore
+    // pointer flip; the staged-read audit cost is one scan of the BATCH,
+    // never the table.
+    "k21_write_audit_publish" -> ((s, dir) => {
+      import org.apache.commons.io.FileUtils
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_k21_${dir.hashCode}_${ProcessHandle.current.pid}")
+      FileUtils.deleteDirectory(base)
+      val live = new java.io.File(base, "live")
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
+      def stage(b: Int, df: DataFrame): (Long, Long, Boolean) = {
+        val st = new java.io.File(base, s"staging_$b")
+        df.write.mode("overwrite").parquet(st.getPath)
+        val staged = s.read.parquet(st.getPath)
+        val n = staged.count()
+        val dups = staged.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).count()
+        val ok = dups == 0
+        if (ok) {
+          if (live.exists()) FileUtils.deleteDirectory(live)
+          FileUtils.moveDirectory(st, live)
+        }
+        (n, dups, ok)
+      }
+      val b1 = stage(1, o.filter(col("o_orderkey") % 3 =!= 0))
+      val bad = o.filter(col("o_orderkey") % 3 === 0)
+      val b2 = stage(2, bad.unionByName(bad.orderBy("o_orderkey").limit(10)))
+      val liveRows = s.read.parquet(live.getPath).count()
+      import s.implicits._
+      Seq((1, b1._1, b1._2, b1._3, liveRows),
+          (2, b2._1, b2._2, b2._3, liveRows))
+        .toDF("batch", "n_rows", "n_dup_pk", "published", "live_rows")
+        .orderBy("batch")
+    }),
+
     "k18_dynamic_partition_overwrite" -> ((s, dir) => {
       val out = new java.io.File(
         sys.props("java.io.tmpdir"),
@@ -375,6 +419,19 @@ object SourceSinkOps extends OpModule {
         |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
         |            AS DOUBLE) AS revenue
         |FROM orders""".stripMargin,
+
+    // k21: the oracle recomputes the ledger from the batch definitions —
+    // the staged/published mechanics must land on exactly these numbers
+    "k21_write_audit_publish" ->
+      """WITH g AS (SELECT COUNT(*) AS good FROM orders
+        |           WHERE o_orderkey % 3 <> 0),
+        |b AS (SELECT COUNT(*) AS bad FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT 1 AS batch, g.good AS n_rows, CAST(0 AS BIGINT) AS n_dup_pk,
+        |       TRUE AS published, g.good AS live_rows FROM g
+        |UNION ALL
+        |SELECT 2, b.bad + 10, CAST(10 AS BIGINT), FALSE, g.good
+        |FROM b, g
+        |ORDER BY batch""".stripMargin,
 
     // k18: the final state — `en` rows carry the re-ingested (doubled)
     // chars, every other partition the original — computed relationally
