@@ -71,7 +71,10 @@ object Bench {
       "k15_bucketed_join", "nn10_mips_topk",
       "j12_bloom_prune", "nn13_pq_adc", "ds13_curriculum_order",
       "k17_zorder_layout", "g1_pagerank", "g2_triangle_count",
-      "a20_countmin", "ds15_ks_drift", "st12_stream_drift", "dd12_containment")
+      "a20_countmin", "ds15_ks_drift", "st12_stream_drift", "dd12_containment",
+      "g4_bfs_hops", "dd13_incremental_dedup", "w15_gap_fill", "w16_ohlc",
+      "tx15_cooccurrence_lift", "st13_availablenow_ingest",
+      "st14_stream_decontam", "v5_sql_asof", "k21_write_audit_publish")
     val resMap = results.toMap
     val qs = headline.flatMap(h => resMap.get(h).map(v => "\"" + h + "\":" + r3(v)))
       .mkString("{", ",", "}")
