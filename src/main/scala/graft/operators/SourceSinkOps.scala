@@ -236,6 +236,39 @@ object SourceSinkOps extends OpModule {
     // a partition-sized job instead of a table rewrite. The read-back
     // aggregate can only be right if exactly the `en` partition was
     // replaced and all others survived.
+    // S9 (extension) — CORRUPT-RECORD QUARANTINE: schema-on-read
+    // resilience for dirty ingest. A staged JSONL batch carries
+    // deterministic corruption (every 7th record is malformed); the
+    // PERMISSIVE reader routes unparseable lines into the
+    // columnNameOfCorruptRecord side channel instead of failing the job,
+    // and the query dead-letters them under a _QUARANTINED key next to
+    // the clean per-lang counts. At 100 TB this is the difference
+    // between one bad crawl shard killing a 6-hour job and a ledger row;
+    // parsing stays distributed and map-side.
+    "s9_corrupt_quarantine" -> ((s, dir) => {
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_s9_${dir.hashCode}_${ProcessHandle.current.pid}").getPath
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val docs = Tables.documents(s, dir).select("doc_id", "lang")
+      docs.select(
+          when(col("doc_id") % 7 === 0,
+            concat(lit("{corrupt "), col("doc_id")))
+            .otherwise(to_json(struct(col("doc_id"), col("lang"))))
+            .as("value"))
+        .write.mode("overwrite").text(base)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("_corrupt", StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(base)
+        .select(when(col("_corrupt").isNotNull, lit("_QUARANTINED"))
+          .otherwise(col("lang")).as("lang"))
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang")
+    }),
+
     // K21 (extension) — WRITE-AUDIT-PUBLISH: the lake promotion gate.
     // Each batch lands in a STAGING path first; audits (row count,
     // duplicate-primary-key count) run against the STAGED FILES — never
@@ -419,6 +452,14 @@ object SourceSinkOps extends OpModule {
         |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
         |            AS DOUBLE) AS revenue
         |FROM orders""".stripMargin,
+
+    // s9: the corruption rule is deterministic, so the quarantine ledger
+    // is computable straight from the clean table
+    "s9_corrupt_quarantine" ->
+      """SELECT CASE WHEN doc_id % 7 = 0 THEN '_QUARANTINED'
+        |            ELSE lang END AS lang,
+        |       COUNT(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
 
     // k21: the oracle recomputes the ledger from the batch definitions —
     // the staged/published mechanics must land on exactly these numbers
