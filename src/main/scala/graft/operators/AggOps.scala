@@ -453,6 +453,39 @@ object AggOps extends OpModule {
           last("mem_peak", ignoreNulls = true).over(w).as("mem_peak_filled"))
     }),
 
+    // W17 (extension) — EXACT z-score OUTLIER FLAGS: per-tile count of
+    // monitor readings beyond 1.5σ of the tile's own distribution,
+    // decided WITHOUT any float: with dev = n·x − Σ = n(x−μ) and
+    // varn = n·Σx² − Σ² = n²σ², |x−μ| > 1.5σ  ⇔  4·dev² > 9·varn —
+    // all in exact wide-integer arithmetic (the
+    // threshold is 1.5 because the fixture's mem_rss is near-uniform,
+    // whose max deviation is √3σ ≈ 1.73σ — a 2σ gate would flag nothing
+    // and leave the path unexercised; a real heavy-tailed corpus uses
+    // 2-3σ. The constant is the policy knob; the exact-arithmetic plan
+    // is the point.) (DECIMAL(38,0) here,
+    // HUGEINT in the oracle — internal types differ, outputs are plain
+    // BIGINTs). A float mean/stddev differs across engines by reduction
+    // order; the cross-multiplied integer test cannot. Two passes: one
+    // per-tile aggregate (n, Σ, Σx²) broadcast back as an O(tiles)
+    // relation, then a map-side flag — the shape that holds when tiles
+    // number in the millions and readings in the trillions.
+    "w17_zscore_outliers" -> ((s, dir) => {
+      val m = Tables.monitorLog(s, dir)
+        .select(col("tile_id"), col("mem_rss").cast("decimal(38,0)").as("x"))
+      val stats = m.groupBy("tile_id").agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).cast("decimal(38,0)").as("s1"),
+        sum(col("x") * col("x")).cast("decimal(38,0)").as("s2"))
+      val dev = col("n") * col("x") - col("s1")
+      val varn = col("n") * col("s2") - col("s1") * col("s1")
+      m.join(broadcast(stats), Seq("tile_id"))
+        .groupBy("tile_id")
+        .agg(count(lit(1)).as("n_readings"),
+          sum(when(lit(4) * dev * dev > lit(9) * varn, 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy("tile_id")
+    }),
+
     // A21 (extension) — EXACT MODE per group with a deterministic
     // tiebreak (highest count, then lexicographically smallest value):
     // the most frequent token per language. Two aggregations, both
@@ -648,6 +681,21 @@ object AggOps extends OpModule {
         |         AS cpu_total,
         |       MAX(mem_rss) AS mem_peak
         |FROM monitor GROUP BY tile_id, date_trunc('hour', ts)""".stripMargin),
+
+    // w17: the oracle replays the cross-multiplied integer test in
+    // HUGEINT (int128) — exact, so both engines must flag the same rows
+    "w17_zscore_outliers" -> Sql.query(Sql.monitor,
+      """m AS (SELECT tile_id, CAST(mem_rss AS HUGEINT) AS x FROM monitor),
+        |stats AS (
+        |  SELECT tile_id, CAST(COUNT(*) AS HUGEINT) AS n,
+        |         SUM(x) AS s1, SUM(x * x) AS s2
+        |  FROM m GROUP BY tile_id)""".stripMargin)(
+      """SELECT m.tile_id, COUNT(*) AS n_readings,
+        |       CAST(SUM(CASE WHEN 4 * (s.n * m.x - s.s1) * (s.n * m.x - s.s1)
+        |                          > 9 * (s.n * s.s2 - s.s1 * s.s1)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM m JOIN stats s ON s.tile_id = m.tile_id
+        |GROUP BY m.tile_id ORDER BY m.tile_id""".stripMargin),
 
     // a21: the oracle picks the mode with an explicit (cnt DESC, w ASC)
     // window rank — a different formulation that must land on the same
