@@ -241,6 +241,39 @@ class ModelCheckSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("w17: outlier counts equal the float mean/stddev model, and flag a nonzero tail") {
+    // independent formulation ON PURPOSE: float μ/σ with a direct
+    // |x−μ| > 1.5σ test — the integer cross-multiplied form and the
+    // oracle share their algebra, so only a third formulation can catch
+    // a shared-formula error (the first cut of w17 had an extra n factor
+    // and BOTH engines agreed on an all-zero ledger). Far from the
+    // threshold boundary, float and exact tests agree; ties cannot occur
+    // (4·dev² = 9·varn has no solutions on this fixture, asserted).
+    val rows = graft.sources.Tables.monitorLog(spark, Sf)
+      .select(col("tile_id"), col("mem_rss"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expect = rows.groupBy(_._1).map { case (tile, xs) =>
+      val v = xs.map(_._2.toDouble)
+      val mu = v.sum / v.length
+      val sigma = math.sqrt(v.map(x => (x - mu) * (x - mu)).sum / v.length)
+      (tile, v.length.toLong, v.count(x => math.abs(x - mu) > 1.5 * sigma).toLong)
+    }.toSeq.sortBy(_._1)
+    // no exact ties on the integer boundary (guards the float comparison)
+    rows.groupBy(_._1).foreach { case (_, xs) =>
+      val n = BigInt(xs.length)
+      val s1 = xs.map(x => BigInt(x._2)).sum
+      val s2 = xs.map(x => BigInt(x._2) * BigInt(x._2)).sum
+      xs.foreach { case (_, x) =>
+        val dev = n * BigInt(x) - s1
+        assert(4 * dev * dev != 9 * (n * s2 - s1 * s1))
+      }
+    }
+    val got = run("w17_zscore_outliers").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+    assert(got.map(_._3).sum > 0, "degenerate: no outliers flagged anywhere")
+  }
+
   test("st13: the second AvailableNow run reads only the newly landed files") {
     run("st13_availablenow_ingest").collect()
     val base = new java.io.File(sys.props("java.io.tmpdir"),
