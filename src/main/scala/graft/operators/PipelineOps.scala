@@ -344,6 +344,33 @@ object PipelineOps extends OpModule {
       kept0.join(cont, Seq("doc_id"), "left_anti")
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+    }),
+
+    // PP5 (extension) — INCREMENTAL curation: the daily-increment form
+    // of pp4, scanning ONLY the new batch (doc_id % 10 >= 8). Quality
+    // gate (map-side length rule) → near-dup probe against the PERSISTED
+    // corpus band index (dd13's batch-proportional join — never
+    // corpus×corpus) → hash-split of the admitted docs. Output is the
+    // per-split admission ledger. This is the steady-state cost model of
+    // a production corpus: after the initial build, every day pays for
+    // its batch, not for history.
+    "pp5_incremental_curation" -> ((s, dir) => {
+      val bands = DedupOps.cappedLshBands(s, dir)
+      val dupNew = bands.filter(col("doc_id") % 10 >= 8)
+        .join(bands.filter(col("doc_id") % 10 < 8)
+          .select("band", "bkey"), Seq("band", "bkey"), "left_semi")
+        .select("doc_id").distinct()
+      Tables.documents(s, dir)
+        .filter(col("doc_id") % 10 >= 8 && col("n_chars") >= 100)
+        .join(dupNew, Seq("doc_id"), "left_anti")
+        .withColumn("b", DedupOps.h60("spl:", col("text")) % 100)
+        .withColumn("split",
+          when(col("b") < 80, "train")
+            .when(col("b") < 90, "val").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"))
+        .orderBy("split")
     })
   )
 
@@ -365,6 +392,27 @@ object PipelineOps extends OpModule {
       |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // pp5: the same batch-proportional probe + gate + split, recomposed
+    // from the capped-band CTE chain
+    "pp5_incremental_curation" -> Sql.query(
+      (DedupOps.cappedLshCtes :+
+        """dup_new AS (
+          |  SELECT DISTINCT n.doc_id
+          |  FROM cbands n JOIN cbands c
+          |    ON n.band = c.band AND n.bkey = c.bkey
+          |  WHERE n.doc_id % 10 >= 8 AND c.doc_id % 10 < 8)""".stripMargin :+
+        s"""kept AS (
+           |  SELECT doc_id, n_chars,
+           |         ${DedupOps.h60Sql("spl:", "text")} % 100 AS b
+           |  FROM documents
+           |  WHERE doc_id % 10 >= 8 AND n_chars >= 100
+           |    AND doc_id NOT IN (SELECT doc_id FROM dup_new))""".stripMargin): _*)(
+      """SELECT CASE WHEN b < 80 THEN 'train'
+        |            WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+        |       COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM kept GROUP BY 1 ORDER BY split""".stripMargin),
+
     "v1_sql_frontend" -> Sql.query(Sql.boundaries)(
       s"""SELECT tile_id FROM boundaries
          |WHERE xmin <= ${TileGrid.ExtentXMax} AND xmax >= ${TileGrid.ExtentXMin}
