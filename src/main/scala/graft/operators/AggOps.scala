@@ -457,7 +457,12 @@ object AggOps extends OpModule {
     // monitor readings beyond 1.5σ of the tile's own distribution,
     // decided WITHOUT any float: with dev = n·x − Σ = n(x−μ) and
     // varn = n·Σx² − Σ² = n²σ², |x−μ| > 1.5σ  ⇔  4·dev² > 9·varn —
-    // all in exact wide-integer arithmetic (the
+    // all in exact wide-integer arithmetic. Arithmetic envelope: terms
+    // reach ~4·n²·max(x)², so DECIMAL(38,0) is exact up to n ≈ 2.5e9
+    // readings PER TILE at x ≤ 1e9 — beyond that, pre-aggregate per
+    // (tile, time-bucket) first (w15's rollup) or widen the
+    // representation; Spark decimal overflow yields NULL (counted as
+    // non-outlier), it does not wrap. (The
     // threshold is 1.5 because the fixture's mem_rss is near-uniform,
     // whose max deviation is √3σ ≈ 1.73σ — a 2σ gate would flag nothing
     // and leave the path unexercised; a real heavy-tailed corpus uses

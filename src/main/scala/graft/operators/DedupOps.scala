@@ -100,6 +100,17 @@ object DedupOps extends OpModule {
     * or MinHash — the hot-bucket mitigation SCALE.md prescribes. */
   val MaxDf = 10
 
+  /** Incremental-batch split rule shared by dd13 and pp5 (and their
+    * oracles, via [[newBatchSql]]/[[corpusSql]]): docs with
+    * doc_id % [[BatchMod]] >= [[BatchNewMin]] are the NEW batch, the
+    * rest the already-curated corpus. One constant, four consumers. */
+  val BatchMod = 10
+  val BatchNewMin = 8
+  def isNewBatch(c: Column): Column = c % BatchMod >= BatchNewMin
+  def isCorpus(c: Column): Column = c % BatchMod < BatchNewMin
+  def newBatchSql(col: String): String = s"$col % $BatchMod >= $BatchNewMin"
+  def corpusSql(col: String): String = s"$col % $BatchMod < $BatchNewMin"
+
   /** Df-capped shingles (shared, persisted): the join-safe relation every
     * pair-generating query starts from. */
   def cappedShingles(s: SparkSession, dir: String): DataFrame =
@@ -311,9 +322,9 @@ object DedupOps extends OpModule {
     // corpus side of a boilerplate bucket grows with every ingest.
     "dd13_incremental_dedup" -> ((s, dir) => {
       val bands = cappedLshBands(s, dir)
-      val corpus = bands.filter(col("doc_id") % 10 < 8)
+      val corpus = bands.filter(isCorpus(col("doc_id")))
         .select(col("band"), col("bkey"), col("doc_id").as("corpus_doc"))
-      val fresh = bands.filter(col("doc_id") % 10 >= 8)
+      val fresh = bands.filter(isNewBatch(col("doc_id")))
         .select(col("band"), col("bkey"), col("doc_id").as("new_doc"))
       fresh.join(corpus, Seq("band", "bkey"))
         .groupBy("new_doc")
@@ -457,8 +468,13 @@ object DedupOps extends OpModule {
     * Persisted once per (session, dir): the self-join is the family's
     * most expensive relation and two queries consume it. */
   private def pairIntersections(s: SparkSession, dir: String): DataFrame =
-    Cached.of(s, s"dd:pairs:$dir") {
-      val sh = cappedShingles(s, dir)
+    Cached.of(s, s"dd:pairs:$dir")(pairScoresOf(cappedShingles(s, dir)))
+
+  /** The co-shingled pair relation over ANY (doc_id, sh) shingle frame —
+    * exposed so specs can drive the dd3/dd11/dd12 score math on
+    * synthetic structures (e.g. a doc embedded inside a larger one,
+    * which the fixture's symmetric near-dups never produce). */
+  private[graft] def pairScoresOf(sh: DataFrame): DataFrame = {
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val inter = sh.select(col("doc_id").as("doc_a"), col("sh"))
         .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
@@ -469,7 +485,7 @@ object DedupOps extends OpModule {
           .withColumnRenamed("sz", "sza"), Seq("doc_a"))
         .join(sizes.withColumnRenamed("doc_id", "doc_b")
           .withColumnRenamed("sz", "szb"), Seq("doc_b"))
-    }
+  }
 
   /** Min-label propagation to fixpoint over an undirected pair graph
     * (doc_a, doc_b) → (doc_id, component). Each round is (a) one
@@ -608,12 +624,12 @@ object DedupOps extends OpModule {
         |WHERE ROUND(i.inter / (sa.sz + sb.sz - i.inter), 6) >= 0.2""".stripMargin),
 
     "dd13_incremental_dedup" -> Sql.query(cappedLshCtes: _*)(
-      """SELECT n.doc_id AS new_doc,
-        |       COUNT(DISTINCT c.doc_id) AS n_matches,
-        |       MIN(c.doc_id) AS keeper
-        |FROM cbands n JOIN cbands c ON n.band = c.band AND n.bkey = c.bkey
-        |WHERE n.doc_id % 10 >= 8 AND c.doc_id % 10 < 8
-        |GROUP BY n.doc_id""".stripMargin),
+      s"""SELECT n.doc_id AS new_doc,
+         |       COUNT(DISTINCT c.doc_id) AS n_matches,
+         |       MIN(c.doc_id) AS keeper
+         |FROM cbands n JOIN cbands c ON n.band = c.band AND n.bkey = c.bkey
+         |WHERE ${newBatchSql("n.doc_id")} AND ${corpusSql("c.doc_id")}
+         |GROUP BY n.doc_id""".stripMargin),
 
     "dd12_containment" -> Sql.query(shinglesSql, cappedSql,
       "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM capped GROUP BY doc_id)",

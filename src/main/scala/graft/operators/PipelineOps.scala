@@ -356,12 +356,12 @@ object PipelineOps extends OpModule {
     // its batch, not for history.
     "pp5_incremental_curation" -> ((s, dir) => {
       val bands = DedupOps.cappedLshBands(s, dir)
-      val dupNew = bands.filter(col("doc_id") % 10 >= 8)
-        .join(bands.filter(col("doc_id") % 10 < 8)
+      val dupNew = bands.filter(DedupOps.isNewBatch(col("doc_id")))
+        .join(bands.filter(DedupOps.isCorpus(col("doc_id")))
           .select("band", "bkey"), Seq("band", "bkey"), "left_semi")
         .select("doc_id").distinct()
       Tables.documents(s, dir)
-        .filter(col("doc_id") % 10 >= 8 && col("n_chars") >= 100)
+        .filter(DedupOps.isNewBatch(col("doc_id")) && col("n_chars") >= 100)
         .join(dupNew, Seq("doc_id"), "left_anti")
         .withColumn("b", DedupOps.h60("spl:", col("text")) % 100)
         .withColumn("split",
@@ -396,16 +396,17 @@ object PipelineOps extends OpModule {
     // from the capped-band CTE chain
     "pp5_incremental_curation" -> Sql.query(
       (DedupOps.cappedLshCtes :+
-        """dup_new AS (
-          |  SELECT DISTINCT n.doc_id
-          |  FROM cbands n JOIN cbands c
-          |    ON n.band = c.band AND n.bkey = c.bkey
-          |  WHERE n.doc_id % 10 >= 8 AND c.doc_id % 10 < 8)""".stripMargin :+
+        s"""dup_new AS (
+           |  SELECT DISTINCT n.doc_id
+           |  FROM cbands n JOIN cbands c
+           |    ON n.band = c.band AND n.bkey = c.bkey
+           |  WHERE ${DedupOps.newBatchSql("n.doc_id")}
+           |    AND ${DedupOps.corpusSql("c.doc_id")})""".stripMargin :+
         s"""kept AS (
            |  SELECT doc_id, n_chars,
            |         ${DedupOps.h60Sql("spl:", "text")} % 100 AS b
            |  FROM documents
-           |  WHERE doc_id % 10 >= 8 AND n_chars >= 100
+           |  WHERE ${DedupOps.newBatchSql("doc_id")} AND n_chars >= 100
            |    AND doc_id NOT IN (SELECT doc_id FROM dup_new))""".stripMargin): _*)(
       """SELECT CASE WHEN b < 80 THEN 'train'
         |            WHEN b < 90 THEN 'val' ELSE 'test' END AS split,

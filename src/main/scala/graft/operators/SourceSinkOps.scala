@@ -470,7 +470,7 @@ object SourceSinkOps extends OpModule {
         |SELECT 1 AS batch, g.good AS n_rows, CAST(0 AS BIGINT) AS n_dup_pk,
         |       TRUE AS published, g.good AS live_rows FROM g
         |UNION ALL
-        |SELECT 2, b.bad + 10, CAST(10 AS BIGINT), FALSE, g.good
+        |SELECT 2, b.bad + LEAST(b.bad, 10), LEAST(b.bad, 10), FALSE, g.good
         |FROM b, g
         |ORDER BY batch""".stripMargin,
 

@@ -63,7 +63,8 @@ class GraphSpec extends SparkSpec {
     // dd7 emits doc_a < doc_b; classify each side by the dd13 batch rule
     val crossSide = pairs.flatMap { case (a, b) =>
       Seq((a, b), (b, a)).collect {
-        case (nw, old) if nw % 10 >= 8 && old % 10 < 8 => (nw, old)
+        case (nw, old) if nw % DedupOps.BatchMod >= DedupOps.BatchNewMin &&
+          old % DedupOps.BatchMod < DedupOps.BatchNewMin => (nw, old)
       }
     }
     val expect = crossSide.groupBy(_._1).map { case (nw, es) =>
@@ -75,7 +76,10 @@ class GraphSpec extends SparkSpec {
     assert(got.nonEmpty, "no new-vs-corpus candidates at sf0.001 — probe unexercised")
   }
 
-  test("dd12 containment >= jaccard on every pair, and catches pairs dd3 misses") {
+  test("dd12 containment >= jaccard pointwise on the fixture's pair relation") {
+    // the fixture's near-dups are symmetric (similar sizes), so dd12 and
+    // dd3 flag the same pairs here — the asymmetric case dd12 exists for
+    // is pinned on a synthetic embedded doc in the next test
     val j = run("dd3_jaccard_pairs").collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     val c = run("dd12_containment").collect()
@@ -83,5 +87,26 @@ class GraphSpec extends SparkSpec {
     // containment >= jaccard pointwise (|∩|/min >= |∩|/|∪|)
     for ((k, cv) <- c if j.contains(k)) assert(cv >= j(k) - 1e-9, s"$k")
     assert(c.nonEmpty)
+  }
+
+  test("dd12's measure catches a doc embedded in a larger one where dd3's jaccard misses it") {
+    import spark.implicits._
+    // doc 1 = 30 distinct shingle-words; doc 2 = those 30 + 270 others:
+    // containment = 30/30 = 1.0, jaccard = 30/300 = 0.1 < dd3's 0.2 cut
+    val words = (0 until 300).map(i => s"w$i")
+    val docs = Seq(
+      (1L, words.take(30).mkString(" ")),
+      (2L, words.mkString(" "))).toDF("doc_id", "text")
+    val scores = DedupOps.pairScoresOf(DedupOps.shinglesOf(docs))
+      .withColumn("containment",
+        round(col("inter") / least(col("sza"), col("szb")), 6))
+      .withColumn("jaccard",
+        round(col("inter") / (col("sza") + col("szb") - col("inter")), 6))
+      .collect()
+    assert(scores.length == 1)
+    val r = scores(0)
+    val (cont, jac) = (r.getAs[Double]("containment"), r.getAs[Double]("jaccard"))
+    assert(cont >= 0.8, s"embedded doc must clear dd12's cut, got $cont")
+    assert(jac < 0.2, s"the same pair must MISS dd3's jaccard cut, got $jac")
   }
 }
