@@ -476,4 +476,18 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_count"), plan)
     assert(!plan.contains("Join"), plan)
   }
+
+  test("pp5: the incremental probe is semi/anti equi-joins only — no nested loop, no cartesian") {
+    val plan = executedPlan("pp5_incremental_curation")
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("w17: both passes are partial-agg shuffles and the stats side joins broadcast") {
+    val plan = executedPlan("w17_zscore_outliers")
+    assert(plan.contains("partial_count"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("windowspecdefinition"), plan)
+  }
 }
