@@ -37,7 +37,15 @@ import graft.sources.{Cached, Sql, Tables}
   */
 object GraphOps extends OpModule {
 
-  /** Integer mass per node: 1e12 micro-units (≈ rank resolution 1e-12). */
+  /** Integer mass per node: 1e12 micro-units (≈ rank resolution 1e-12).
+    *
+    * Arithmetic envelope (the w17 discipline): the per-iteration damping
+    * product `85 * SUM(share)` is computed in DECIMAL(38,0) on the Spark
+    * side (DuckDB's SUM is already HUGEINT-exact), so the multiply can
+    * NEVER wrap regardless of how much mass a hub absorbs. The final
+    * rank is stored back as BIGINT, which is exact while total graph
+    * mass N·Mass < 2^63, i.e. N < ~9.2e6 nodes at 1e12 micro-units —
+    * beyond that, shrink Mass (rank resolution) or keep ranks DECIMAL. */
   val Mass = 1000000000000L
   /** (1-d)·Mass with d = 0.85, exactly. */
   val Teleport = 150000000000L
@@ -102,7 +110,10 @@ object GraphOps extends OpModule {
           .join(pr.withColumnRenamed("node", "src"), Seq("src"))
           .select(col("dst"), expr("pr div deg").as("share"))
           .groupBy(col("dst").as("node"))
-          .agg((lit(Teleport) + expr("85 * sum(share) div 100")).as("pr"))
+          // 85·Σshare in DECIMAL(38,0): wrap-proof whatever a hub
+          // absorbs (see Mass scaladoc); div returns BIGINT
+          .agg((lit(Teleport) +
+            expr("(85 * sum(cast(share as decimal(38,0)))) div 100")).as("pr"))
       }
       pr.orderBy(col("pr").desc, col("node")).limit(20)
     }),
@@ -161,15 +172,17 @@ object GraphOps extends OpModule {
 
     // V4 (extension) — the g1 recurrence through the SQL FRONT DOOR:
     // a reference user can paste the chained-CTE PageRank (the exact
-    // oracle text, modulo `div` spelling) at spark.sql() and get g1's
-    // rows — proving the iterative integer-mass shape survives Spark's
-    // SQL parser/optimizer unchanged. Must produce exactly g1's result.
+    // oracle text, modulo `div` vs `//` spelling and the explicit
+    // DECIMAL(38,0) widen that DuckDB gets implicitly via HUGEINT) at
+    // spark.sql() and get g1's rows — proving the iterative
+    // integer-mass shape survives Spark's SQL parser/optimizer
+    // unchanged. Must produce exactly g1's result.
     "v4_sql_pagerank" -> ((s, dir) => {
       Tables.orders(s, dir).createOrReplaceTempView("orders_v")
       Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
       def step(name: String, prev: String): String =
         s"""$name AS (SELECT e.dst AS node,
-           |       $Teleport + (85 * SUM(p.pr div d.deg)) div 100 AS pr
+           |       $Teleport + (85 * SUM(CAST(p.pr div d.deg AS DECIMAL(38,0)))) div 100 AS pr
            |FROM edges e JOIN $prev p ON e.src = p.node JOIN deg d ON e.src = d.node
            |GROUP BY e.dst)""".stripMargin
       s.sql(

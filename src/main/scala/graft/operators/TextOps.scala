@@ -274,13 +274,18 @@ object TextOps extends OpModule {
     // the full posting list at 100 TB stays as the (token-bucketed)
     // exploded relation itself, and df/tf are plain mergeable partial
     // aggregates. sort_array makes the sample deterministic under any
-    // partitioning (collect_set order is not).
+    // partitioning (collect_set order is not). The sample is sorted
+    // NUMERICALLY first, then serialized to a CSV string — output
+    // columns must be scalar portable types only (the r8 gate rule:
+    // raw LIST output breaks the driver's row comparator).
     "tx13_inverted_index" -> ((s, dir) =>
       tokens(s, dir)
         .groupBy("w")
         .agg(countDistinct("doc_id").as("df"),
           count(lit(1)).as("tf"),
-          slice(sort_array(collect_set(col("doc_id"))), 1, 10).as("postings"))
+          array_join(transform(
+            slice(sort_array(collect_set(col("doc_id"))), 1, 10),
+            _.cast("string")), ",").as("postings"))
         .orderBy("w")),
 
     // TX14 (extension) — OOV-BIGRAM RATE: score each corpus slice by the
@@ -502,12 +507,14 @@ object TextOps extends OpModule {
         |       ROUND(MAX(cnt) / CAST(SUM(cnt) AS DOUBLE), 6) AS top_share
         |FROM lw GROUP BY lang""".stripMargin),
 
-    // tx13: list_sort pins the posting sample; df/tf are plain counts
+    // tx13: list_sort pins the posting sample; df/tf are plain counts.
+    // array_to_string serializes the sample — scalar output columns only.
     "tx13_inverted_index" -> Sql.query(tokensSql)(
       """SELECT w,
         |       COUNT(DISTINCT doc_id) AS df,
         |       COUNT(*) AS tf,
-        |       list_sort(list(DISTINCT doc_id))[1:10] AS postings
+        |       array_to_string(list_sort(list(DISTINCT doc_id))[1:10], ',')
+        |         AS postings
         |FROM tokens GROUP BY w ORDER BY w""".stripMargin),
 
     // tx14: COUNT + FILTER (never SUM(int) — HUGEINT) over the same

@@ -3,13 +3,13 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.MisraGries
+import graft.functions.{MGBuf, MisraGries}
 
 /** [[graft.functions.MisraGries]] — the frequent-items sketch behind
   * a19_heavy_hitters. The algebra tests run sketch-only (no Spark). */
 class MisraGriesSpec extends SparkSpec {
 
-  private def summarize(mg: MisraGries, xs: Seq[String]): Map[String, Long] =
+  private def summarize(mg: MisraGries, xs: Seq[String]): MGBuf =
     xs.foldLeft(mg.zero)(mg.reduce)
 
   /** Zipf-ish synthetic stream with vocabulary far above k. */
@@ -26,7 +26,7 @@ class MisraGriesSpec extends SparkSpec {
     val xs = stream(1)
     val n = xs.size
     val exact = xs.groupBy(identity).view.mapValues(_.size).toMap
-    val kept = summarize(mg, xs).keySet
+    val kept = mg.materialize(summarize(mg, xs)).keySet
     val mustKeep = exact.filter(_._2 > n / 20.0).keySet
     assert(mustKeep.subsetOf(kept), s"lost: ${mustKeep -- kept}")
     assert(kept.size <= 20)
@@ -35,7 +35,7 @@ class MisraGriesSpec extends SparkSpec {
   test("merge preserves the guarantee over the combined stream") {
     val mg = new MisraGries(20)
     val (xs, ys) = (stream(2), stream(3))
-    val merged = mg.merge(summarize(mg, xs), summarize(mg, ys))
+    val merged = mg.materialize(mg.merge(summarize(mg, xs), summarize(mg, ys)))
     val all = xs ++ ys
     val exact = all.groupBy(identity).view.mapValues(_.size).toMap
     val mustKeep = exact.filter(_._2 > all.size / 20.0).keySet
@@ -48,14 +48,33 @@ class MisraGriesSpec extends SparkSpec {
   test("merge order does not break the bound (3-way, both association orders)") {
     val mg = new MisraGries(16)
     val parts = Seq(stream(4), stream(5), stream(6)).map(summarize(mg, _))
-    val left = mg.merge(mg.merge(parts(0), parts(1)), parts(2))
-    val right = mg.merge(parts(0), mg.merge(parts(1), parts(2)))
+    val left = mg.materialize(mg.merge(mg.merge(parts(0), parts(1)), parts(2)))
+    val right = mg.materialize(mg.merge(parts(0), mg.merge(parts(1), parts(2))))
     val all = stream(4) ++ stream(5) ++ stream(6)
     val exact = all.groupBy(identity).view.mapValues(_.size).toMap
     val mustKeep = exact.filter(_._2 > all.size / 16.0).keySet
     for (m <- Seq(left, right)) {
       assert(mustKeep.subsetOf(m.keySet), s"lost: ${mustKeep -- m.keySet}")
       assert(m.size <= 16)
+    }
+  }
+
+  test("offset-based reduce ≡ classic decrement-all MG (model check)") {
+    // Third formulation: the textbook O(k)-rebuild step, kept here as the
+    // model the amortized epoch-bump implementation must match exactly.
+    def classic(k: Int, xs: Seq[String]): Map[String, Long] =
+      xs.foldLeft(Map.empty[String, Long]) { (b, w) =>
+        b.get(w) match {
+          case Some(c) => b.updated(w, c + 1)
+          case None if b.size < k => b.updated(w, 1L)
+          case None => b.view.mapValues(_ - 1).filter(_._2 > 0).toMap
+        }
+      }
+    for (k <- Seq(1, 3, 16, 20); seed <- 1 to 6) {
+      val mg = new MisraGries(k)
+      val xs = stream(seed)
+      assert(mg.materialize(summarize(mg, xs)) == classic(k, xs),
+        s"divergence at k=$k seed=$seed")
     }
   }
 

@@ -14,18 +14,29 @@ import duckdb, json, math, re, sys, os
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-# Closed set of oracle output types the driver's comparator renders the
-# same way Spark does. Anything else (HUGEINT from SUM(integer), UHUGEINT,
+# Closed set of output types the driver's comparator renders the same
+# way on both engines. Anything else (HUGEINT from SUM(integer), UHUGEINT,
 # INTERVAL, ...) hash-mismatches driver-side even when values are equal,
 # so it is a hard local error: cast the column in the oracle SQL.
+#
+# SCALAR TYPES ONLY (r8 rule): the driver canonicalizes rows via pandas
+# sort_values over all columns, which throws "unhashable type:
+# numpy.ndarray" on ANY list/struct/map cell — so non-scalar top-level
+# output columns are a hard FAIL-type on BOTH the oracle side and the
+# Spark side. Serialize arrays with array_join (Spark) /
+# array_to_string (DuckDB) before output, as a2/a8/tx13 do.
+# BLOB was dropped from the set in r9: no query outputs raw bytes (binary
+# payloads are hex-/hash-serialized before output) and raw BLOB rendering
+# parity was never proven.
 ALLOWED_TYPES = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE",
                  "FLOAT", "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP",
-                 "TIMESTAMP WITH TIME ZONE", "BLOB"}
+                 "TIMESTAMP WITH TIME ZONE"}
 
 def type_ok(t):
     t = str(t).strip()
-    while t.endswith("[]"):  # list types: check the element type
-        t = t[:-2].strip()
+    # Non-scalar output is never OK, whatever the element type.
+    if t.endswith("[]") or t.startswith(("STRUCT(", "MAP(", "UNION(")):
+        return False
     if re.fullmatch(r"DECIMAL\(\d+,\s*\d+\)", t):
         return True
     return t in ALLOWED_TYPES
@@ -64,13 +75,20 @@ def main():
     for name in names:
         if only and name not in only:
             continue
-        cur = con.execute(
+        srel = con.sql(
             f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
-        scols = [d[0] for d in cur.description]
-        srows = cur.fetchall()
+        scols = list(srel.columns)
+        stypes = [str(t) for t in srel.types]
+        srows = srel.fetchall()
         if name not in oracle:
             n_noracle += 1
             print(f"  [rows-only] {name}: {len(srows)} rows")
+            continue
+        sbad = [(c, t) for c, t in zip(scols, stypes) if not type_ok(t)]
+        if sbad:
+            n_fail += 1
+            print(f"  [FAIL-type] {name}: non-portable SPARK output columns"
+                  f" {sbad} — serialize/cast them in the Spark query")
             continue
         try:
             rel = con.sql(oracle[name])
