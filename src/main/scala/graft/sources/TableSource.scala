@@ -15,7 +15,24 @@ trait TableSource {
 /** Parquet directory layout `<dir>/<table>.parquet` (the test harness). */
 final case class ParquetSource(dir: String) extends TableSource {
   def read(spark: SparkSession, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    ParquetSource.normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
+}
+
+object ParquetSource {
+  /** The harness parquet has shipped timestamps as TIMESTAMP(NANOS),
+    * TIMESTAMP(MICROS, adjustedToUTC) and TIMESTAMP(MICROS) NTZ across
+    * regenerations. Our sessions pin
+    * spark.sql.parquet.inferTimestampNTZ.enabled=false so NTZ columns scan
+    * directly as TimestampType (keeping ts predicates pushable — a cast
+    * wrapper would defeat parquet filter pushdown); this fallback covers
+    * foreign sessions without that conf, where `withWatermark` and
+    * `unix_micros` would otherwise reject TIMESTAMP_NTZ. Under the pinned
+    * UTC session timezone the cast is value-identity. */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType => f.name
+    }.foldLeft(df)((d, c) =>
+      d.withColumn(c, org.apache.spark.sql.functions.col(c).cast("timestamp")))
 }
 
 /** JDBC source with predicate/partition pushdown via Spark's JDBC

@@ -96,11 +96,13 @@ class AggJoinSpec extends SparkSpec {
   test("w11: sweep-line peak equals brute-force interval counting at start instants") {
     val got = run("w11_peak_concurrency").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // epoch millis computed engine-side: robust to the driver regenerating
+    // the fixture with NTZ vs UTC-adjusted parquet timestamps
     val o = spark.read.parquet(s"$Sf/orders.parquet")
-      .select("o_orderpriority", "o_orderdate").collect()
-      .map(r => (r.getString(0), // timestamp_ntz surfaces as LocalDateTime
-        r.getAs[java.time.LocalDateTime](1)
-          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli))
+      .select(col("o_orderpriority"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 1000").as("ms"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
     val life = 30L * 86400000
     o.groupBy(_._1).foreach { case (prio, rows) =>
       val starts = rows.map(_._2)

@@ -14,6 +14,7 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.warehouse.dir",
       s"/tmp/graft_warehouse_${ProcessHandle.current.pid}")
     .config("spark.ui.enabled", "false")
