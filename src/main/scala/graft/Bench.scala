@@ -71,7 +71,8 @@ object Bench {
       "ds10_temperature_resample", "st11_stream_observe",
       "k15_bucketed_join", "nn10_mips_topk",
       "j12_bloom_prune", "nn13_pq_adc", "ds13_curriculum_order",
-      "k17_zorder_layout", "g1_pagerank", "g2_triangle_count",
+      "k17_zorder_layout", "g1_pagerank", "g5_pagerank_converged",
+      "g2_triangle_count",
       "a20_countmin", "ds15_ks_drift", "st12_stream_drift", "dd12_containment",
       "g4_bfs_hops", "dd13_incremental_dedup", "w15_gap_fill", "w16_ohlc",
       "tx15_cooccurrence_lift", "st13_availablenow_ingest",

@@ -93,30 +93,31 @@ object GraphOps extends OpModule {
     // one groupBy(dst) shuffle to sum incoming shares. Top 20 by rank via
     // TakeOrderedAndProject (no global sort materialization).
     "g1_pagerank" -> ((s, dir) => {
-      // out-degree folded INTO the persisted edge relation (src, dst,
-      // deg): one join per iteration instead of two — at 100 TB that is
-      // one fewer corpus-sized shuffle per round, and the denormalized
-      // deg column costs one long per edge in the layout that is
-      // bucketed once and reused by every round anyway
-      val edgesDeg = Cached.of(s, s"g:edgesdeg:$dir") {
-        val edges = tradeEdges(s, dir)
-        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        edges.join(deg, Seq("src"))
-      }
+      val edgesDeg = tradeEdgesDeg(s, dir)
       var pr = edgesDeg.select(col("src").as("node")).distinct()
         .withColumn("pr", lit(Mass))
-      for (_ <- 1 to 3) {
-        pr = edgesDeg
-          .join(pr.withColumnRenamed("node", "src"), Seq("src"))
-          .select(col("dst"), expr("pr div deg").as("share"))
-          .groupBy(col("dst").as("node"))
-          // 85·Σshare in DECIMAL(38,0): wrap-proof whatever a hub
-          // absorbs (see Mass scaladoc); div returns BIGINT
-          .agg((lit(Teleport) +
-            expr("(85 * sum(cast(share as decimal(38,0)))) div 100")).as("pr"))
-      }
+      for (_ <- 1 to 3) pr = pagerankStep(edgesDeg, pr)
       pr.orderBy(col("pr").desc, col("node")).limit(20)
     }),
+
+    // G5 (extension) — CONVERGENCE-AWARE PageRank: the same integer-mass
+    // recurrence as g1, but iterated until the ranks are exactly
+    // stationary (max |Δpr| = 0 in micro-mass units — integer state
+    // makes "converged" a well-defined exact predicate, not an epsilon
+    // policy) or a fixed cap. The driver-loop-over-converging-relation
+    // shape at scale: per round, ONE node-keyed shuffle (the g1 step),
+    // one frontier-sized localCheckpoint (the g4 lineage-truncation
+    // argument — the rank relation is referenced twice per round, by the
+    // next step AND the delta probe, so without truncation round k
+    // re-executes 2^(rounds−k) times), and one driver-side SCALAR (the
+    // max-delta aggregate — bounded telemetry per round, never row
+    // data; the o3 retry loop makes the same trade). On the fixture the
+    // bipartite trade graph oscillates and the cap (8) terminates —
+    // deterministically, so the oracle replays exactly 8 steps; the
+    // early-exit path is pinned by GraphSpec on a regular graph, where
+    // integer mass is stationary after round 1.
+    "g5_pagerank_converged" -> ((s, dir) =>
+      pagerankConverged(tradeEdgesDeg(s, dir), cap = 8)),
 
     // G2 (extension) — TRIANGLE COUNT on the co-purchase graph by
     // degree-oriented wedge join: orient each edge from its lower-degree
@@ -198,6 +199,55 @@ object GraphOps extends OpModule {
            |SELECT node, pr FROM pr3 ORDER BY pr DESC, node LIMIT 20""".stripMargin)
     })
   )
+
+  /** Out-degree folded INTO the persisted edge relation (src, dst, deg):
+    * one join per iteration instead of two — at 100 TB that is one fewer
+    * corpus-sized shuffle per round, and the denormalized deg column
+    * costs one long per edge in the layout that is bucketed once and
+    * reused by every round anyway. Shared by g1/g5/v4. */
+  private[graft] def tradeEdgesDeg(s: SparkSession, dir: String): DataFrame =
+    Cached.of(s, s"g:edgesdeg:$dir")(withDeg(tradeEdges(s, dir)))
+
+  /** Denormalize out-degree onto any (src, dst) edge relation — exposed
+    * for the synthetic-graph specs. */
+  private[graft] def withDeg(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    edges.join(deg, Seq("src"))
+  }
+
+  /** One power-iteration step over the denormalized (src, dst, deg)
+    * relation: contribution = pr div deg per edge, one groupBy(dst)
+    * shuffle to sum incoming shares. 85·Σshare is computed in
+    * DECIMAL(38,0): wrap-proof whatever a hub absorbs (see [[Mass]]
+    * scaladoc); div returns BIGINT. */
+  private[graft] def pagerankStep(edgesDeg: DataFrame, pr: DataFrame): DataFrame =
+    edgesDeg
+      .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+      .select(col("dst"), expr("pr div deg").as("share"))
+      .groupBy(col("dst").as("node"))
+      .agg((lit(Teleport) +
+        expr("(85 * sum(cast(share as decimal(38,0)))) div 100")).as("pr"))
+
+  /** g5's loop: iterate [[pagerankStep]] until exact integer-mass
+    * stationarity (max |Δpr| = 0) or `cap` rounds. Returns the top-20
+    * ranks plus the round count actually executed. */
+  private[graft] def pagerankConverged(edgesDeg: DataFrame, cap: Int): DataFrame = {
+    var pr = edgesDeg.select(col("src").as("node")).distinct()
+      .withColumn("pr", lit(Mass)).localCheckpoint()
+    var iters = 0
+    var delta = -1L
+    while (iters < cap && delta != 0L) {
+      val next = pagerankStep(edgesDeg, pr).localCheckpoint()
+      delta = next
+        .join(pr.select(col("node"), col("pr").as("pr_prev")), Seq("node"))
+        .agg(max(abs(col("pr") - col("pr_prev"))).as("d"))
+        .head().getLong(0)
+      pr = next
+      iters += 1
+    }
+    pr.orderBy(col("pr").desc, col("node")).limit(20)
+      .withColumn("n_iters", lit(iters))
+  }
 
   /** DuckDB CTEs mirroring [[tradeEdges]]. */
   private val tradeSql =
@@ -303,6 +353,20 @@ object GraphOps extends OpModule {
         |SELECT tri.n_triangles, w.n_wedges,
         |       ROUND(3 * tri.n_triangles / w.n_wedges, 6) AS global_cc
         |FROM tri, w""".stripMargin,
+
+    // g5: the oracle replays exactly 8 steps — the cap the Spark loop
+    // deterministically reaches on the fixture (the bipartite trade
+    // graph oscillates in integer mass; verified non-stationary through
+    // round 8 at sf0.001/0.01/0.1). The early-exit arm of the loop is
+    // pinned by GraphSpec on a regular graph instead, where the oracle
+    // CTE chain could not express the data-dependent round count.
+    "g5_pagerank_converged" -> Sql.query(
+      tradeSql,
+      s"pr0 AS (SELECT node, CAST($Mass AS BIGINT) AS pr FROM deg)",
+      prStep("pr1", "pr0"), prStep("pr2", "pr1"), prStep("pr3", "pr2"),
+      prStep("pr4", "pr3"), prStep("pr5", "pr4"), prStep("pr6", "pr5"),
+      prStep("pr7", "pr6"), prStep("pr8", "pr7"))(
+      "SELECT node, pr, 8 AS n_iters FROM pr8 ORDER BY pr DESC, node LIMIT 20"),
 
     // v4: identical oracle to g1 — the SQL front door must reproduce the
     // DataFrame path's rows exactly

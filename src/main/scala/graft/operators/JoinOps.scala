@@ -21,6 +21,28 @@ import graft.sources.{Cached, Sql, Tables}
 object JoinOps extends OpModule {
   import TileGrid.{ExtentXMin, ExtentYMin, ExtentXMax, ExtentYMax}
 
+  /** Codegen'd scan-side bloom probe: wraps a serialized
+    * `org.apache.spark.util.sketch.BloomFilter` in Spark's own
+    * `BloomFilterMightContain` — the expression the optimizer's
+    * InjectRuntimeFilter rule plants for exactly this semi-join
+    * reduction. `might_contain` is not in the public function registry
+    * (it is internal to the runtime-filter rewrite), so the Column is
+    * built through [[org.apache.spark.sql.GraftColumnBridge]]; the
+    * sketch bytes are a foldable Literal, which is the same way the
+    * built-in rule delivers its materialized subquery result to the
+    * scan. */
+  private[graft] def mightContain(bf: org.apache.spark.util.sketch.BloomFilter,
+      key: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out)
+    GraftColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          out.toByteArray, org.apache.spark.sql.types.BinaryType),
+        GraftColumnBridge.expression(key)))
+  }
+
   private def selectedTiles(s: SparkSession): DataFrame =
     Tables.boundaries(s)
       .filter(col("xmin") <= ExtentXMax && col("xmax") >= ExtentXMin &&
@@ -188,22 +210,27 @@ object JoinOps extends OpModule {
     // Correctness never depends on the sketch: no false negatives, and
     // the exact equi-join behind it removes false positives — so the
     // result is identical to the plain join (the oracle IS the plain
-    // join). The probe UDF sits outside codegen by design: one branchy
-    // bitset lookup replacing a full shuffle is the right trade.
+    // join).
+    // The probe is Spark's own BloomFilterMightContain — the expression
+    // InjectRuntimeFilter plants when it auto-derives this exact
+    // rewrite — so the scan-side filter compiles INTO the whole-stage
+    // codegen span instead of breaking it at a UDF call, and the
+    // sketch rides the plan as a constant exactly like the built-in
+    // runtime filter's materialized subquery result. The build side
+    // uses stat.bloomFilter (treeAggregate: map-side partials merged
+    // pairwise — the same mergeable-partial shape as the custom
+    // [[graft.functions.BloomFilterAgg]], which remains the §2.11 UDAF
+    // exhibit and is property-tested in BloomFilterSpec; j12's spec
+    // asserts the two probes accept identical key sets).
     "j12_bloom_prune" -> ((s, dir) => {
-      import s.implicits._
-      import graft.functions.BloomFilterAgg
       val sel = Cached.of(s, s"j12:urgent:$dir")(
         Tables.orders(s, dir)
           .filter(col("o_orderpriority") === "1-URGENT")
           .select("o_orderkey", "o_orderdate"))
-      val numBits = BloomFilterAgg.sizeFor(sel.count())
-      val sketch = sel.select(col("o_orderkey")).as[Long]
-        .select(new BloomFilterAgg(numBits).toColumn).head()
-      val bf = s.sparkContext.broadcast(sketch)
-      val probe = udf((k: Long) => BloomFilterAgg.contains(bf.value, k))
+      // fpp 0.003 ≈ 12 bits/key — the same budget the custom sketch used
+      val bf = sel.stat.bloomFilter(col("o_orderkey"), sel.count(), 0.003)
       Tables.lineitem(s, dir)
-        .filter(probe(col("l_orderkey")))
+        .filter(mightContain(bf, col("l_orderkey")))
         .join(sel, col("l_orderkey") === col("o_orderkey"))
         .groupBy(year(col("o_orderdate")).as("o_year"))
         .agg(Exact.decSumExpr(Exact.dec(col("l_extendedprice")) *

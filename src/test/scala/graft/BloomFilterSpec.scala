@@ -64,4 +64,23 @@ class BloomFilterSpec extends SparkSpec {
     assert(passed <= matching + total / 50 + 10)  // ≤ ~2% FPP residue
     assert(passed < total / 2)                    // the filter actually prunes
   }
+
+  test("built-in might_contain probe matches the custom UDAF's guarantees") {
+    val li = sources.Tables.lineitem(spark, Sf)
+    val sel = sources.Tables.orders(spark, Sf)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val bf = sel.stat.bloomFilter(col("o_orderkey"), sel.count(), 0.003)
+    val total = li.count()
+    val passed =
+      li.filter(operators.JoinOps.mightContain(bf, col("l_orderkey"))).count()
+    val matching =
+      li.join(sel, col("l_orderkey") === col("o_orderkey"), "left_semi").count()
+    // identical contract to the custom probe above: zero false negatives,
+    // bounded false-positive residue, real pruning — the two sketches are
+    // interchangeable for the semi-join reduction; j12 ships the built-in
+    // because its probe compiles into whole-stage codegen (PlanSpec pin)
+    assert(passed >= matching)
+    assert(passed <= matching + total / 50 + 10)
+    assert(passed < total / 2)
+  }
 }

@@ -57,6 +57,29 @@ class GraphSpec extends SparkSpec {
     assert(got == Seq((0, 1L), (1, 25L)))
   }
 
+  test("g5: integer mass is stationary on a regular graph — the early exit fires after one round") {
+    import spark.implicits._
+    // 12-cycle: every node has degree 2, so each round every node sends
+    // Mass/2 both ways and receives Mass back: pr stays exactly Mass
+    // (85·Mass div 100 + Teleport = Mass, exact in integers) — delta = 0
+    // after round 1, so the convergence loop must stop at n_iters = 1
+    // long before the cap
+    val e0 = (0L until 12L).map(i => (i, (i + 1) % 12)).toDF("src", "dst")
+    val edges = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val got = GraphOps.pagerankConverged(GraphOps.withDeg(edges), cap = 8).collect()
+    assert(got.forall(_.getAs[Int]("n_iters") == 1), got.mkString(","))
+    assert(got.forall(_.getAs[Long]("pr") == GraphOps.Mass), got.mkString(","))
+  }
+
+  test("g5: the fixture's bipartite trade graph stays non-stationary through the cap") {
+    // the oracle replays exactly 8 CTE steps, which is only valid if the
+    // loop deterministically reaches the cap — pin that here so a fixture
+    // change that suddenly converges early fails THIS spec, not the gate
+    val got = run("g5_pagerank_converged").collect()
+    assert(got.forall(_.getAs[Int]("n_iters") == 8),
+      s"fixture converged before the cap: ${got.map(_.getAs[Int]("n_iters")).toSet}")
+  }
+
   test("dd13 is exactly dd7's candidate pairs restricted to new×corpus") {
     val pairs = run("dd7_minhash_dfcap").collect()
       .map(r => (r.getLong(0), r.getLong(1)))

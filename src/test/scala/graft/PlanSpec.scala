@@ -349,17 +349,21 @@ class PlanSpec extends SparkSpec {
     assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(o_orderdate.*"), plan)
   }
 
-  test("j12: the bloom probe filters the fact scan BELOW the join") {
+  test("j12: the bloom probe filters the fact scan BELOW the join, inside codegen") {
     val plan = finalPlan("j12_bloom_prune")
     // the probe must run scan-side (before the exchange), not post-join:
-    // in the plan text the fact side's Filter mentions the UDF and sits
-    // under the join operator
+    // in the plan text the fact side's Filter mentions might_contain and
+    // sits under the join operator
     val joinIdx = plan.indexOf("Join")
-    val probeIdx = "UDF\\([a-z(]*l_orderkey".r.findFirstMatchIn(plan).map(_.start).getOrElse(-1)
+    val probeIdx = plan.indexOf("might_contain")
     assert(joinIdx >= 0 && probeIdx > joinIdx,
       s"probe not under the join: join@$joinIdx probe@$probeIdx\n$plan")
     // and the join itself stays a hash equi-join on the key
     assert(plan.contains("HashJoin"), plan)
+    // the probe is a native codegen expression, not a UDF — the scan-side
+    // filter must NOT break the whole-stage span at a UDF call
+    assert(!"UDF\\([a-z(]*l_orderkey".r.findFirstIn(plan).isDefined,
+      s"probe still a UDF:\n$plan")
   }
 
   test("ds13: no corpus-sized single-partition window — ranking is per range partition") {
@@ -410,6 +414,28 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     // top-20 must be TakeOrderedAndProject, not a global sort of all nodes
     assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("g5: one convergence round is equi-join + partial-agg shuffle — and the loop's final plan is lineage-truncated") {
+    import graft.operators.GraphOps
+    // per-iteration shape (the loop localCheckpoints, so the FINAL plan
+    // no longer contains the rounds — pin ONE step explicitly): the
+    // share fan-out joins on src, the mass sum is a hash aggregate with
+    // a map-side partial, and nothing is a nested loop
+    val edgesDeg = GraphOps.tradeEdgesDeg(spark, Sf)
+    val pr = edgesDeg.select(col("src").as("node")).distinct()
+      .withColumn("pr", lit(GraphOps.Mass))
+    val step = GraphOps.pagerankStep(edgesDeg, pr)
+    step.collect()
+    val plan = step.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("partial_sum"), plan)
+    // the loop's returned frame reads the checkpointed ranks, not a
+    // re-derivation of every round: top-20 via TakeOrderedAndProject
+    val fin = executedPlan("g5_pagerank_converged")
+    assert(fin.contains("TakeOrderedAndProject"), fin)
+    assert(!fin.contains("CartesianProduct"), fin)
   }
 
   test("g2: wedge join and closing semi-join are equi-joins — no nested loop") {
