@@ -72,6 +72,26 @@ def main():
     n_pass = n_fail = n_noracle = 0
     names = sorted(d for d in os.listdir(outdir)
                    if os.path.isdir(os.path.join(outdir, d)))
+    # Coverage closure (r10 rule, after the round-9 hole where 8 dead
+    # queries silently vanished from the record): every query Verify
+    # attempted must be accounted for. Verify writes _failures.json for
+    # queries that threw; any oracle entry with neither a parquet dir nor
+    # a failure entry is ALSO a miss (e.g. a stale outdir).
+    fail_manifest = {}
+    fpath = os.path.join(outdir, "_failures.json")
+    if os.path.exists(fpath):
+        fail_manifest = json.load(open(fpath))
+    for name, msg in sorted(fail_manifest.items()):
+        if only and name not in only:
+            continue
+        n_fail += 1
+        print(f"  [FAIL-run ] {name}: query threw in Verify: {msg[:200]}")
+    missing = sorted(set(oracle) - set(names) - set(fail_manifest))
+    for name in missing:
+        if only and name not in only:
+            continue
+        n_fail += 1
+        print(f"  [FAIL-miss] {name}: oracle entry has no Verify output dir")
     for name in names:
         if only and name not in only:
             continue
