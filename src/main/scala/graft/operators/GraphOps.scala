@@ -230,19 +230,28 @@ object GraphOps extends OpModule {
 
   /** g5's loop: iterate [[pagerankStep]] until exact integer-mass
     * stationarity (max |Δpr| = 0) or `cap` rounds. Returns the top-20
-    * ranks plus the round count actually executed. */
+    * ranks plus the round count actually executed.
+    *
+    * ONE action per round: the previous ranks are joined back so the
+    * convergence delta rides the checkpoint materialization as an
+    * `observe`d metric ([[org.apache.spark.sql.Observation]] blocks
+    * until that action finishes) — the convergence test costs zero
+    * extra passes over the data, which is the shape an
+    * iterate-to-fixpoint job must have at 100 TB (a separate
+    * diff-relation action per round would double every iteration). */
   private[graft] def pagerankConverged(edgesDeg: DataFrame, cap: Int): DataFrame = {
     var pr = edgesDeg.select(col("src").as("node")).distinct()
       .withColumn("pr", lit(Mass)).localCheckpoint()
     var iters = 0
     var delta = -1L
     while (iters < cap && delta != 0L) {
-      val next = pagerankStep(edgesDeg, pr).localCheckpoint()
-      delta = next
+      val obs = org.apache.spark.sql.Observation(s"g5_delta_$iters")
+      val next = pagerankStep(edgesDeg, pr)
         .join(pr.select(col("node"), col("pr").as("pr_prev")), Seq("node"))
-        .agg(max(abs(col("pr") - col("pr_prev"))).as("d"))
-        .head().getLong(0)
-      pr = next
+        .observe(obs, max(abs(col("pr") - col("pr_prev"))).as("d"))
+        .localCheckpoint() // the round's single action; obs.get blocks on it
+      delta = obs.get("d").asInstanceOf[Long]
+      pr = next.drop("pr_prev")
       iters += 1
     }
     pr.orderBy(col("pr").desc, col("node")).limit(20)
