@@ -535,18 +535,26 @@ object DedupOps extends OpModule {
         .select(col("doc_id"),
           least(col("component"),
             coalesce(col("neighbor_min"), col("component"))).as("component"))
-      // pointer jumping: follow component -> component's component
+      // pointer jumping: follow component -> component's component.
+      // The convergence probe rides the checkpoint action as an
+      // observe()d metric (the g5 pattern): the old label is carried
+      // through the round's single materialization and the changed
+      // count costs zero extra passes — previously a separate
+      // join+count job per generation.
+      val obs = org.apache.spark.sql.Observation()
       val next = hop
         .join(hop.select(col("doc_id").as("component"),
           col("component").as("parent")), Seq("component"), "left")
         .select(col("doc_id"),
           least(col("component"),
             coalesce(col("parent"), col("component"))).as("component"))
+        .join(labels.select(col("doc_id"), col("component").as("old")),
+          Seq("doc_id"))
+        .observe(obs, sum(when(col("component") =!= col("old"), 1L)
+          .otherwise(0L)).as("changed"))
         .localCheckpoint()
-      val changed = next
-        .join(labels.withColumnRenamed("component", "old"), Seq("doc_id"))
-        .filter(col("component") =!= col("old")).count()
-      labels = next
+      val changed = obs.get("changed").asInstanceOf[Long]
+      labels = next.drop("old")
       converged = changed == 0
     }
     edges.unpersist()
