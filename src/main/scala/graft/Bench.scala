@@ -37,14 +37,23 @@ object Bench {
     // the same contention window; interleaving whole-sweep passes
     // separates the three samples by minutes, so the per-query min
     // approximates the uncontended cost. A crashed query reports -1
-    // (not a fake duration) so failures are visible in the JSON.
-    def time(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // (not a fake duration) so failures are visible in the JSON, and the
+    // first error message per query lands in BENCH_FULL's "errors" map —
+    // the round-9 driver run's 8 failures were undiagnosable from the
+    // record alone because the cause was swallowed here.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def time(name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-      catch { case _: Throwable => -1.0 }
+      catch { case e: Throwable =>
+        errors.getOrElseUpdate(name,
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
+        -1.0
+      }
     }
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
-    val passes = (1 to 3).map(_ => named.map { case (_, fn) => time(fn) })
+    val passes = (1 to 3).map(_ => named.map { case (name, fn) => time(name, fn) })
     val results = named.zipWithIndex.map { case ((name, _), i) =>
       val samples = passes.map(_(i))
       name -> (if (samples.exists(_ < 0)) -1.0 else samples.min)
@@ -84,9 +93,21 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+    // JSON-escape error text (same closure as Verify's manifest writer)
+    def esc(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val errJson = errors.map { case (k, v) => s"${esc(k)}:${esc(v)}" }
+      .mkString("{", ",", "}")
     try {
       val w = new java.io.PrintWriter("BENCH_FULL.json")
-      w.println(s"""{"total":${r3(total)},"failed":$failedJson,"queries":$fullQs,"sf":"$sfDir"}""")
+      w.println(s"""{"total":${r3(total)},"failed":$failedJson,"errors":$errJson,"queries":$fullQs,"sf":"$sfDir"}""")
       w.close()
     } catch { case _: Throwable => () }
     println(line)
