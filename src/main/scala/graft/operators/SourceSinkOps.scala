@@ -313,6 +313,46 @@ object SourceSinkOps extends OpModule {
         .orderBy("batch")
     }),
 
+    // K22 (extension) — TRAINING-SHARD EMISSION + AUDIT MANIFEST: the
+    // last mile of a curation pipeline — the corpus lands as N
+    // deterministic shards (hash of doc_id, so assignment is stable
+    // across runs/retries and needs no coordination), and the manifest
+    // is computed FROM THE READ-BACK FILES, so the write→read roundtrip
+    // itself sits inside the correctness gate (the k2/k21 discipline).
+    // Per shard: doc count, token count, char count, and an
+    // ORDER-INDEPENDENT content fingerprint (bit_xor of per-doc h60 —
+    // xor is commutative/associative and cannot overflow, so the
+    // fingerprint is identical under any partitioning, task retry, or
+    // file order; a consumer re-derives it to prove shard integrity).
+    // One shuffle total: repartition(N, shard) gives each shard a
+    // single writer task — bounded file count, the webdataset-style
+    // shard layout. At 100 TB, size N so a shard hits the target
+    // artifact size and bound files with maxRecordsPerFile; the
+    // manifest stays N rows whatever the corpus.
+    "k22_shard_manifest" -> ((s, dir) => {
+      val NShards = 16
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_k22_${dir.hashCode}_${ProcessHandle.current.pid}").getPath
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      Tables.documents(s, dir)
+        .withColumn("shard",
+          (DedupOps.h60("shard:", col("doc_id").cast("string")) % NShards)
+            .cast("int"))
+        .repartition(NShards, col("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(out)
+      s.read.parquet(out)
+        .withColumn("n_tokens",
+          size(filter(split(col("text"), " "), w => w =!= "")).cast("long"))
+        .withColumn("fp", DedupOps.h60("fp:", col("text")))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("n_tokens"),
+          sum("n_chars").as("n_chars"),
+          expr("bit_xor(fp)").as("content_fp"))
+        .orderBy("shard")
+    }),
+
     "k18_dynamic_partition_overwrite" -> ((s, dir) => {
       val out = new java.io.File(
         sys.props("java.io.tmpdir"),
@@ -460,6 +500,19 @@ object SourceSinkOps extends OpModule {
         |            ELSE lang END AS lang,
         |       COUNT(*) AS n
         |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    // k22: the oracle recomputes the manifest straight from the documents
+    // table — no files — so the Spark side's write→read roundtrip must be
+    // lossless for the two to agree; HUGEINT sums cast per the r8 rule,
+    // and bit_xor is BIGINT-exact on both engines
+    "k22_shard_manifest" ->
+      s"""SELECT CAST(${DedupOps.h60Sql("shard:", "CAST(doc_id AS VARCHAR)")} % 16 AS INT) AS shard,
+         |       COUNT(*) AS n_docs,
+         |       CAST(SUM(len(list_filter(string_split(text, ' '),
+         |                                w -> w <> ''))) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         |       bit_xor(${DedupOps.h60Sql("fp:", "text")}) AS content_fp
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // k21: the oracle recomputes the ledger from the batch definitions —
     // the staged/published mechanics must land on exactly these numbers

@@ -33,6 +33,30 @@ class IncrementalOpsSpec extends SparkSpec {
     assert(srcs.filter(_._2 == "delta").keySet == activeAfter)
   }
 
+  test("k22: the shard manifest is a lossless partition of the corpus") {
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    val manifest = run("k22_shard_manifest").collect()
+    // every document lands in exactly one shard: counts partition the corpus
+    assert(manifest.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    assert(manifest.map(_.getAs[Long]("n_chars")).sum ==
+      docs.agg(sum("n_chars")).head().getLong(0))
+    // the xor fingerprint recomputed straight from the table (no file
+    // roundtrip) must match the read-back manifest — the write loses
+    // nothing and the fingerprint is layout-independent
+    import graft.operators.DedupOps
+    val direct = docs
+      .withColumn("shard",
+        (DedupOps.h60("shard:", col("doc_id").cast("string")) % 16).cast("int"))
+      .withColumn("fp", DedupOps.h60("fp:", col("text")))
+      .groupBy("shard").agg(expr("bit_xor(fp)").as("content_fp"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val got = manifest.map(r =>
+      r.getAs[Int]("shard") -> r.getAs[Long]("content_fp")).toMap
+    assert(got == direct)
+    // deterministic spread: no shard is empty at 500 docs over 16 shards
+    assert(manifest.length == 16 && manifest.forall(_.getAs[Long]("n_docs") > 0))
+  }
+
   test("k13: validity intervals tile each user's timeline with one open end") {
     val rows = run("k13_scd2_history").collect()
       .map(r => (r.getLong(0), r.getTimestamp(3),
