@@ -93,18 +93,7 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
-    // JSON-escape error text (same closure as Verify's manifest writer)
-    def esc(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val errJson = errors.map { case (k, v) => s"${esc(k)}:${esc(v)}" }
-      .mkString("{", ",", "}")
+    val errJson = Json.obj(errors)
     try {
       val w = new java.io.PrintWriter("BENCH_FULL.json")
       w.println(s"""{"total":${r3(total)},"failed":$failedJson,"errors":$errJson,"queries":$fullQs,"sf":"$sfDir"}""")

@@ -35,31 +35,26 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+        // truncate: Spark analysis errors embed whole plan trees
+        failures(name) =
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${Json.str(k)}: ${Json.str(v)}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Explicit failure manifest: a query that threw leaves NO parquet dir,
     // and a comparator that only walks dirs would silently under-count
     // coverage (the round-9 hole — 8 dead queries simply vanished from
     // the record). check_oracle.py fails these by name.
     Files.writeString(Paths.get(s"$outDir/_failures.json"),
-      failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }
-        .mkString("{", ",", "}"))
+      Json.obj(failures))
+    // Attempted-set manifest: under SPARK_GRAFT_ONLY only a subset runs,
+    // and check_oracle's coverage closure must check attempted-vs-
+    // accounted, not all-of-oracle, or a partial outdir floods FAIL-miss.
+    Files.writeString(Paths.get(s"$outDir/_attempted.json"),
+      selected.keys.toSeq.sorted.map(Json.str).mkString("[", ",", "]"))
     graft.sources.Cached.releaseAll()
     spark.stop()
   }

@@ -246,11 +246,20 @@ object GraphOps extends OpModule {
     var delta = -1L
     while (iters < cap && delta != 0L) {
       val obs = org.apache.spark.sql.Observation(s"g5_delta_$iters")
+      // LEFT join: on a non-symmetric edge relation a node can appear in
+      // the step output without a previous rank (dst-only nodes) — an
+      // inner join would silently drop it AND report a false delta=0.
+      // A missing previous rank coalesces to 0, so a newly-ranked node
+      // always counts as changed (pr >= Teleport > 0).
       val next = pagerankStep(edgesDeg, pr)
-        .join(pr.select(col("node"), col("pr").as("pr_prev")), Seq("node"))
-        .observe(obs, max(abs(col("pr") - col("pr_prev"))).as("d"))
+        .join(pr.select(col("node"), col("pr").as("pr_prev")),
+          Seq("node"), "left")
+        .observe(obs, max(abs(col("pr") - coalesce(col("pr_prev"), lit(0L))))
+          .as("d"))
         .localCheckpoint() // the round's single action; obs.get blocks on it
-      delta = obs.get("d").asInstanceOf[Long]
+      // null max ⇔ the step emitted no nodes (every chain ended on a
+      // sink): nothing left to update, stop
+      delta = Option(obs.get("d")).map(_.asInstanceOf[Long]).getOrElse(0L)
       pr = next.drop("pr_prev")
       iters += 1
     }

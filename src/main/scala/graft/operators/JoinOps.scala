@@ -43,6 +43,19 @@ object JoinOps extends OpModule {
         GraftColumnBridge.expression(key)))
   }
 
+  /** The j12 probe with its degenerate case handled: an EMPTY build side
+    * cannot produce a sketch (stat.bloomFilter's aggregate yields null
+    * bytes and BloomFilter.readFrom NPEs), and the correct semantics are
+    * "nothing can match" — a constant-false filter, which Catalyst folds
+    * into an empty scan. fpp 0.003 ≈ 12 bits/key. */
+  private[graft] def bloomProbe(build: DataFrame, buildKey: String,
+      probeKey: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val n = build.count()
+    if (n == 0L) lit(false)
+    else mightContain(
+      build.stat.bloomFilter(col(buildKey), n, 0.003), probeKey)
+  }
+
   private def selectedTiles(s: SparkSession): DataFrame =
     Tables.boundaries(s)
       .filter(col("xmin") <= ExtentXMax && col("xmax") >= ExtentXMin &&
@@ -227,10 +240,8 @@ object JoinOps extends OpModule {
         Tables.orders(s, dir)
           .filter(col("o_orderpriority") === "1-URGENT")
           .select("o_orderkey", "o_orderdate"))
-      // fpp 0.003 ≈ 12 bits/key — the same budget the custom sketch used
-      val bf = sel.stat.bloomFilter(col("o_orderkey"), sel.count(), 0.003)
       Tables.lineitem(s, dir)
-        .filter(mightContain(bf, col("l_orderkey")))
+        .filter(bloomProbe(sel, "o_orderkey", col("l_orderkey")))
         .join(sel, col("l_orderkey") === col("o_orderkey"))
         .groupBy(year(col("o_orderdate")).as("o_year"))
         .agg(Exact.decSumExpr(Exact.dec(col("l_extendedprice")) *

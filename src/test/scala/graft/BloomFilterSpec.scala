@@ -65,6 +65,18 @@ class BloomFilterSpec extends SparkSpec {
     assert(passed < total / 2)                    // the filter actually prunes
   }
 
+  test("an empty build side yields an everything-rejecting probe, not a crash") {
+    // stat.bloomFilter on an empty frame NPEs (null sketch bytes from the
+    // zero-row aggregate), so bloomProbe must short-circuit to false —
+    // the correct empty-join semantics — instead of building a sketch
+    val empty = sources.Tables.orders(spark, Sf).filter(lit(false))
+      .select("o_orderkey")
+    val li = sources.Tables.lineitem(spark, Sf)
+    assert(li.filter(
+        operators.JoinOps.bloomProbe(empty, "o_orderkey", col("l_orderkey")))
+      .count() == 0L)
+  }
+
   test("built-in might_contain probe matches the custom UDAF's guarantees") {
     val li = sources.Tables.lineitem(spark, Sf)
     val sel = sources.Tables.orders(spark, Sf)

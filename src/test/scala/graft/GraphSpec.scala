@@ -71,6 +71,22 @@ class GraphSpec extends SparkSpec {
     assert(got.forall(_.getAs[Long]("pr") == GraphOps.Mass), got.mkString(","))
   }
 
+  test("g5: a dst-only node on a directed edge relation is ranked, not dropped") {
+    import spark.implicits._
+    // edges 1→2, 3→2: node 2 never appears as src, so it has no previous
+    // rank in round 1 — an inner-join delta probe would both truncate the
+    // result to empty AND read max-over-empty as converged. The left-join
+    // probe must keep node 2 (pr = Teleport + 0.85·2·Mass exactly) and
+    // count it as changed (cap reached, not converged-at-0).
+    val edges = Seq((1L, 2L), (3L, 2L)).toDF("src", "dst")
+    val got = GraphOps.pagerankConverged(GraphOps.withDeg(edges), cap = 1)
+      .collect()
+    assert(got.length == 1 && got.head.getAs[Long]("node") == 2L, got.mkString(","))
+    assert(got.head.getAs[Long]("pr") ==
+      GraphOps.Teleport + 85L * 2L * GraphOps.Mass / 100L)
+    assert(got.head.getAs[Int]("n_iters") == 1)
+  }
+
   test("g5: the fixture's bipartite trade graph stays non-stationary through the cap") {
     // the oracle replays exactly 8 CTE steps, which is only valid if the
     // loop deterministically reaches the cap — pin that here so a fixture

@@ -75,18 +75,25 @@ def main():
     # Coverage closure (r10 rule, after the round-9 hole where 8 dead
     # queries silently vanished from the record): every query Verify
     # attempted must be accounted for. Verify writes _failures.json for
-    # queries that threw; any oracle entry with neither a parquet dir nor
-    # a failure entry is ALSO a miss (e.g. a stale outdir).
-    fail_manifest = {}
-    fpath = os.path.join(outdir, "_failures.json")
-    if os.path.exists(fpath):
-        fail_manifest = json.load(open(fpath))
+    # queries that threw and _attempted.json for the set it ran (which
+    # SPARK_GRAFT_ONLY can restrict); any ATTEMPTED oracle entry with
+    # neither a parquet dir nor a failure entry is ALSO a miss (e.g. a
+    # stale outdir). Without _attempted.json (older outdirs) the closure
+    # assumes the full oracle set was attempted.
+    def load_json(fname, default):
+        p = os.path.join(outdir, fname)
+        return json.load(open(p)) if os.path.exists(p) else default
+    fail_manifest = load_json("_failures.json", {})
+    attempted = set(load_json("_attempted.json", list(oracle)))
     for name, msg in sorted(fail_manifest.items()):
         if only and name not in only:
             continue
         n_fail += 1
         print(f"  [FAIL-run ] {name}: query threw in Verify: {msg[:200]}")
-    missing = sorted(set(oracle) - set(names) - set(fail_manifest))
+    # a failed query's dir (if stale from an earlier run) must not be
+    # re-scored as a result
+    names = [n for n in names if n not in fail_manifest]
+    missing = sorted((set(oracle) & attempted) - set(names) - set(fail_manifest))
     for name in missing:
         if only and name not in only:
             continue
@@ -95,11 +102,18 @@ def main():
     for name in names:
         if only and name not in only:
             continue
-        srel = con.sql(
-            f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
-        scols = list(srel.columns)
-        stypes = [str(t) for t in srel.types]
-        srows = srel.fetchall()
+        try:
+            srel = con.sql(
+                f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
+            scols = list(srel.columns)
+            stypes = [str(t) for t in srel.types]
+            srows = srel.fetchall()
+        except Exception as e:
+            # e.g. a dir left half-written by a crashed Verify: fail the
+            # row, never the whole gate script
+            n_fail += 1
+            print(f"  [FAIL-read] {name}: unreadable output dir: {e}")
+            continue
         if name not in oracle:
             n_noracle += 1
             print(f"  [rows-only] {name}: {len(srows)} rows")
