@@ -61,6 +61,17 @@ object RectRelate {
   private def within(v: Column, lo: Column, hi: Column): Column =
     v >= lo && v <= hi
 
+  /** `x === y`, but folded at plan-build time when both sides are
+    * same-typed literals (all-literal rectangles — the spec goldens and
+    * pasted-SQL constant probes — would otherwise trip Spark's
+    * trivially-true-equals WARN on coincident coordinates). */
+  private def eqc(x: Column, y: Column): Column = {
+    val (ex, ey) = (ColumnBridge.toExpression(x), ColumnBridge.toExpression(y))
+    if (ex.foldable && ey.foldable && ex.dataType == ey.dataType)
+      lit(ex.eval() == ey.eval())
+    else x === y
+  }
+
   /** closure(a) ⊆ closure(b). */
   private def inside(a: Rect, b: Rect): Column =
     a.xmin >= b.xmin && a.xmax <= b.xmax &&
@@ -87,11 +98,11 @@ object RectRelate {
     val bInA = inside(b, a)
 
     val collinear =
-      ((a.xmin === b.xmin || a.xmin === b.xmax ||
-        a.xmax === b.xmin || a.xmax === b.xmax) &&
+      ((eqc(a.xmin, b.xmin) || eqc(a.xmin, b.xmax) ||
+        eqc(a.xmax, b.xmin) || eqc(a.xmax, b.xmax)) &&
         greatest(a.ymin, b.ymin) < least(a.ymax, b.ymax)) ||
-      ((a.ymin === b.ymin || a.ymin === b.ymax ||
-        a.ymax === b.ymin || a.ymax === b.ymax) &&
+      ((eqc(a.ymin, b.ymin) || eqc(a.ymin, b.ymax) ||
+        eqc(a.ymax, b.ymin) || eqc(a.ymax, b.ymax)) &&
         greatest(a.xmin, b.xmin) < least(a.xmax, b.xmax))
     val touch =
       ((within(a.xmin, b.xmin, b.xmax) || within(a.xmax, b.xmin, b.xmax)) &&
@@ -129,9 +140,23 @@ object RectRelate {
       s"bad DE-9IM pattern: $pattern")
     pattern.zip(cells(a, b)).map {
       case ('*', _) => lit(true)
-      case ('T', c) => c >= 0
-      case ('F', c) => c === -1
-      case (d, c)   => c === (d - '0')
+      case (p, c) =>
+        // Cells that are constant for every rectangle pair (EE is always
+        // 2) fold here at plan-build time — a literal==literal predicate
+        // would otherwise trip Spark's trivially-true-equals WARN.
+        val e = ColumnBridge.toExpression(c)
+        if (e.foldable) {
+          val dim = e.eval().asInstanceOf[Int]
+          lit(p match {
+            case 'T' => dim >= 0
+            case 'F' => dim == -1
+            case d   => dim == d - '0'
+          })
+        } else p match {
+          case 'T' => c >= 0
+          case 'F' => c === -1
+          case d   => c === (d - '0')
+        }
     }.reduce(_ && _)
   }
 

@@ -246,21 +246,26 @@ object GraphOps extends OpModule {
     var delta = -1L
     while (iters < cap && delta != 0L) {
       val obs = org.apache.spark.sql.Observation(s"g5_delta_$iters")
-      // LEFT join: on a non-symmetric edge relation a node can appear in
-      // the step output without a previous rank (dst-only nodes) — an
-      // inner join would silently drop it AND report a false delta=0.
-      // A missing previous rank coalesces to 0, so a newly-ranked node
-      // always counts as changed (pr >= Teleport > 0).
+      // FULL-OUTER probe: on a non-symmetric edge relation a node can
+      // appear in the step output without a previous rank (dst-only
+      // nodes) OR drop out of the rank set entirely (cascade from an
+      // in-degree-0 source losing rank). Either membership change must
+      // read as delta ≠ 0 — a one-sided join sees only one of them. The
+      // missing side coalesces to 0, so an appearing node counts as
+      // changed (pr >= Teleport > 0) and a disappearing one counts as
+      // its full previous rank.
       val next = pagerankStep(edgesDeg, pr)
         .join(pr.select(col("node"), col("pr").as("pr_prev")),
-          Seq("node"), "left")
-        .observe(obs, max(abs(col("pr") - coalesce(col("pr_prev"), lit(0L))))
-          .as("d"))
+          Seq("node"), "full_outer")
+        .observe(obs, max(abs(coalesce(col("pr"), lit(0L)) -
+          coalesce(col("pr_prev"), lit(0L)))).as("d"))
         .localCheckpoint() // the round's single action; obs.get blocks on it
-      // null max ⇔ the step emitted no nodes (every chain ended on a
-      // sink): nothing left to update, stop
+      // null max ⇔ both the step output and the carried set are empty:
+      // nothing left to update, stop
       delta = Option(obs.get("d")).map(_.asInstanceOf[Long]).getOrElse(0L)
-      pr = next.drop("pr_prev")
+      // carry only the step output forward: prev-only rows (pr null)
+      // exist solely for the delta probe, not in the next rank relation
+      pr = next.filter(col("pr").isNotNull).drop("pr_prev")
       iters += 1
     }
     pr.orderBy(col("pr").desc, col("node")).limit(20)

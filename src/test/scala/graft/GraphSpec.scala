@@ -87,6 +87,24 @@ class GraphSpec extends SparkSpec {
     assert(got.head.getAs[Int]("n_iters") == 1)
   }
 
+  test("g5: rank-set shrinkage alone reads as change — the probe sees disappearing nodes") {
+    import spark.implicits._
+    // edges 1→2, 3→3: the self-loop node 3 is exactly stationary from
+    // round 1 (Teleport + 85·Mass div 100 = Mass), so every per-node
+    // value delta is 0 from round 2 on — but the rank SET still shrinks:
+    // round 1 emits {2, 3}, round 2 emits {3} (node 2 has no out-edges).
+    // A one-sided (new←old) probe reads round 2 as delta = 0 and stops
+    // at n_iters = 2 one round early; the full-outer probe counts node
+    // 2's disappearance as its full previous rank, runs round 3, and
+    // only then observes exact stationarity.
+    val edges = Seq((1L, 2L), (3L, 3L)).toDF("src", "dst")
+    val got = GraphOps.pagerankConverged(GraphOps.withDeg(edges), cap = 8)
+      .collect()
+    assert(got.map(_.getAs[Long]("node")).toSeq == Seq(3L), got.mkString(","))
+    assert(got.head.getAs[Long]("pr") == GraphOps.Mass, got.mkString(","))
+    assert(got.head.getAs[Int]("n_iters") == 3, got.mkString(","))
+  }
+
   test("g5: the fixture's bipartite trade graph stays non-stationary through the cap") {
     // the oracle replays exactly 8 CTE steps, which is only valid if the
     // loop deterministically reaches the cap — pin that here so a fixture

@@ -85,11 +85,17 @@ def main():
         return json.load(open(p)) if os.path.exists(p) else default
     fail_manifest = load_json("_failures.json", {})
     attempted = set(load_json("_attempted.json", list(oracle)))
+    # INTENTIONAL (r11, was implicit in r10): a query that THREW fails
+    # the run even when it has no oracle entry — rows-only queries are
+    # part of the declared surface, and "threw" is broken regardless of
+    # how the result would have been scored. Non-oracle failures get a
+    # distinct tag so the two cases stay distinguishable in the record.
     for name, msg in sorted(fail_manifest.items()):
         if only and name not in only:
             continue
         n_fail += 1
-        print(f"  [FAIL-run ] {name}: query threw in Verify: {msg[:200]}")
+        tag = "FAIL-run " if name in oracle else "FAIL-run*"  # * = rows-only query
+        print(f"  [{tag}] {name}: query threw in Verify: {msg[:200]}")
     # a failed query's dir (if stale from an earlier run) must not be
     # re-scored as a result
     names = [n for n in names if n not in fail_manifest]
