@@ -140,14 +140,20 @@ object DedupOps extends OpModule {
   def minhashSignatures(s: SparkSession, dir: String): DataFrame =
     signaturesOf(shingles(s, dir))
 
-  private val sigSql: String = {
-    val perSeed = (0 until NumHashes).map(seed =>
-      s"SELECT doc_id, $seed AS seed, ${h60Sql(s"$seed:", "sh")} AS h FROM shingles")
+  /** Parametric signature CTE — the oracle for ANY [[LshConfig]] is
+    * generated from that config's constants, never hand-written, so the
+    * gated settings (Fixture everywhere, Production in dd14) share one
+    * generator. */
+  private def sigSqlAt(cfg: LshConfig, from: String, name: String): String = {
+    val perSeed = (0 until cfg.numHashes).map(seed =>
+      s"SELECT doc_id, $seed AS seed, ${h60Sql(s"$seed:", "sh")} AS h FROM $from")
       .mkString("\nUNION ALL\n")
-    s"""sig AS (
+    s"""$name AS (
        |  SELECT doc_id, seed, MIN(h) AS mh FROM ($perSeed) hs
        |  GROUP BY doc_id, seed)""".stripMargin
   }
+
+  private val sigSql: String = sigSqlAt(Lsh, "shingles", "sig")
 
   /** Band keys from a signature relation (cfg.rowsPerBand rows each). */
   private def bandsOf(sig: DataFrame, cfg: LshConfig = Lsh): DataFrame =
@@ -189,12 +195,15 @@ object DedupOps extends OpModule {
       .select("doc_a", "doc_b").distinct()
   }
 
-  private val bandsSql: String =
-    s"""bands AS (
-      |  SELECT doc_id, CAST(seed // ${Lsh.rowsPerBand} AS INT) AS band,
+  /** Parametric band CTE — see [[sigSqlAt]]. */
+  private def bandsSqlAt(cfg: LshConfig, sig: String, name: String): String =
+    s"""$name AS (
+      |  SELECT doc_id, CAST(seed // ${cfg.rowsPerBand} AS INT) AS band,
       |         string_agg(CAST(seed AS VARCHAR) || ':' || CAST(mh AS VARCHAR),
       |                    '|' ORDER BY CAST(seed AS VARCHAR) || ':' || CAST(mh AS VARCHAR)) AS bkey
-      |  FROM sig GROUP BY doc_id, seed // ${Lsh.rowsPerBand})""".stripMargin
+      |  FROM $sig GROUP BY doc_id, seed // ${cfg.rowsPerBand})""".stripMargin
+
+  private val bandsSql: String = bandsSqlAt(Lsh, "sig", "bands")
 
   /** The shingle→signature→band CTE chain, for oracles of queries built
     * on [[lshBands]] outside this module (ds7's decontamination join). */
@@ -202,20 +211,8 @@ object DedupOps extends OpModule {
 
   /** Capped counterparts ([[cappedLshBands]]): csig/cbands over the
     * df-capped shingle relation — the oracle chain for dd7/dd9/pp4. */
-  private val csigSql: String = {
-    val perSeed = (0 until NumHashes).map(seed =>
-      s"SELECT doc_id, $seed AS seed, ${h60Sql(s"$seed:", "sh")} AS h FROM capped")
-      .mkString("\nUNION ALL\n")
-    s"""csig AS (
-       |  SELECT doc_id, seed, MIN(h) AS mh FROM ($perSeed) hs
-       |  GROUP BY doc_id, seed)""".stripMargin
-  }
-  private val cbandsSql: String =
-    s"""cbands AS (
-       |  SELECT doc_id, CAST(seed // ${Lsh.rowsPerBand} AS INT) AS band,
-       |         string_agg(CAST(seed AS VARCHAR) || ':' || CAST(mh AS VARCHAR),
-       |                    '|' ORDER BY CAST(seed AS VARCHAR) || ':' || CAST(mh AS VARCHAR)) AS bkey
-       |  FROM csig GROUP BY doc_id, seed // ${Lsh.rowsPerBand})""".stripMargin
+  private val csigSql: String = sigSqlAt(Lsh, "capped", "csig")
+  private val cbandsSql: String = bandsSqlAt(Lsh, "csig", "cbands")
   private[operators] def cappedLshCtes: Seq[String] =
     Seq(shinglesSql, cappedSql, csigSql, cbandsSql)
 
@@ -280,6 +277,21 @@ object DedupOps extends OpModule {
 
     // MinHash+LSH: shingle → minhash → band → bucket-join candidates
     "dd2_minhash_lsh" -> ((s, dir) => candidatePairs(lshBands(s, dir))),
+
+    // DD14 — the SHIPPABLE LSH setting, oracle-gated: the same
+    // shingle→minhash→band→bucket-join pipeline as dd2/dd7 but at
+    // LshConfig.Production (128 hashes, 16 bands × 8 rows — banding
+    // threshold 16^(−1/8) ≈ 0.71), over the df-capped shingle relation
+    // (the hot-bucket-safe feature space the 100 TB run uses). The
+    // oracle SQL is GENERATED from the same LshConfig constants as the
+    // query, so the gate checks the setting that would ship, not just
+    // the 4-hash fixture miniature. One pass computes all 128 seeded
+    // hashes (array-of-structs explode); map-side partial min collapses
+    // the (doc, seed) shuffle to ≤ 128 rows per doc per partition.
+    "dd14_minhash_production" -> ((s, dir) =>
+      candidatePairs(bandsOf(
+        signaturesOf(cappedShingles(s, dir), LshConfig.Production),
+        LshConfig.Production))),
 
     // n-gram Jaccard over the df-capped shingle set: pairs sharing rare
     // shingles, J = |∩| / |∪| with both intersection and sizes computed
@@ -589,6 +601,13 @@ object DedupOps extends OpModule {
     "dd2_minhash_lsh" -> Sql.query(shinglesSql, sigSql, bandsSql)(
       """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        |WHERE a.doc_id < b.doc_id""".stripMargin),
+
+    "dd14_minhash_production" -> Sql.query(shinglesSql, cappedSql,
+      sigSqlAt(LshConfig.Production, "capped", "psig"),
+      bandsSqlAt(LshConfig.Production, "psig", "pbands"))(
+      """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM pbands a JOIN pbands b ON a.band = b.band AND a.bkey = b.bkey
         |WHERE a.doc_id < b.doc_id""".stripMargin),
 
     "dd7_minhash_dfcap" -> Sql.query(cappedLshCtes: _*)(
