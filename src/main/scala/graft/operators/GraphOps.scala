@@ -18,8 +18,9 @@ import graft.sources.{Cached, Sql, Tables}
   *  - Both run as plain equi-joins on node ids — Pregel-without-Pregel.
   *    Each PageRank iteration is one shuffle keyed by node id; at 100 TB
   *    the edge relation is bucketed by `src` once and every iteration
-  *    reuses that layout (locally AQE handles it; no driver-side state,
-  *    no collect).
+  *    reuses that layout (no driver-side state, no collect) —
+  *    demonstrated by g6_bucketed_pagerank over the bucketed read-back,
+  *    edge-side-exchange-free per iteration (PlanSpec).
   *  - EXACT INTEGER MASS, not floating-point: ranks are integer
   *    micro-mass units and every step uses integer division, so the
   *    result is independent of addition order — reproducible under ANY
@@ -97,6 +98,27 @@ object GraphOps extends OpModule {
       var pr = edgesDeg.select(col("src").as("node")).distinct()
         .withColumn("pr", lit(Mass))
       for (_ <- 1 to 3) pr = pagerankStep(edgesDeg, pr)
+      pr.orderBy(col("pr").desc, col("node")).limit(20)
+    }),
+
+    // G6 (round 11) — g1's EXACT recurrence over the BUCKETED EDGE
+    // LAYOUT the 100 TB story prescribes (SCALE.md: "the edge relation
+    // is bucketed by src once and every iteration reuses that layout"),
+    // converted from documented path to demonstrated plan the way k15
+    // did for fact-fact joins: the denormalized (src, dst, deg) relation
+    // lands hash-bucketed (8) + sorted on src ONCE, and every power
+    // iteration's frontier join then reads it co-located — the only
+    // per-round shuffles are the frontier itself (rank-relation-sized)
+    // and the groupBy(dst) share aggregation; the corpus-sized edge side
+    // never moves again. PlanSpec pins exactly that (edge-side subtree
+    // exchange-free, 2 exchanges per step). The oracle is g1's replayed
+    // recurrence from the PLAIN parquet, so the bucketed write is also
+    // proven lossless.
+    "g6_bucketed_pagerank" -> ((s, dir) => {
+      val edges = bucketedTradeEdges(s, dir)
+      var pr = edges.select(col("src").as("node")).distinct()
+        .withColumn("pr", lit(Mass))
+      for (_ <- 1 to 3) pr = pagerankStep(edges, pr)
       pr.orderBy(col("pr").desc, col("node")).limit(20)
     }),
 
@@ -207,6 +229,26 @@ object GraphOps extends OpModule {
     * reused by every round anyway. Shared by g1/g5/v4. */
   private[graft] def tradeEdgesDeg(s: SparkSession, dir: String): DataFrame =
     Cached.of(s, s"g:edgesdeg:$dir")(withDeg(tradeEdges(s, dir)))
+
+  /** The denormalized (src, dst, deg) trade relation written
+    * hash-bucketed (8) + sorted by `src` and read back from the managed
+    * table — the write-once layout every PageRank iteration's frontier
+    * join consumes shuffle-free on the edge side (k15's machinery
+    * applied to iterative graph state; plan property pinned in
+    * PlanSpec). Drop + location cleanup mirrors k15: the in-memory
+    * catalog forgets tables across JVMs but warehouse directories
+    * persist. */
+  private[graft] def bucketedTradeEdges(s: SparkSession, dir: String): DataFrame = {
+    val t = "g6_edges"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val loc = new java.io.File(wh, t)
+    if (loc.exists())
+      org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    tradeEdgesDeg(s, dir).write.mode("overwrite")
+      .bucketBy(8, "src").sortBy("src").saveAsTable(t)
+    s.table(t)
+  }
 
   /** Denormalize out-degree onto any (src, dst) edge relation — exposed
     * for the synthetic-graph specs. */
@@ -349,15 +391,20 @@ object GraphOps extends OpModule {
        |  FROM $prev p JOIN edges e ON e.src = p.node) t
        |GROUP BY node)""".stripMargin
 
+  /** g1's replayed 3-step integer-mass recurrence — integer division
+    * makes both engines' results order-independent, so they can only
+    * agree if the graph AND the recurrence agree. Shared with g6: the
+    * bucketed read-back must reproduce the plain-parquet recurrence
+    * exactly, which proves the bucketed write lossless. */
+  private val pagerank3Sql: String = Sql.query(
+    tradeSql,
+    s"pr0 AS (SELECT node, CAST($Mass AS BIGINT) AS pr FROM deg)",
+    prStep("pr1", "pr0"), prStep("pr2", "pr1"), prStep("pr3", "pr2"))(
+    "SELECT node, pr FROM pr3 ORDER BY pr DESC, node LIMIT 20")
+
   def oracles: Map[String, String] = Map(
-    // g1: the oracle replays the same integer-mass power iteration —
-    // integer division makes both engines' results order-independent,
-    // so they can only agree if the graph AND the recurrence agree.
-    "g1_pagerank" -> Sql.query(
-      tradeSql,
-      s"pr0 AS (SELECT node, CAST($Mass AS BIGINT) AS pr FROM deg)",
-      prStep("pr1", "pr0"), prStep("pr2", "pr1"), prStep("pr3", "pr2"))(
-      "SELECT node, pr FROM pr3 ORDER BY pr DESC, node LIMIT 20"),
+    "g1_pagerank" -> pagerank3Sql,
+    "g6_bucketed_pagerank" -> pagerank3Sql,
 
     // g3: wedge total and cc recomputed from the un-oriented graph
     "g3_clustering_coeff" ->

@@ -190,6 +190,33 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("g6: per-iteration PageRank exchanges never touch the bucketed edge side") {
+    import graft.operators.GraphOps
+    import spark.implicits._
+    val edges = GraphOps.bucketedTradeEdges(spark, Sf)
+    // a synthetic 2-node frontier: the pr side of one power-iteration
+    // step, deliberately NOT derived from the edge table so the plan has
+    // exactly one consumer of the bucketed scan
+    val pr = Seq((2L, GraphOps.Mass), (4L, GraphOps.Mass)).toDF("node", "pr")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val step = GraphOps.pagerankStep(edges, pr)
+      step.collect()
+      // AQE's toString repeats the plan under "== Initial Plan ==" —
+      // count only the final plan
+      val plan = step.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("Bucketed: true"), s"edge scan not bucketed:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      // exactly two shuffles per iteration: the frontier into the edge
+      // layout (rank-relation-sized) and the groupBy(dst) share
+      // aggregation — an edge-side exchange would make it three
+      val nEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(nEx == 2, s"expected 2 exchanges (frontier-in, agg-out), got $nEx:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("s8: DSv2 tiledir — tile_id pushdown prunes files at planning time") {
     import graft.operators.SourceSinkOps
     graft.sources.v2.TileDirSource.writeFixture(SourceSinkOps.TileDirPath)
