@@ -1,0 +1,259 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic synthetic-data generator for scale-envelope runs.
+  *
+  * The driver ships fixed parquet at sf ≤ 0.1 (TESTDATA.md — read-only);
+  * extending the measured scaling curve one more decade needs an sf1
+  * that does not exist. This generator reproduces the driver tables'
+  * SCHEMA exactly and their DISTRIBUTIONS statistically (measured off
+  * sf0.1: row-count scaling rules, value domains, uniform/exponential/
+  * Poisson shapes, the ~5% near-duplicate append-" dup" mechanism, unit
+  * 64-d embeddings, 30-day exponential event arrivals), so family
+  * scaling measured across generated decades is internally consistent —
+  * and a generated sf0.1 is also emitted as the calibration point
+  * against the driver's sf0.1.
+  *
+  * All randomness is hash-derived (xxhash64(tag, id)) — fully
+  * deterministic, partitioning-independent, no rand() anywhere; the
+  * generation itself is Spark-distributed (spark.range + codegen'd
+  * column expressions; the only joins are the near-dup base lookup and
+  * the per-order line fan-out).
+  *
+  * Usage: runMain graft.DataGen <sf> <outDir>
+  */
+object DataGen {
+
+  /** uniform [0,1) from a tagged 64-bit hash — 24 bits of mantissa. */
+  private def u01(tag: String, id: Column): Column =
+    (pmod(xxhash64(lit(tag), id), lit(1 << 24))).cast("double") / (1 << 24)
+
+  /** uniform integer in [0, n). */
+  private def uint(tag: String, id: Column, n: Int): Column =
+    pmod(xxhash64(lit(tag), id), lit(n)).cast("int")
+
+  /** exponential with the given mean. */
+  private def uexp(tag: String, id: Column, mean: Double): Column =
+    -lit(mean) * log(lit(1.0) - u01(tag, id))
+
+  /** Inverse-CDF lookup against precomputed breakpoints (Poisson etc). */
+  private def inverseCdf(u: Column, cdf: Seq[Double]): Column =
+    cdf.zipWithIndex.foldRight(lit(cdf.length): Column) {
+      case ((p, k), rest) => when(u < p, lit(k)).otherwise(rest)
+    }
+
+  /** Poisson(4) CDF, enough terms to cover 1-1e-9. */
+  private val Pois4Cdf: Seq[Double] = {
+    val pmf = Iterator.iterate((math.exp(-4.0), 0)) { case (p, k) =>
+      (p * 4.0 / (k + 1), k + 1)
+    }.map(_._1).take(20).toSeq
+    pmf.scanLeft(0.0)(_ + _).tail
+  }
+
+  private val Vocab = Seq("a", "agg", "batch", "big", "column", "customer",
+    "data", "dup", "fast", "filter", "group", "hash", "join", "key", "line",
+    "merge", "order", "part", "query", "row", "scan", "slow", "small",
+    "sort", "spark", "stream", "table", "the", "value", "vector", "window")
+
+  private val Segments = Seq("MACHINERY", "FURNITURE", "AUTOMOBILE", "HOUSEHOLD", "BUILDING")
+  private val PTypes = Seq("ECONOMY", "LARGE", "STANDARD", "MEDIUM", "PROMO", "SMALL")
+  private val PAdj = Seq("large", "hot", "blue", "small", "dark", "light", "red", "green")
+  private val PNoun = Seq("ring", "bolt", "washer", "nut", "screw", "plate", "rod", "cap")
+  private val EvTypes = Seq("view", "click", "purchase", "signup", "error")
+  private val Langs = Seq("en", "de", "es", "fr", "zh")
+  private val Regions = Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
+
+  private def pick(tag: String, id: Column, xs: Seq[String]): Column = {
+    val arr = array(xs.map(lit): _*)
+    element_at(arr, uint(tag, id, xs.length) + 1)
+  }
+
+  /** Timestamp from epoch-seconds-with-fraction, NTZ-free (matches the
+    * driver fixtures' plain TIMESTAMP annotation). */
+  private def tsFromEpoch(sec: Column): Column = timestamp_seconds(sec)
+
+  def generate(s: SparkSession, sf: Double, out: String): Unit = {
+    import s.implicits._
+    val nCust = math.max(1, (150000 * sf).toInt)
+    val nSupp = math.max(1, (10000 * sf).toInt)
+    val nPart = math.max(1, (200000 * sf).toInt)
+    val nOrd = math.max(1, (1500000 * sf).toInt)
+    val nEv = math.max(1, (1000000 * sf).toInt)
+    val nDoc = math.max(500, (50000 * sf).toInt)
+    val nEmb = math.max(500, (20000 * sf).toInt)
+    val nUser = math.max(1, (15000 * sf).toInt)
+
+    // single-FILE parquet per table (matching the driver fixtures'
+    // layout, which the DuckDB oracle reads by exact path): distributed
+    // compute, one-writer collect at the sink, then rename the part
+    // file over the target path
+    def write(df: DataFrame, name: String): Unit = {
+      val tmp = s"$out/_tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val tmpDir = new java.io.File(tmp)
+      val part = tmpDir.listFiles().find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file in $tmp"))
+      val dest = new java.io.File(s"$out/$name.parquet")
+      if (dest.exists()) dest.delete()
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(tmpDir)
+    }
+
+    write(s.range(5).select(col("id").cast("int").as("r_regionkey"),
+      element_at(array(Regions.map(lit): _*), col("id").cast("int") + 1)
+        .as("r_name")), "region")
+
+    write(s.range(25).select(col("id").cast("int").as("n_nationkey"),
+      concat(lit("NATION_"), col("id")).as("n_name"),
+      (col("id") % 5).cast("int").as("n_regionkey")), "nation")
+
+    write(s.range(nCust).select(
+      col("id").as("c_custkey"),
+      format_string("Customer#%09d", col("id")).as("c_name"),
+      uint("cnat", col("id"), 25).as("c_nationkey"),
+      round(lit(-1000.0) + u01("cbal", col("id")) * 11000.0, 2).as("c_acctbal"),
+      pick("cseg", col("id"), Segments).as("c_mktsegment")), "customer")
+
+    write(s.range(nSupp).select(
+      col("id").as("s_suppkey"),
+      format_string("Supplier#%09d", col("id")).as("s_name"),
+      uint("snat", col("id"), 25).as("s_nationkey"),
+      round(lit(-1000.0) + u01("sbal", col("id")) * 11000.0, 2).as("s_acctbal")), "supplier")
+
+    write(s.range(nPart).select(
+      col("id").as("p_partkey"),
+      concat(pick("padj", col("id"), PAdj), lit(" "),
+        pick("pnoun", col("id"), PNoun)).as("p_name"),
+      concat(lit("Brand#"), (uint("pbrand", col("id"), 25) + 1)).as("p_brand"),
+      pick("ptype", col("id"), PTypes).as("p_type"),
+      (uint("psize", col("id"), 50) + 1).as("p_size"),
+      round(lit(900.0) + u01("pretail", col("id")) * 100.0, 2).as("p_retailprice")), "part")
+
+    // orders: day-granular dates uniform over 1995-01-01 .. 2001-08-01
+    val ordEpoch0 = 788918400L // 1995-01-01 UTC
+    val ordDays = 2404 // .. 2001-08-01
+    val orders = s.range(nOrd).select(
+      col("id").as("o_orderkey"),
+      uint("ocust", col("id"), nCust).cast("bigint").as("o_custkey"),
+      pick("ostat", col("id"), Seq("F", "O", "P")).as("o_orderstatus"),
+      round(lit(1000.0) + u01("ototal", col("id")) * 499000.0, 2).as("o_totalprice"),
+      tsFromEpoch(lit(ordEpoch0) +
+        uint("odate", col("id"), ordDays).cast("bigint") * 86400L).as("o_orderdate"),
+      pick("oprio", col("id"), Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW")).as("o_orderpriority"))
+    write(orders, "orders")
+
+    // lineitem: per-order fan-out, n_lines ~ Poisson(4) (0 allowed),
+    // shipdate INDEPENDENT uniform over 1995-01-02 .. 2001-11-04,
+    // linenumber uniform 1..7 (matches the fixtures: not sequential)
+    val shipEpoch0 = 789004800L // 1995-01-02
+    val shipDays = 2498
+    val li = s.range(nOrd)
+      .select(col("id").as("l_orderkey"),
+        inverseCdf(u01("lcount", col("id")), Pois4Cdf).as("n_lines"))
+      .select(col("l_orderkey"),
+        explode(sequence(lit(1), col("n_lines"))).as("seq"))
+      .select(col("l_orderkey"),
+        (col("l_orderkey") * 31 + col("seq")).as("lid"), col("seq"))
+    write(li.select(
+      col("l_orderkey"),
+      uint("lpart", col("lid"), nPart).cast("bigint").as("l_partkey"),
+      uint("lsupp", col("lid"), nSupp).cast("bigint").as("l_suppkey"),
+      (uint("lnum", col("lid"), 7) + 1).as("l_linenumber"),
+      (uint("lqty", col("lid"), 50) + 1).cast("double").as("l_quantity"),
+      round(lit(900.0) + u01("lext", col("lid")) * 104100.0, 2).as("l_extendedprice"),
+      (uint("ldisc", col("lid"), 11).cast("double") / 100.0).as("l_discount"),
+      (uint("ltax", col("lid"), 9).cast("double") / 100.0).as("l_tax"),
+      pick("lret", col("lid"), Seq("A", "N", "R")).as("l_returnflag"),
+      pick("lstat", col("lid"), Seq("F", "O")).as("l_linestatus"),
+      tsFromEpoch(lit(shipEpoch0) +
+        uint("lship", col("lid"), shipDays).cast("bigint") * 86400L).as("l_shipdate")),
+      "lineitem")
+
+    // events: 30-day window, exponential inter-arrivals realized as
+    // sorted uniform arrival times (order statistics of N uniforms ARE
+    // the conditional arrival times of a Poisson process given N) —
+    // distributed sort instead of a global prefix sum
+    val evEpoch0 = 1704067200L // 2024-01-01 UTC
+    val evSpan = 30.0 * 86400.0
+    val evTimes = s.range(nEv).select(
+      (lit(evEpoch0.toDouble) + u01("evts", col("id")) * evSpan).as("tsec"))
+      .orderBy("tsec")
+      .select(col("tsec"),
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy("tsec")) - 1).cast("bigint").as("event_id"))
+    write(evTimes.select(
+      col("event_id"),
+      tsFromEpoch(col("tsec")).as("ts"),
+      uint("evuser", col("event_id"), nUser).cast("bigint").as("user_id"),
+      pick("evtype", col("event_id"), EvTypes).as("event_type"),
+      round(uexp("evval", col("event_id"), 50.0), 2).as("value"),
+      format_string("{\"k\": %d}", uint("evk", col("event_id"), 100)).as("props")),
+      "events")
+
+    // documents: 10..100 words from the 31-word vocab; ~4.7% of docs are
+    // instead a COPY of a random earlier doc's text + " dup" (two
+    // copiers picking the same base yields the fixtures' emergent exact
+    // duplicates); lang weighted 40% en / 15% each other
+    val vocabArr = array(Vocab.map(lit): _*)
+    val baseText = s.range(nDoc).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", transform(
+        sequence(lit(1), lit(10) + uint("dlen", col("id"), 91)),
+        i => element_at(vocabArr,
+          pmod(xxhash64(lit("dword"), col("id"), i), lit(31)).cast("int") + 1)))
+        .as("base_text"))
+    val isDup = u01("ddup", col("doc_id")) < 0.047
+    val withBase = baseText.select(col("doc_id"), col("base_text"),
+      when(isDup, uint("dbase", col("doc_id"), nDoc).cast("bigint"))
+        .otherwise(lit(null)).as("dup_of"))
+    val dupText = withBase.as("d")
+      .join(baseText.select(col("doc_id").as("b_id"),
+        col("base_text").as("b_text")).as("b"),
+        col("d.dup_of") === col("b.b_id"), "left")
+      .select(col("d.doc_id").as("doc_id"),
+        when(col("b.b_text").isNotNull, concat(col("b.b_text"), lit(" dup")))
+          .otherwise(col("d.base_text")).as("text"))
+    val langU = u01("dlang", col("doc_id"))
+    write(dupText.select(
+      col("doc_id"),
+      col("text"),
+      when(langU < 0.4, "en").when(langU < 0.55, "de")
+        .when(langU < 0.7, "es").when(langU < 0.85, "fr")
+        .otherwise("zh").as("lang"),
+      concat(lit("src"), col("doc_id") % 20).as("source"),
+      length(col("text")).cast("bigint").as("n_chars")), "documents")
+
+    // embeddings: 64-d unit vectors (Box-Muller normals, normalized),
+    // labels uniform 0..9 — the fixtures show NO label-cluster structure
+    val gauss = transform(sequence(lit(0), lit(63)), d => {
+      val u1 = (pmod(xxhash64(lit("e1"), col("id"), d), lit(1 << 24))
+        .cast("double") + 0.5) / (1 << 24)
+      val u2 = pmod(xxhash64(lit("e2"), col("id"), d), lit(1 << 24))
+        .cast("double") / (1 << 24)
+      sqrt(lit(-2.0) * log(u1)) * cos(lit(2.0 * math.Pi) * u2)
+    })
+    write(s.range(nEmb).select(col("id").as("vec_id"), gauss.as("g"))
+      .select(col("vec_id"),
+        aggregate(col("g"), lit(0.0), (a, x) => a + x * x).as("ss"), col("g"))
+      .select(col("vec_id"),
+        transform(col("g"), x => (x / sqrt(col("ss"))).cast("float"))
+          .as("embedding"),
+        uint("elabel", col("vec_id"), 10).as("label")), "embeddings")
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2, "usage: DataGen <sf> <outDir>")
+    val sf = args(0).toDouble
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
+      .appName(s"graft-datagen-sf$sf")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .getOrCreate()
+    try generate(spark, sf, args(1)) finally spark.stop()
+  }
+}
