@@ -419,6 +419,33 @@ object SourceSinkOps extends OpModule {
         .filter(col("col_name") === "Statistics")
         .select(lit("graft_boundaries").as("table_name"),
           regexp_extract(col("data_type"), "(\\d+) rows", 1).cast("long").as("row_count"))
+    }),
+
+    // S1 — the reference's native scan is a predicate-carrying PostgreSQL
+    // query (db.py:59-77: every tile view is `SELECT ... WHERE tile = x`
+    // evaluated inside the database). k5 proves the JDBC write/read
+    // roundtrip; this query proves the SCAN half: the filter is pushed
+    // INTO the JDBC source (explain shows the JDBCRelation scan with
+    // PushedFilters [EqualTo(version,2), EqualTo(border,true)] — pinned
+    // in PlanSpec) and the read is range-PARTITIONED on tx, so a
+    // 1000-executor cluster issues per-slice parallel queries instead of
+    // one serial cursor. At 100 TB the pushdown is the difference between
+    // the database shipping matching rows and shipping the whole table.
+    "s1_jdbc_pushdown" -> ((s, dir) => {
+      sys.props.getOrElseUpdate("derby.stream.error.file", "/tmp/graft_derby.log")
+      val dbPath = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_s1_db_${dir.hashCode}").getPath
+      val url = s"jdbc:derby:$dbPath;create=true"
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      Tables.boundaries(s)
+        .select("tile_id", "tx", "ty", "version", "border")
+        .write.mode("overwrite").jdbc(url, "tile_index", props)
+      s.read.jdbc(url, "tile_index",
+          columnName = "tx", lowerBound = 0L, upperBound = 4L,
+          numPartitions = 2, connectionProperties = props)
+        .filter(col("version") === 2 && col("border"))
+        .select("tile_id", "tx", "ty", "version", "border")
     })
   )
 
@@ -473,6 +500,12 @@ object SourceSinkOps extends OpModule {
     // k5: what comes back over JDBC must be exactly the dimension table
     "k5_jdbc_roundtrip" -> Sql.query(Sql.boundaries)(
       "SELECT tile_id, tx, ty, version, border FROM boundaries"),
+
+    // s1: the database-evaluated predicate must select exactly the rows
+    // the same predicate selects on the parquet rendering of the dim
+    "s1_jdbc_pushdown" -> Sql.query(Sql.boundaries)(
+      """SELECT tile_id, tx, ty, version, border FROM boundaries
+        |WHERE version = 2 AND border""".stripMargin),
 
     "k15_bucketed_join" ->
       """SELECT o_orderstatus, COUNT(*) AS n_items,

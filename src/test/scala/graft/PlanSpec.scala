@@ -543,4 +543,16 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("windowspecdefinition"), plan)
   }
+
+  test("s1: the JDBC scan carries the predicate (PushedFilters) and a 2-slice partitioned read") {
+    // the reference's S1 is a predicate-carrying PG query evaluated inside
+    // the database; at 100 TB pushdown decides whether the DB ships
+    // matching rows or the whole table, and the range partitioning decides
+    // whether the read is one serial cursor or executor-parallel
+    val plan = executedPlan("s1_jdbc_pushdown")
+    assert(plan.contains("JDBCRelation(tile_index)"), plan)
+    assert(plan.contains("numPartitions=2"), plan)
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(VERSION,2\\).*") ||
+           plan.matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(version,2\\).*"), plan)
+  }
 }

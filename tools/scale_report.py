@@ -23,7 +23,9 @@ def family(name: str) -> str:
 
 def main():
     dumps = [json.load(open(p)) for p in sys.argv[1:4]]
-    labels = ["sf0.001", "sf0.01", "sf0.1"]
+    # column labels from the dump filenames (strip dir + .json), so the
+    # same script reports driver-fixture decades AND generated decades
+    labels = [re.sub(r"\.json$", "", p.split("/")[-1]) for p in sys.argv[1:4]]
     fams = {}
     for i, d in enumerate(dumps):
         for q, sec in d["queries"].items():
@@ -33,19 +35,19 @@ def main():
             f[i] += sec
             if i == 0:
                 f[3] += 1
-    print(f"{'family':<8}{'n':>4}{'sf0.001':>10}{'sf0.01':>10}{'sf0.1':>10}"
-          f"{'x(.001->.01)':>14}{'x(.01->.1)':>12}")
+    print(f"{'family':<8}{'n':>4}{labels[0]:>12}{labels[1]:>12}{labels[2]:>12}"
+          f"{'x(1->2)':>10}{'x(2->3)':>10}")
     tot = [0.0, 0.0, 0.0]
     for fam in sorted(fams):
         a, b, c, n = fams[fam]
         tot[0] += a; tot[1] += b; tot[2] += c
         r1 = b / a if a > 0 else float("nan")
         r2 = c / b if b > 0 else float("nan")
-        print(f"{fam:<8}{n:>4}{a:>10.2f}{b:>10.2f}{c:>10.2f}{r1:>14.2f}{r2:>12.2f}")
-    print(f"{'TOTAL':<8}{'':>4}{tot[0]:>10.2f}{tot[1]:>10.2f}{tot[2]:>10.2f}"
-          f"{tot[1]/tot[0]:>14.2f}{tot[2]/tot[1]:>12.2f}")
+        print(f"{fam:<8}{n:>4}{a:>12.2f}{b:>12.2f}{c:>12.2f}{r1:>10.2f}{r2:>10.2f}")
+    print(f"{'TOTAL':<8}{'':>4}{tot[0]:>12.2f}{tot[1]:>12.2f}{tot[2]:>12.2f}"
+          f"{tot[1]/tot[0]:>10.2f}{tot[2]/tot[1]:>10.2f}")
     # per-query worst step ratios at the big step, floor-adjusted view
-    print("\nLargest sf0.01 -> sf0.1 per-query ratios (data-bound candidates):")
+    print(f"\nLargest {labels[1]} -> {labels[2]} per-query ratios (data-bound candidates):")
     rows = []
     for q in dumps[2]["queries"]:
         b = dumps[1]["queries"].get(q, -1)
