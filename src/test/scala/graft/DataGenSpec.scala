@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Contracts for the synthetic-decade generator (DataGen): the scale
+  * envelope's sf1 leg is generated data, so the generator must (a) match
+  * the driver fixtures' SCHEMA exactly — the whole 213-query surface and
+  * its DuckDB oracles run against either — and (b) be bit-deterministic,
+  * so a regenerated decade reproduces the same gate results.
+  */
+class DataGenSpec extends SparkSpec {
+
+  private val tables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  private lazy val genDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_datagen_spec").toString
+    DataGen.generate(spark, 0.001, dir)
+    dir
+  }
+
+  test("generated tables match the driver fixtures' schema exactly") {
+    tables.foreach { t =>
+      val fix = spark.read.parquet(s"$Sf/$t.parquet").schema
+      val gen = spark.read.parquet(s"$genDir/$t.parquet").schema
+      // name + type parity field-by-field (nullability differs: fixtures
+      // are pandas-written with everything nullable)
+      assert(gen.fields.map(f => (f.name, f.dataType)).toSeq ==
+             fix.fields.map(f => (f.name, f.dataType)).toSeq,
+        s"$t: gen=${gen.simpleString} fixture=${fix.simpleString}")
+    }
+  }
+
+  test("generation is deterministic: a second run is row-identical") {
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_datagen_spec2").toString
+    DataGen.generate(spark, 0.001, dir2)
+    Seq("orders", "lineitem", "documents", "events").foreach { t =>
+      val a = spark.read.parquet(s"$genDir/$t.parquet")
+      val b = spark.read.parquet(s"$dir2/$t.parquet")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, t)
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir2))
+  }
+
+  test("distribution invariants the oracle queries lean on hold in generated data") {
+    // near-dup mechanism: some documents end in " dup" and duplicate an
+    // earlier doc's base text (the dd-family's exact-dup substrate)
+    val docs = spark.read.parquet(s"$genDir/documents.parquet")
+    val dups = docs.filter(col("text").endsWith(" dup")).count()
+    assert(dups > 0 && dups < docs.count() / 10, s"dup docs: $dups")
+    // n_chars is derived from text (tx-family contract)
+    assert(docs.filter(length(col("text")).cast("bigint") =!= col("n_chars"))
+      .count() == 0)
+    // embeddings are unit-norm 64-d float vectors (nn-family contract)
+    val emb = spark.read.parquet(s"$genDir/embeddings.parquet")
+      .select(aggregate(col("embedding"), lit(0.0),
+        (a, x) => a + x * x).as("ss"), size(col("embedding")).as("d"))
+    assert(emb.filter(col("d") =!= 64).count() == 0)
+    assert(emb.filter(abs(col("ss") - 1.0) > 0.001).count() == 0)
+    // every lineitem joins an existing order (j/q-family contract)
+    val li = spark.read.parquet(s"$genDir/lineitem.parquet")
+    val ords = spark.read.parquet(s"$genDir/orders.parquet")
+    assert(li.join(ords, li("l_orderkey") === ords("o_orderkey"), "left_anti")
+      .count() == 0)
+  }
+}
