@@ -150,13 +150,19 @@ object AggOps extends OpModule {
     // A13 (extension) — the 100 TB form of A9: Datasketches HLL
     // cardinality (mergeable, bounded memory per group, one pass — exact
     // COUNT DISTINCT shuffles every key). The sketch's coupon phase is
-    // EXACT below k/4 entries (k=2^16 here), so the exact oracle pins it
-    // at test scale; past the threshold it degrades to ~1.6% rse.
+    // EXACT until ~0.75·2^(lgK-3) distinct keys (measured empirically at
+    // lgK=16: the sf1 leg's 15k users crossed its ~6k threshold and the
+    // estimate drifted 0.25% off the oracle's exact count — the
+    // hash-equality gate only holds in the exact regime). lgK=21 puts
+    // the threshold at ~196k, covering every generated decade; memory
+    // stays coupon-sized (4 B/key) until then. Past the threshold the
+    // estimate degrades gracefully (~0.4% rse at lgK=21) — that regime
+    // is spec-tested (AggJoinSpec), not hash-gated.
     // (Spark's approx_count_distinct HLL++ lacks an exact phase — off by
     // one even at 150 keys — hence the Datasketches variant.)
     "a13_approx_distinct" -> ((s, dir) =>
       Tables.events(s, dir).groupBy("event_type")
-        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 16))")
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 21))")
           .as("n_users"))),
 
     // A18 (extension) — MERGEABLE-SKETCH re-aggregation: per-(type, day)
@@ -167,12 +173,13 @@ object AggOps extends OpModule {
     // never a re-scan). HLL union is REGISTER-EXACT (max-merge), so the
     // merged estimate provably equals the single-pass a13 estimate —
     // which the gate already pins to the exact count at fixture
-    // cardinalities. Both aggregation levels are partial-agg shuffles
-    // on shrinking keys.
+    // cardinalities (lgK=21 keeps the whole chain in the coupon-exact
+    // regime through sf1 — see a13). Both aggregation levels are
+    // partial-agg shuffles on shrinking keys.
     "a18_sketch_merge" -> ((s, dir) => {
       val daily = Tables.events(s, dir)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(expr("hll_sketch_agg(user_id, 16)").as("sk"))
+        .agg(expr("hll_sketch_agg(user_id, 21)").as("sk"))
       daily.groupBy("event_type")
         .agg(count(lit(1)).as("n_days"),
           expr("hll_sketch_estimate(hll_union_agg(sk, false))")

@@ -45,6 +45,12 @@ object DedupOps extends OpModule {
   def h60Sql(prefix: String, e: String): String =
     s"CAST('0x' || substr(md5('$prefix' || $e), 1, 15) AS BIGINT)"
 
+  /** [[h60Sql]] with the prefix given as a SQL EXPRESSION (not a literal)
+    * — lets an oracle enumerate seed prefixes from a relation instead of
+    * expanding one UNION ALL branch per seed. */
+  def h60SqlExpr(prefixExpr: String, e: String): String =
+    s"CAST('0x' || substr(md5($prefixExpr || $e), 1, 15) AS BIGINT)"
+
   /** Distinct 3-word shingles from any (doc_id, text) frame. */
   def shinglesOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("arr"))
@@ -58,8 +64,15 @@ object DedupOps extends OpModule {
   def shingles(s: SparkSession, dir: String): DataFrame =
     Cached.of(s, s"dd:shingles:$dir")(shinglesOf(Tables.documents(s, dir)))
 
+  // Oracle-side CTE snippets are AS MATERIALIZED (DuckDB): the snippets
+  // are shared by several consumers inside one statement, and DuckDB
+  // inlines non-materialized CTEs per REFERENCE — a doubled reference
+  // doubles the whole upstream subtree (pp4's closure chain inlined the
+  // document scan 16x and spilled 80 GB at sf1 before dying; with
+  // materialization it runs in ~2 s). This is the DuckDB rendering of
+  // the same decision the Spark side makes with [[Cached.of]].
   private val shinglesSql: String =
-    """shingles AS (
+    """shingles AS MATERIALIZED (
       |  SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS sh
       |  FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 2)) AS i
       |        FROM (SELECT doc_id, string_split(text, ' ') AS arr
@@ -122,7 +135,7 @@ object DedupOps extends OpModule {
     }
 
   private val cappedSql: String =
-    s"""capped AS (
+    s"""capped AS MATERIALIZED (
        |  SELECT s.doc_id, s.sh FROM shingles s
        |  JOIN (SELECT sh FROM shingles GROUP BY sh
        |        HAVING COUNT(*) <= $MaxDf) r USING (sh))""".stripMargin
@@ -144,14 +157,18 @@ object DedupOps extends OpModule {
     * generated from that config's constants, never hand-written, so the
     * gated settings (Fixture everywhere, Production in dd14) share one
     * generator. */
-  private def sigSqlAt(cfg: LshConfig, from: String, name: String): String = {
-    val perSeed = (0 until cfg.numHashes).map(seed =>
-      s"SELECT doc_id, $seed AS seed, ${h60Sql(s"$seed:", "sh")} AS h FROM $from")
-      .mkString("\nUNION ALL\n")
-    s"""$name AS (
-       |  SELECT doc_id, seed, MIN(h) AS mh FROM ($perSeed) hs
-       |  GROUP BY doc_id, seed)""".stripMargin
-  }
+  private def sigSqlAt(cfg: LshConfig, from: String, name: String): String =
+    // seeds enumerated by a generate_series CROSS JOIN — ONE scan of the
+    // shingle relation for all seeds. The obvious per-seed UNION ALL
+    // expansion re-inlines the whole upstream CTE chain once per branch
+    // in DuckDB (no CTE materialization), which at 128 Production seeds
+    // recomputed the sf1 shingle pipeline 128x and turned a seconds-long
+    // oracle into a half-hour one. Same hash input strings, same result.
+    s"""$name AS MATERIALIZED (
+       |  SELECT doc_id, CAST(sd.seed AS INT) AS seed,
+       |         MIN(${h60SqlExpr("CAST(sd.seed AS VARCHAR) || ':'", "sh")}) AS mh
+       |  FROM $from, generate_series(0, ${cfg.numHashes - 1}) AS sd(seed)
+       |  GROUP BY doc_id, sd.seed)""".stripMargin
 
   private val sigSql: String = sigSqlAt(Lsh, "shingles", "sig")
 
@@ -197,7 +214,7 @@ object DedupOps extends OpModule {
 
   /** Parametric band CTE — see [[sigSqlAt]]. */
   private def bandsSqlAt(cfg: LshConfig, sig: String, name: String): String =
-    s"""$name AS (
+    s"""$name AS MATERIALIZED (
       |  SELECT doc_id, CAST(seed // ${cfg.rowsPerBand} AS INT) AS band,
       |         string_agg(CAST(seed AS VARCHAR) || ':' || CAST(mh AS VARCHAR),
       |                    '|' ORDER BY CAST(seed AS VARCHAR) || ':' || CAST(mh AS VARCHAR)) AS bkey
@@ -219,7 +236,7 @@ object DedupOps extends OpModule {
   /** Pair CTE over [[cappedLshCtes]]'s cbands — the component graph's
     * edge list (mirrors dd7's candidate join). */
   private[operators] val cappedPairsSql: String =
-    """cpairs AS (
+    """cpairs AS MATERIALIZED (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM cbands a JOIN cbands b ON a.band = b.band AND a.bkey = b.bkey
       |  WHERE a.doc_id < b.doc_id)""".stripMargin

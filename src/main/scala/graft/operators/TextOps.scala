@@ -48,8 +48,11 @@ object TextOps extends OpModule {
         .filter(col("w") =!= "")
     }
 
+  // AS MATERIALIZED: DuckDB inlines plain CTEs per reference (see the
+  // DedupOps.shinglesSql note); tokens feeds multiple consumers in the
+  // tx9/tx11/tx15/pp4 oracles
   private[operators] val tokensSql =
-    """tokens AS (
+    """tokens AS MATERIALIZED (
       |  SELECT doc_id, w FROM (
       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
       |  WHERE w <> '')""".stripMargin

@@ -152,6 +152,26 @@ class AggJoinSpec extends SparkSpec {
     assert(merged == single, s"merged=$merged single=$single")
   }
 
+  test("a13 HLL regimes: coupon-exact at gate cardinalities, rse-bounded past the threshold") {
+    // the gate hash-matches the estimate against exact COUNT DISTINCT,
+    // which only works in the sketch's coupon (exact) regime — pin both
+    // halves of that contract: lgK=21 is exact at the largest generated
+    // decade's cardinality (15k users at sf1), and past the promotion
+    // threshold (forced here with lgK=12, threshold ~0.75*2^9=384) the
+    // estimate degrades gracefully within ~3x its rse
+    // (1.04/sqrt(2^12) ~= 1.6%) instead of failing
+    import org.apache.spark.sql.functions.expr
+    val exact = spark.range(15000)
+      .select(expr("hll_sketch_estimate(hll_sketch_agg(id, 21))"))
+      .head().getLong(0)
+    assert(exact == 15000L, s"lgK=21 must be coupon-exact at 15k, got $exact")
+    val est = spark.range(60000)
+      .select(expr("hll_sketch_estimate(hll_sketch_agg(id, 12))"))
+      .head().getLong(0)
+    assert(math.abs(est - 60000L) <= 3000, s"estimation-regime error >5%: $est")
+    assert(est != 60000L, "lgK=12 at 60k keys should actually be estimating")
+  }
+
   test("w11: the two-level sweep equals the single-window sweep (algebraic equivalence)") {
     // the scale-shaped plan must be a pure rewrite of the semantics:
     // recompute peak/boundaries with the direct cardinality-5 window

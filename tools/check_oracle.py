@@ -9,7 +9,7 @@ matching oracle SQL from <outDir>/oracle_sql.json in DuckDB against the
 same sf tables, and compares: column set, row count, and value hash
 (columns sorted by name, rows sorted by all columns, floats rounded).
 """
-import duckdb, json, math, re, sys, os
+import duckdb, json, math, re, sys, os, time
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -108,6 +108,7 @@ def main():
     for name in names:
         if only and name not in only:
             continue
+        t0 = time.time()
         try:
             srel = con.sql(
                 f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
@@ -159,7 +160,11 @@ def main():
             print(f"  [FAIL-vals] {name}: first diffs {diffs}")
         else:
             n_pass += 1
-            print(f"  [ok       ] {name}: {len(sr)} rows")
+            # per-query wall time: at large SFs a handful of
+            # deliberately-naive verification oracles dominate the gate's
+            # runtime — make that visible instead of silent
+            print(f"  [ok       ] {name}: {len(sr)} rows ({time.time() - t0:.1f}s)",
+                  flush=True)
     print(f"PASS={n_pass} FAIL={n_fail} ROWS_ONLY={n_noracle}")
     sys.exit(1 if n_fail else 0)
 
