@@ -337,6 +337,164 @@ object BenchQueries extends OpModule {
         .orderBy(col("nation"), col("o_year").desc)
     }),
 
+    // TPC-H Q2 shape: minimum-cost supplier per part — the correlated
+    // MIN subquery decorrelated into a per-part aggregate joined back on
+    // value equality. The schema has no partsupp, so the (part, supplier)
+    // relation is DISTINCT over lineitem's shipping pairs and "cost" is
+    // the supplier's account balance — the SHAPE (multi-dimension gate,
+    // per-group min, equality re-join, deterministic top-k) is the
+    // point. Scale: the distinct is one partial-agg'd shuffle on the
+    // composite key; every dimension broadcasts; the per-part min
+    // relation is |qualifying parts|-sized and broadcasts back.
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+        .filter(col("p_type") === "LARGE" && col("p_size") < 10)
+        .select("p_partkey", "p_name")
+      val pairs = Tables.lineitem(s, dir)
+        .select("l_partkey", "l_suppkey").distinct()
+      val sup = Tables.supplier(s, dir)
+        .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+      val n = Tables.nation(s, dir).select("n_nationkey", "n_name", "n_regionkey")
+      val r = Tables.region(s, dir).filter(col("r_name") === "EUROPE")
+        .select("r_regionkey")
+      val cand = pairs
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      val minBal = cand.groupBy(col("p_partkey").as("mp_key"))
+        .agg(min("s_acctbal").as("min_bal"))
+      cand.join(broadcast(minBal),
+          col("p_partkey") === col("mp_key") && col("s_acctbal") === col("min_bal"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q11 shape: important stock — per-group value with a HAVING
+    // cut against a scalar derived from the global total. Value =
+    // Σ price×qty over one nation's suppliers (the schema's stand-in
+    // for supplycost×availqty), summed as exact decimal. The cut is
+    // value > 3 × average-part-value, stated multiplicatively
+    // (value·n > 3·total) so each side is ONE IEEE multiply of
+    // exact-decimal-derived doubles — bit-identical on both engines,
+    // and (unlike TPC-H's literal 0.0001·total, which TPC-H itself
+    // rescales by 1/SF) scale-FREE: selectivity is ~3-4% at every
+    // measured decade instead of decaying to zero as parts grow.
+    // Scale: one fact shuffle on the part key; the scalar (total, n)
+    // aggregates the value relation and broadcasts.
+    "q11_important_stock" -> ((s, dir) => {
+      val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      val n = Tables.nation(s, dir).filter(col("n_name") === "NATION_3")
+        .select("n_nationkey")
+      val base = Tables.lineitem(s, dir)
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      val value = base.groupBy("l_partkey")
+        .agg(decSumExpr(dec(col("l_extendedprice")) * dec(col("l_quantity")), 2)
+          .as("stock_value"))
+      // the per-part values are 2-decimal doubles: re-sum them as exact
+      // decimal (a double sum would be order-dependent and could flip
+      // the threshold cut between engines)
+      val total = value.agg(sum(dec(col("stock_value"))).cast("double")
+        .as("total_value"), count(lit(1)).as("n_parts"))
+      value.crossJoin(broadcast(total))
+        .filter(col("stock_value") * col("n_parts") > col("total_value") * lit(3))
+        .select(col("l_partkey").as("p_partkey"), col("stock_value"))
+        .orderBy(col("stock_value").desc, col("p_partkey"))
+    }),
+
+    // TPC-H Q12 shape: shipping-class service levels — fact⋈fact with a
+    // date window and a two-way conditional count split by order
+    // priority (l_returnflag stands in for the schema's absent
+    // l_shipmode). Pure integer counts; one shuffle for the join, the
+    // 3-group aggregate carries partials only.
+    "q12_ship_priority" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+                col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+        .select("l_orderkey", "l_returnflag")
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+            .otherwise(0)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0)
+            .otherwise(1)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    }),
+
+    // TPC-H Q20 shape: suppliers over a shipped-quantity threshold for a
+    // part class — the nested semi-join chain: an aggregate-HAVING inner
+    // relation (per part×supplier 1997 shipments, the stand-in for
+    // availqty's 50% rule) is gated by a LIKE-filtered part dimension,
+    // and suppliers are kept by LEFT SEMI against the surviving pairs.
+    // Integer-exact throughout. Scale: the only fact shuffle is the
+    // (part, supplier) aggregate; parts broadcast into it; the semi
+    // probe side carries keys only.
+    "q20_supplier_part_threshold" -> ((s, dir) => {
+      val p = Tables.part(s, dir).filter(col("p_name").startsWith("red"))
+        .select("p_partkey")
+      val qty = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+                col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum("l_quantity").as("tot_qty"))
+        .filter(col("tot_qty") > 45)
+        .select("l_suppkey")
+      val n = Tables.nation(s, dir).filter(col("n_name") === "NATION_9")
+        .select("n_nationkey")
+      Tables.supplier(s, dir)
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"), "left_semi")
+        .join(qty, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    }),
+
+    // TPC-H Q21 shape: suppliers who kept orders waiting — the classic
+    // EXISTS(another supplier) + NOT EXISTS(another LATE supplier)
+    // double correlation, computed as per-order distinct counts instead
+    // of correlated probes: an order contributes to supplier S iff S
+    // shipped late, the order has ≥ 2 suppliers, and exactly one
+    // supplier (then necessarily S) shipped late. "Late" is shipdate >
+    // orderdate + 60 days (the schema has no commit/receipt dates).
+    // The oracle keeps the literal EXISTS/NOT-EXISTS formulation —
+    // an independent decorrelation done DuckDB's way. Scale: one fact
+    // shuffle on the order key computes both distinct counts map-side-
+    // partially; the late-pair relation rides the same exchange;
+    // supplier/nation broadcast.
+    "q21_waiting_supplier" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate")
+      val l = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      val perOrder = l.groupBy("o_orderkey")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+        .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      val latePairs = l.filter(col("late"))
+        .select(col("o_orderkey").as("lp_okey"), col("l_suppkey")).distinct()
+      val sup = Tables.supplier(s, dir).select("s_suppkey", "s_name", "s_nationkey")
+      val n = Tables.nation(s, dir).filter(col("n_name") === "NATION_5")
+        .select("n_nationkey")
+      latePairs
+        .join(perOrder, col("lp_okey") === col("o_orderkey"), "left_semi")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"), "left_semi")
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }),
+
     // TPC-H Q22 shape: idle rich customers — a scalar subquery cutoff
     // (exact-decimal mean of positive balances, broadcast as one row)
     // plus a LEFT ANTI join against recent orders ("no order since
@@ -561,6 +719,96 @@ object BenchQueries extends OpModule {
         |WHERE p_name LIKE '%bolt%'
         |GROUP BY n_name, DATE_PART('year', o_orderdate)
         |ORDER BY nation, o_year DESC""".stripMargin,
+
+    // independent formulation: the literal correlated-MIN subquery,
+    // decorrelated DuckDB's way
+    "q2_min_cost_supplier" ->
+      """WITH cand AS MATERIALIZED (
+        |  SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+        |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE p_type = 'LARGE' AND p_size < 10 AND r_name = 'EUROPE')
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+        |FROM cand c
+        |WHERE s_acctbal = (SELECT MIN(s_acctbal) FROM cand c2
+        |                   WHERE c2.p_partkey = c.p_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "q11_important_stock" ->
+      """WITH value AS MATERIALIZED (
+        |  SELECT l_partkey AS p_partkey,
+        |         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |                        CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |           AS stock_value
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_3'
+        |  GROUP BY l_partkey)
+        |SELECT p_partkey, stock_value
+        |FROM value
+        |WHERE stock_value * (SELECT COUNT(*) FROM value) >
+        |      3 * (SELECT CAST(SUM(CAST(stock_value AS DECIMAL(18,4)))
+        |                       AS DOUBLE) FROM value)
+        |ORDER BY stock_value DESC, p_partkey""".stripMargin,
+
+    "q12_ship_priority" ->
+      """SELECT l_returnflag,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // independent formulation: literal nested IN subqueries
+    "q20_supplier_part_threshold" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_9'
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem
+        |    WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                        WHERE p_name LIKE 'red%')
+        |      AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |      AND l_shipdate < TIMESTAMP '1998-01-01'
+        |    GROUP BY l_partkey, l_suppkey
+        |    HAVING SUM(l_quantity) > 45)
+        |ORDER BY s_name""".stripMargin,
+
+    // independent formulation: the literal EXISTS / NOT EXISTS double
+    // correlation, decorrelated DuckDB's way
+    "q21_waiting_supplier" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM (
+        |  SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+        |  FROM lineitem l1
+        |  JOIN orders ON o_orderkey = l1.l_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |    AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |    AND EXISTS (SELECT 1 FROM lineitem l2
+        |                WHERE l2.l_orderkey = l1.l_orderkey
+        |                  AND l2.l_suppkey <> l1.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                    WHERE l3.l_orderkey = l1.l_orderkey
+        |                      AND l3.l_suppkey <> l1.l_suppkey
+        |                      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |) t
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_5'
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
 
     "q22_idle_balance" ->
       """SELECT n_name, COUNT(*) AS numcust,

@@ -348,6 +348,53 @@ object TextOps extends OpModule {
         .select(col("wa"), col("wb"), col("c_ab"),
           round(col("n_docs") * col("c_ab") / (col("c_a") * col("c_b")), 6)
             .as("lift"))
+    }),
+
+    // TX16 (extension) — BIGRAM LM QUALITY SCORE: the CCNet/Gopher-style
+    // quality filter (train a tiny LM on the corpus, score every doc by
+    // how predictable its text is) with an exact-rational surrogate for
+    // perplexity: the per-doc MEAN add-one-smoothed bigram probability
+    // p = (c_ab + 1) / (c_a + V). No log ever crosses the engine
+    // boundary (libm exp/log differ across engines — the tx15 rule);
+    // each p is one IEEE division of exact integer counts, identical
+    // everywhere, rounded at 8 and summed as DECIMAL (the tx9
+    // discipline), so the doc score is partitioning-independent.
+    // Scale: the count relations are vocab-/bigram-vocab-sized partial
+    // aggregates; the probability lookup is an equi-join on (w1, w2) —
+    // NOT broadcast, because a web-scale bigram vocabulary is not
+    // broadcastable; hot bigrams join against ONE count row each, so
+    // there is no fan-out. The unigram side broadcasts here (31-word
+    // fixture vocab) — at a real vocabulary it becomes the same
+    // equi-join on the word key.
+    "tx16_bigram_score" -> ((s, dir) => {
+      val bg = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("arr"))
+        .filter(size(col("arr")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(arr)-2), i -> struct(arr[i] AS w1, arr[i+1] AS w2))"))
+          .as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val uni = tokens(s, dir).groupBy("w").agg(count(lit(1)).as("c_a"))
+      val vocab = uni.agg(count(lit(1)).as("v"))
+      val bgc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      bg.join(bgc, Seq("w1", "w2"))
+        .join(broadcast(uni.withColumnRenamed("w", "w1")), Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("contrib",
+          round((col("c_ab") + 1) / (col("c_a") + col("v")), 8)
+            .cast("decimal(18,8)"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bg"), sum(col("contrib")).as("sc"))
+        // the mean probability in 1e-8 units by exact INTEGER half-up
+        // division ((2u + n) div 2n): a final double division + round
+        // hit a genuine cross-engine tie at sf0.1 (Spark rounds the
+        // shortest-string decimal of the quotient, DuckDB the exact
+        // binary value — the decAvg caveat realized, because 8-decimal
+        // quantized contribs make 6-decimal quotient ties likely), so
+        // no float division crosses the engine boundary at all
+        .select(col("doc_id"), col("n_bg"),
+          expr("CAST((2 * CAST(sc * 100000000 AS BIGINT) + n_bg) DIV (2 * n_bg) AS BIGINT)")
+            .as("score_e8"))
     })
   )
 
@@ -553,6 +600,32 @@ object TextOps extends OpModule {
         |       ROUND(nd.n_docs * p.c_ab / (ca.c * cb.c), 6) AS lift
         |FROM pairs p
         |JOIN wc ca ON ca.w = p.wa
-        |JOIN wc cb ON cb.w = p.wb, nd""".stripMargin)
+        |JOIN wc cb ON cb.w = p.wb, nd""".stripMargin),
+
+    // vocab words contain no spaces, so the "w1 w2" concatenation splits
+    // back unambiguously (same trick as tx14's bigram strings)
+    "tx16_bigram_score" -> Sql.query(tokensSql,
+      """bgs AS MATERIALIZED (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(arr)),
+        |                               i -> arr[i] || ' ' || arr[i+1])) AS b
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS arr
+        |        FROM documents)
+        |  WHERE len(arr) >= 2)""".stripMargin,
+      """bg AS MATERIALIZED (
+        |  SELECT doc_id, split_part(b, ' ', 1) AS w1,
+        |         split_part(b, ' ', 2) AS w2
+        |  FROM bgs)""".stripMargin,
+      "uni AS MATERIALIZED (SELECT w, COUNT(*) AS c_a FROM tokens GROUP BY w)",
+      "voc AS (SELECT COUNT(*) AS v FROM uni)",
+      "bgc AS MATERIALIZED (SELECT w1, w2, COUNT(*) AS c_ab FROM bg GROUP BY w1, w2)")(
+      """SELECT bg.doc_id, COUNT(*) AS n_bg,
+        |       CAST((2 * CAST(SUM(CAST(ROUND((c_ab + 1) / (c_a + v), 8)
+        |                              AS DECIMAL(18,8))) * 100000000 AS BIGINT)
+        |             + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS score_e8
+        |FROM bg
+        |JOIN bgc USING (w1, w2)
+        |JOIN uni ON uni.w = bg.w1, voc
+        |GROUP BY bg.doc_id""".stripMargin)
   )
 }
