@@ -555,4 +555,24 @@ class PlanSpec extends SparkSpec {
     assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(VERSION,2\\).*") ||
            plan.matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(version,2\\).*"), plan)
   }
+
+  test("q12: shipdate window is pushed to the parquet scan") {
+    val plan = executedPlan("q12_ship_priority")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(l_shipdate.*"),
+      plan)
+  }
+
+  test("q21: no nested-loop or cartesian anywhere in the double-correlation plan") {
+    val plan = executedPlan("q21_waiting_supplier")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+           !plan.contains("CartesianProduct"), plan)
+    // supplier + the 1-row nation filter ride broadcasts
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 1, plan)
+  }
+
+  test("q2: every dimension of the partsupp-surrogate chain broadcasts") {
+    val plan = executedPlan("q2_min_cost_supplier")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 4, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
