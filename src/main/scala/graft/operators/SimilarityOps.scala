@@ -126,6 +126,38 @@ object SimilarityOps extends OpModule {
         .select(col("vec_id"), round(col("cos"), 6).as("cos"))
     }),
 
+    // NN15 — PARTITIONED IVF LAYOUT (round 11): the serving-side layout
+    // claim of SCALE.md's ANN section made real, the way k15/g6 did for
+    // joins/graphs: the corpus is written ONCE `partitionBy(list)` (the
+    // coarse-quantizer list id, as in nn4), and the probe joins the
+    // 1-row broadcast probe relation against the partition column — so
+    // Spark inserts a DYNAMIC PARTITION PRUNING subquery into the scan
+    // (pinned in PlanSpec) and reads only the probed list's directory.
+    // At 100 TB a probe touches 1/nlists of the corpus by pure METADATA;
+    // no full-corpus scan, no data-side filter. Result set is nn4's
+    // (same corpus, same probe choice), which is what the oracle
+    // replays relationally (DuckDB has no partition concept — the
+    // layout is the Spark-side demonstration, the values are the gate).
+    "nn15_partitioned_ivf_probe" -> ((s, dir) => {
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_nn15_${dir.hashCode}").getPath
+      val e = emb(s, dir)
+      e.withColumn("list", col("label"))
+        .write.mode("overwrite").partitionBy("list").parquet(out)
+      val lake = s.read.parquet(out)
+      val cent = centroids(e)
+      val q = e.filter(col("vec_id") === 0).select(col("emb").as("qe"))
+      val probe = cent.crossJoin(broadcast(q))
+        .withColumn("csim", dot("centroid", "qe"))
+        .orderBy(col("csim").desc, col("label")).limit(1)
+        .select(col("label").as("list"), col("qe"))
+      lake.join(broadcast(probe), Seq("list"))
+        .withColumn("cos",
+          dot("emb", "qe") / (sqrt(dot("emb", "emb")) * sqrt(dot("qe", "qe"))))
+        .orderBy(col("cos").desc, col("vec_id")).limit(5)
+        .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+    }),
+
     // embedding-cosine near-dup pairs inside buckets (the dedup use of
     // ANN): per-vector partner count, bounded output
     "nn3_bucket_neardup" -> ((s, dir) => {
@@ -540,6 +572,22 @@ object SimilarityOps extends OpModule {
          |LIMIT 5""".stripMargin),
 
     "nn4_ivf_ann" -> Sql.query(embSql, centSql,
+      "q AS (SELECT emb AS qe FROM emb WHERE vec_id = 0)",
+      """probe AS (
+        |  SELECT c.label, q.qe
+        |  FROM cent c, q
+        |  ORDER BY list_dot_product(c.centroid, q.qe) DESC, c.label
+        |  LIMIT 1)""".stripMargin)(
+      s"""SELECT e.vec_id, $cosSql AS cos
+         |FROM emb e JOIN probe q ON e.label = q.label
+         |ORDER BY list_dot_product(e.emb, q.qe) /
+         |  (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(q.qe, q.qe)))
+         |  DESC, e.vec_id
+         |LIMIT 5""".stripMargin),
+
+    // identical to nn4's oracle: the partitioned layout changes WHERE the
+    // rows live, provably not WHICH rows score (the point of the gate)
+    "nn15_partitioned_ivf_probe" -> Sql.query(embSql, centSql,
       "q AS (SELECT emb AS qe FROM emb WHERE vec_id = 0)",
       """probe AS (
         |  SELECT c.label, q.qe

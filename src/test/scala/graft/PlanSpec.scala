@@ -570,6 +570,19 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 1, plan)
   }
 
+  test("nn15: the probe scan of the list-partitioned layout is partition-pruned") {
+    val plan = executedPlan("nn15_partitioned_ivf_probe")
+    // the probed-list scan must carry a partition filter on `list` —
+    // dynamic (DPP subquery from the broadcast probe join) or, after
+    // AQE finalization, the materialized pruning predicate
+    val scanLine = plan.linesIterator
+      .filter(l => l.contains("PartitionFilters") && l.contains("list"))
+      .mkString("\n")
+    assert(scanLine.nonEmpty, s"no partition filter on list:\n$plan")
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a DPP subquery on the partitioned scan:\n$plan")
+  }
+
   test("q2: every dimension of the partsupp-surrogate chain broadcasts") {
     val plan = executedPlan("q2_min_cost_supplier")
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 4, plan)
