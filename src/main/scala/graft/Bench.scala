@@ -85,7 +85,10 @@ object Bench {
       "a20_countmin", "ds15_ks_drift", "st12_stream_drift", "dd12_containment",
       "g4_bfs_hops", "dd13_incremental_dedup", "w15_gap_fill", "w16_ohlc",
       "tx15_cooccurrence_lift", "st13_availablenow_ingest",
-      "st14_stream_decontam", "v5_sql_asof", "k21_write_audit_publish")
+      "st14_stream_decontam", "v5_sql_asof", "k21_write_audit_publish",
+      "q21_waiting_supplier", "q2_min_cost_supplier", "tx16_bigram_score",
+      "dd15_cc_starcontract", "nn15_partitioned_ivf_probe",
+      "g6_bucketed_pagerank", "dd14_minhash_production", "s1_jdbc_pushdown")
     val resMap = results.toMap
     val qs = headline.flatMap(h => resMap.get(h).map(v => "\"" + h + "\":" + r3(v)))
       .mkString("{", ",", "}")
