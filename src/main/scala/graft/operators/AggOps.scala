@@ -394,9 +394,12 @@ object AggOps extends OpModule {
     // semantics; equal-start tie groups contribute C(k,2) — the per-row
     // running sum inside a tie group is order-dependent but its SUM is
     // permutation-invariant, so the result is deterministic under any
-    // partitioning). The oracle recomputes the count with DuckDB's
-    // IEJoin range self-join + an explicit tie term — an independent
-    // O(n²)-candidate algorithm validating the O(n log n) sweep.
+    // partitioning). The oracle recomputes the count by day-bucketed
+    // outer-product aggregation (Σ g(d)·g(d+k)) + an explicit tie
+    // term — an independent algorithm validating the sweep. (Its r10
+    // form was a literal range self-join; DuckDB planned that as
+    // hash-join-on-prio + residual filter — ~10^11 candidates at sf1 —
+    // so the enumeration-free formulation replaced it in round 11.)
     "w13_overlap_pairs" -> ((s, dir) =>
       sweepOpen(s, dir)
         .filter(col("d") === 1)
@@ -808,25 +811,35 @@ object AggOps extends OpModule {
         |       COUNT(*) AS n_boundaries
         |FROM op GROUP BY prio ORDER BY prio""".stripMargin,
 
-    // independent algorithm: IEJoin range self-join (strictly-later
-    // starts inside the interval) + closed-form C(k,2) tie term for
-    // equal-start groups — vs the Spark side's sweep accumulation
+    // independent algorithm: day-bucketed outer-product pair counting —
+    // per-(prio, day) counts g, then cross pairs = Σ g(d)·g(d+k) for
+    // day offsets k ∈ [1, 29] (orderdates are day-granular in both
+    // fixture generators; offset 30 is excluded by the half-open
+    // [st, st+30d) window), plus the closed-form C(k,2) tie term for
+    // equal-start groups. No running sum, no sweep — and, unlike the
+    // r10 IEJoin formulation, no pair ENUMERATION either: DuckDB
+    // planned equality+range as a hash join on prio with a residual
+    // range filter, which at sf1 meant ~10^11 filtered candidates and
+    // an hour-plus oracle. The aggregated outer product is exact over
+    // ≤ |days|·|prios| rows.
     "w13_overlap_pairs" ->
       """WITH o AS (
         |  SELECT o_orderpriority AS prio, o_orderdate AS st,
-        |         o_orderdate + INTERVAL 30 DAY AS en
+        |         date_diff('day', TIMESTAMP '1995-01-01 00:00:00',
+        |                   o_orderdate) AS d
         |  FROM orders),
+        |g AS (SELECT prio, d, COUNT(*) AS n FROM o GROUP BY prio, d),
         |cross_pairs AS (
-        |  SELECT a.prio, COUNT(*) AS n
-        |  FROM o a JOIN o b
-        |    ON a.prio = b.prio AND b.st > a.st AND b.st < a.en
+        |  SELECT a.prio, CAST(SUM(a.n * b.n) AS BIGINT) AS n
+        |  FROM g a
+        |  JOIN (SELECT unnest(generate_series(1, 29)) AS k) ks ON true
+        |  JOIN g b ON b.prio = a.prio AND b.d = a.d + k
         |  GROUP BY a.prio),
         |tie_pairs AS (
         |  SELECT prio, CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS n
-        |  FROM (SELECT prio, st, COUNT(*) AS n
-        |        FROM o GROUP BY prio, st) g
-        |  GROUP BY prio),
-        |counts AS (SELECT prio, COUNT(*) AS n_intervals FROM o GROUP BY prio)
+        |  FROM g GROUP BY prio),
+        |counts AS (SELECT prio, CAST(SUM(n) AS BIGINT) AS n_intervals
+        |           FROM g GROUP BY prio)
         |SELECT c.prio,
         |       CAST(COALESCE(cp.n, 0) + COALESCE(tp.n, 0) AS BIGINT)
         |         AS n_pairs,
