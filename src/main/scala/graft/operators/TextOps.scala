@@ -350,6 +350,33 @@ object TextOps extends OpModule {
             .as("lift"))
     }),
 
+    // TX17 (extension) — ONE BPE MERGE STEP: the counting core of BPE
+    // tokenizer training — count every adjacent character pair inside
+    // the BPE pre-tokens (tx7's GPT-2-style segmentation, spaces
+    // attached to the following word) across the corpus, and emit the
+    // top-10 merge candidates. The "one training step, distributed"
+    // shape of nn8's Lloyd iteration applied to tokenizers: full
+    // training loops this step, re-segmenting with the merged symbol
+    // each round. Scale: pre-token explode + pair explode are linear in
+    // corpus characters; the count is one partial-agg shuffle on the
+    // (c1, c2) pair key; the top-10 cut is TakeOrderedAndProject, never
+    // a global sort (the tx11 lesson). Deterministic tiebreak
+    // (n desc, c1, c2) so top-10 membership is engine-identical.
+    "tx17_bpe_merge_step" -> ((s, dir) => {
+      val pre = Tables.documents(s, dir)
+        .select(explode(expr(s"regexp_extract_all(text, '$BpePattern', 0)"))
+          .as("t"))
+        .filter(length(col("t")) >= 2)
+      pre.select(explode(expr(
+          "transform(sequence(1, length(t) - 1), " +
+            "i -> struct(substring(t, i, 1) AS c1, substring(t, i + 1, 1) AS c2))"))
+          .as("p"))
+        .select(col("p.c1").as("c1"), col("p.c2").as("c2"))
+        .groupBy("c1", "c2").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("c1"), col("c2"))
+        .limit(10)
+    }),
+
     // TX16 (extension) — BIGRAM LM QUALITY SCORE: the CCNet/Gopher-style
     // quality filter (train a tiny LM on the corpus, score every doc by
     // how predictable its text is) with an exact-rational surrogate for
@@ -601,6 +628,19 @@ object TextOps extends OpModule {
         |FROM pairs p
         |JOIN wc ca ON ca.w = p.wa
         |JOIN wc cb ON cb.w = p.wb, nd""".stripMargin),
+
+    "tx17_bpe_merge_step" ->
+      s"""WITH pre AS (
+         |  SELECT unnest(regexp_extract_all(text, '$BpePattern')) AS t
+         |  FROM documents),
+         |pairs AS (
+         |  SELECT substr(t, i, 1) AS c1, substr(t, i + 1, 1) AS c2
+         |  FROM (SELECT t, unnest(generate_series(1, length(t) - 1)) AS i
+         |        FROM pre WHERE length(t) >= 2))
+         |SELECT c1, c2, COUNT(*) AS n
+         |FROM pairs GROUP BY c1, c2
+         |ORDER BY n DESC, c1, c2
+         |LIMIT 10""".stripMargin,
 
     // vocab words contain no spaces, so the "w1 w2" concatenation splits
     // back unambiguously (same trick as tx14's bigram strings)
