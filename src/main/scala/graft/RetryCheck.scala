@@ -78,11 +78,14 @@ object RetryCheck {
               s"injected first-attempt failure in partition ${tc.partitionId()}")
           it
         }(ev.encoder)
-      // integer-exact per-group aggregate: value is 2-decimal, so the
-      // cents sum is exact and order-independent
+      // integer-exact per-group aggregate: value is 2-decimal, so cents
+      // are exact AFTER the decimal cast — value*100 on the raw double
+      // truncates IEEE error (0.29 stores as 0.2899…98; *100→28.99…96;
+      // long cast → 28), which is deterministic but not the cents sum
       staged.groupBy("user_id", "event_type")
         .agg(count(lit(1)).as("cnt"),
-          sum((col("value") * 100).cast("long")).as("sv"))
+          sum((col("value").cast("decimal(18,4)") * 100).cast("long"))
+            .as("sv"))
     }
 
     val clean = fingerprint(pipeline(inject = false))

@@ -472,8 +472,9 @@ object DedupOps extends OpModule {
     // INDEPENDENT of dd9's neighbor-min + pointer-jumping loop —
     // different recurrence, different intermediates — but the same
     // fixpoint (every node labeled with its component minimum), so it
-    // shares dd9's transitive-closure oracle verbatim, and EdgeCaseSpec
-    // pins exact per-node equality of the two algorithms' outputs.
+    // shares dd9's transitive-closure oracle verbatim, and
+    // StarContractSpec pins exact per-node equality of the two
+    // algorithms' outputs.
     // Scale shape: each round is node-keyed
     // partial-agg shuffles over the (graph-sized, corpus-small) edge
     // relation; the src > dst orientation means small-star needs no

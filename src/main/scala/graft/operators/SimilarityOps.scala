@@ -57,6 +57,30 @@ object SimilarityOps extends OpModule {
   def dot(a: String, b: String): org.apache.spark.sql.Column =
     expr(s"vector_dot($a, $b)")
 
+  /** Layout paths already built this process (nn15's build-once guard). */
+  private val nn15Built =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The IVF coarse-probe relation shared by nn4 and nn15: the fixture
+    * query vector (vec_id 0) paired with its nearest centroid's list
+    * label — one row, broadcast by the callers. */
+  private def centroidProbe(e: DataFrame): DataFrame = {
+    val q = e.filter(col("vec_id") === 0).select(col("emb").as("qe"))
+    centroids(e).crossJoin(broadcast(q))
+      .withColumn("csim", dot("centroid", "qe"))
+      .orderBy(col("csim").desc, col("label")).limit(1)
+      .select(col("label"), col("qe"))
+  }
+
+  /** Cosine-ranked top-5 of a (emb, qe, vec_id) relation — the shared
+    * fine-search tail of nn4 and nn15. */
+  private def cosineTop5(scored: DataFrame): DataFrame =
+    scored
+      .withColumn("cos",
+        dot("emb", "qe") / (sqrt(dot("emb", "emb")) * sqrt(dot("qe", "qe"))))
+      .orderBy(col("cos").desc, col("vec_id")).limit(5)
+      .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+
   /** Sign-bit LSH bucket from the first 8 dimensions. Deliberately an
     * UNROLLED sum of CASEs rather than `aggregate(sequence(0,7), ...)`:
     * a higher-order function's lambda hides its outer column reference
@@ -113,17 +137,8 @@ object SimilarityOps extends OpModule {
     // the corpus is scanned per query.
     "nn4_ivf_ann" -> ((s, dir) => {
       val e = emb(s, dir)
-      val cent = centroids(e)
-      val q = e.filter(col("vec_id") === 0).select(col("emb").as("qe"))
-      val probe = cent.crossJoin(broadcast(q))
-        .withColumn("csim", dot("centroid", "qe"))
-        .orderBy(col("csim").desc, col("label")).limit(1)
-        .select(col("label"), col("qe"))
-      e.join(broadcast(probe), Seq("label"))
-        .withColumn("cos",
-          dot("emb", "qe") / (sqrt(dot("emb", "emb")) * sqrt(dot("qe", "qe"))))
-        .orderBy(col("cos").desc, col("vec_id")).limit(5)
-        .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+      e.join(broadcast(centroidProbe(e)), Seq("label"))
+        .transform(cosineTop5)
     }),
 
     // NN15 — PARTITIONED IVF LAYOUT (round 11): the serving-side layout
@@ -138,24 +153,21 @@ object SimilarityOps extends OpModule {
     // (same corpus, same probe choice), which is what the oracle
     // replays relationally (DuckDB has no partition concept — the
     // layout is the Spark-side demonstration, the values are the gate).
+    // The layout is written once per (process, dir) — the serving
+    // reality: build once, probe many — under a PID-suffixed path so
+    // concurrent harness JVMs never race on one directory (the Verify
+    // warehouse rule).
     "nn15_partitioned_ivf_probe" -> ((s, dir) => {
-      val out = new java.io.File(
-        sys.props("java.io.tmpdir"), s"graft_nn15_${dir.hashCode}").getPath
       val e = emb(s, dir)
-      e.withColumn("list", col("label"))
-        .write.mode("overwrite").partitionBy("list").parquet(out)
-      val lake = s.read.parquet(out)
-      val cent = centroids(e)
-      val q = e.filter(col("vec_id") === 0).select(col("emb").as("qe"))
-      val probe = cent.crossJoin(broadcast(q))
-        .withColumn("csim", dot("centroid", "qe"))
-        .orderBy(col("csim").desc, col("label")).limit(1)
-        .select(col("label").as("list"), col("qe"))
-      lake.join(broadcast(probe), Seq("list"))
-        .withColumn("cos",
-          dot("emb", "qe") / (sqrt(dot("emb", "emb")) * sqrt(dot("qe", "qe"))))
-        .orderBy(col("cos").desc, col("vec_id")).limit(5)
-        .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_nn15_${dir.hashCode}_${ProcessHandle.current.pid}").getPath
+      if (nn15Built.add(out))
+        e.withColumn("list", col("label"))
+          .write.mode("overwrite").partitionBy("list").parquet(out)
+      s.read.parquet(out)
+        .join(broadcast(centroidProbe(e).withColumnRenamed("label", "list")),
+          Seq("list"))
+        .transform(cosineTop5)
     }),
 
     // embedding-cosine near-dup pairs inside buckets (the dedup use of

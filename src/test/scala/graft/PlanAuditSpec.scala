@@ -16,7 +16,7 @@ package graft
   */
 class PlanAuditSpec extends SparkSpec {
 
-  test("no registered query plans a CartesianProduct (all 221 executed)") {
+  test("no registered query plans a CartesianProduct (entire surface executed)") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, Sf)
