@@ -309,4 +309,40 @@ class PropertySpec extends SparkSpec {
       assert(got == dedupModel(files))
     }
   }
+
+  test("dd15 star contraction equals union-find on generated random graphs") {
+    // graphs with varied density and node-id ranges: components of
+    // diameter 0 (isolated pairs) through long chains — each Spark
+    // result compared per-node against a driver-side union-find.
+    // Spark runs per graph are expensive, so fewer samples, but each
+    // sample is a whole-graph equivalence, not a point check.
+    val genGraph: Gen[Seq[(Long, Long)]] = for {
+      nNodes <- Gen.choose(2, 30)
+      nEdges <- Gen.choose(1, 50)
+      edges <- Gen.listOfN(nEdges, for {
+        a <- Gen.choose(0L, nNodes.toLong - 1)
+        b <- Gen.choose(0L, nNodes.toLong - 1)
+      } yield (a, b))
+    } yield edges.filter { case (a, b) => a != b }
+      .map { case (a, b) => (a.min(b), a.max(b)) }
+    import spark.implicits._
+    samples(genGraph, 12).filter(_.nonEmpty).foreach { edges =>
+      val got = graft.operators.DedupOps
+        .starComponentsOf(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra.max(rb)) = ra.min(rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expect = nodes.groupBy(find).values
+        .flatMap(ns => ns.map(_ -> ns.min)).toMap
+      assert(got == expect, s"edges: $edges")
+    }
+  }
 }
