@@ -74,7 +74,23 @@ object DataGen {
     * driver fixtures' plain TIMESTAMP annotation). */
   private def tsFromEpoch(sec: Column): Column = timestamp_seconds(sec)
 
-  def generate(s: SparkSession, sf: Double, out: String): Unit = {
+  /** Vocabulary size for a corpus of nDoc documents. Default: the
+    * fixture's fixed 31 words (schema/distribution parity with the
+    * shipped sf ≤ 0.1 fixtures). With `heaps = true`, vocabulary grows
+    * with the corpus per Heaps' law (∝ √corpus, anchored so every
+    * SF ≤ 0.1 is UNCHANGED — 31 words at the fixture's 5000 docs):
+    * the fixed-vocab decade saturates shingle document frequency at
+    * sf1 (~29.8k possible 3-gram types, all df > MaxDf — SCALE.md
+    * round-11 diagnosis), which hollows out the df-capped dedup
+    * pipeline; a real corpus grows types with tokens, and this mode
+    * reproduces that so dedup is actually EXERCISED at sf1. */
+  def vocabFor(nDoc: Int, heaps: Boolean): Int =
+    if (!heaps) Vocab.length
+    else math.max(Vocab.length,
+      math.round(Vocab.length * math.sqrt(nDoc / 5000.0)).toInt)
+
+  def generate(s: SparkSession, sf: Double, out: String,
+      heapsVocab: Boolean = false): Unit = {
     import s.implicits._
     val nCust = math.max(1, (150000 * sf).toInt)
     val nSupp = math.max(1, (10000 * sf).toInt)
@@ -193,17 +209,19 @@ object DataGen {
       format_string("{\"k\": %d}", uint("evk", col("event_id"), 100)).as("props")),
       "events")
 
-    // documents: 10..100 words from the 31-word vocab; ~4.7% of docs are
+    // documents: 10..100 words from the vocab; ~4.7% of docs are
     // instead a COPY of a random earlier doc's text + " dup" (two
     // copiers picking the same base yields the fixtures' emergent exact
     // duplicates); lang weighted 40% en / 15% each other
-    val vocabArr = array(Vocab.map(lit): _*)
+    val nVocab = vocabFor(nDoc, heapsVocab)
+    val vocabArr = array(
+      (Vocab ++ (Vocab.length until nVocab).map(k => s"w$k")).map(lit): _*)
     val baseText = s.range(nDoc).select(
       col("id").as("doc_id"),
       concat_ws(" ", transform(
         sequence(lit(1), lit(10) + uint("dlen", col("id"), 91)),
         i => element_at(vocabArr,
-          pmod(xxhash64(lit("dword"), col("id"), i), lit(31)).cast("int") + 1)))
+          pmod(xxhash64(lit("dword"), col("id"), i), lit(nVocab)).cast("int") + 1)))
         .as("base_text"))
     val isDup = u01("ddup", col("doc_id")) < 0.047
     val withBase = baseText.select(col("doc_id"), col("base_text"),
@@ -245,8 +263,10 @@ object DataGen {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 2, "usage: DataGen <sf> <outDir>")
+    require(args.length == 2 || args.length == 3,
+      "usage: DataGen <sf> <outDir> [--heaps]")
     val sf = args(0).toDouble
+    val heaps = args.length == 3 && args(2) == "--heaps"
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
       .appName(s"graft-datagen-sf$sf")
@@ -254,6 +274,6 @@ object DataGen {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
-    try generate(spark, sf, args(1)) finally spark.stop()
+    try generate(spark, sf, args(1), heaps) finally spark.stop()
   }
 }

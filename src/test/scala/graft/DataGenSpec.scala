@@ -63,4 +63,23 @@ class DataGenSpec extends SparkSpec {
     assert(li.join(ords, li("l_orderkey") === ords("o_orderkey"), "left_anti")
       .count() == 0)
   }
+
+  test("Heaps vocab mode: anchored at the fixture below sf0.1, grows above it") {
+    // the curve: fixture-identical through the shipped fixtures' 5000
+    // docs, ~sqrt growth past it (the round-11 df-cap-saturation fix)
+    assert(DataGen.vocabFor(500, heaps = false) == 31)
+    assert(DataGen.vocabFor(50000, heaps = false) == 31)
+    assert(DataGen.vocabFor(500, heaps = true) == 31)
+    assert(DataGen.vocabFor(5000, heaps = true) == 31)
+    assert(DataGen.vocabFor(50000, heaps = true) == 98)
+    assert(DataGen.vocabFor(500000, heaps = true) == 310)
+    // anchoring is byte-level: at a fixture-scale corpus the heaps mode
+    // generates EXACTLY the default documents table
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_datagen_heaps").toString
+    DataGen.generate(spark, 0.001, dir2, heapsVocab = true)
+    val a = spark.read.parquet(s"$genDir/documents.parquet")
+    val b = spark.read.parquet(s"$dir2/documents.parquet")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir2))
+  }
 }
