@@ -57,9 +57,13 @@ object SimilarityOps extends OpModule {
   def dot(a: String, b: String): org.apache.spark.sql.Column =
     expr(s"vector_dot($a, $b)")
 
-  /** Layout paths already built this process (nn15's build-once guard). */
+  /** Layout paths already built this process (nn15's build-once guard).
+    * A path enters the set only after its write COMPLETES (under
+    * nn15Lock), so a failed build is retried, never served partial.
+    */
   private val nn15Built =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val nn15Lock = new Object
 
   /** The IVF coarse-probe relation shared by nn4 and nn15: the fixture
     * query vector (vec_id 0) paired with its nearest centroid's list
@@ -159,11 +163,21 @@ object SimilarityOps extends OpModule {
     // warehouse rule).
     "nn15_partitioned_ivf_probe" -> ((s, dir) => {
       val e = emb(s, dir)
+      // Keyed on the full sanitized dir (not String.hashCode): two data
+      // dirs in one process must never collide onto one layout.
+      val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
       val out = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_nn15_${dir.hashCode}_${ProcessHandle.current.pid}").getPath
-      if (nn15Built.add(out))
-        e.withColumn("list", col("label"))
-          .write.mode("overwrite").partitionBy("list").parquet(out)
+        s"graft_nn15_${dirKey}_${ProcessHandle.current.pid}").getPath
+      // Mark built only AFTER the write succeeds; a failed write must
+      // not leave later calls reading a partial layout.
+      if (!nn15Built.contains(out)) nn15Lock.synchronized {
+        if (!nn15Built.contains(out)) {
+          e.withColumn("list", col("label"))
+            .write.mode("overwrite").partitionBy("list").parquet(out)
+          graft.model.Fs.deleteRecursivelyOnExit(new java.io.File(out))
+          nn15Built.add(out)
+        }
+      }
       s.read.parquet(out)
         .join(broadcast(centroidProbe(e).withColumnRenamed("label", "list")),
           Seq("list"))

@@ -407,21 +407,21 @@ object TextOps extends OpModule {
       bg.join(bgc, Seq("w1", "w2"))
         .join(broadcast(uni.withColumnRenamed("w", "w1")), Seq("w1"))
         .crossJoin(broadcast(vocab))
-        .withColumn("contrib",
-          round((col("c_ab") + 1) / (col("c_a") + col("v")), 8)
-            .cast("decimal(18,8)"))
+        // per-bigram probability in 1e-8 units by exact INTEGER half-up
+        // division ((2u + n) div 2n) — the SAME discipline as the final
+        // mean below. Previously this was a double quotient + round(., 8),
+        // which leaves the one remaining cross-engine hazard: a quotient
+        // landing on a representational 8-decimal tie rounds differently
+        // (Spark rounds the shortest-string decimal of the double, DuckDB
+        // the exact binary value). Integer arithmetic on exact counts is
+        // bit-identical everywhere; no float ever crosses the boundary.
+        .withColumn("contrib_e8",
+          expr("(2L * (c_ab + 1) * 100000000L + (c_a + v)) DIV (2L * (c_a + v))"))
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bg"), sum(col("contrib")).as("sc"))
-        // the mean probability in 1e-8 units by exact INTEGER half-up
-        // division ((2u + n) div 2n): a final double division + round
-        // hit a genuine cross-engine tie at sf0.1 (Spark rounds the
-        // shortest-string decimal of the quotient, DuckDB the exact
-        // binary value — the decAvg caveat realized, because 8-decimal
-        // quantized contribs make 6-decimal quotient ties likely), so
-        // no float division crosses the engine boundary at all
+        .agg(count(lit(1)).as("n_bg"), sum(col("contrib_e8")).as("sc_e8"))
+        // the mean probability in 1e-8 units, again integer half-up
         .select(col("doc_id"), col("n_bg"),
-          expr("CAST((2 * CAST(sc * 100000000 AS BIGINT) + n_bg) DIV (2 * n_bg) AS BIGINT)")
-            .as("score_e8"))
+          expr("(2L * sc_e8 + n_bg) DIV (2L * n_bg)").as("score_e8"))
     })
   )
 
@@ -660,8 +660,8 @@ object TextOps extends OpModule {
       "voc AS (SELECT COUNT(*) AS v FROM uni)",
       "bgc AS MATERIALIZED (SELECT w1, w2, COUNT(*) AS c_ab FROM bg GROUP BY w1, w2)")(
       """SELECT bg.doc_id, COUNT(*) AS n_bg,
-        |       CAST((2 * CAST(SUM(CAST(ROUND((c_ab + 1) / (c_a + v), 8)
-        |                              AS DECIMAL(18,8))) * 100000000 AS BIGINT)
+        |       CAST((2 * SUM((2 * (c_ab + 1) * 100000000 + (c_a + v))
+        |                     // (2 * (c_a + v)))
         |             + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS score_e8
         |FROM bg
         |JOIN bgc USING (w1, w2)
