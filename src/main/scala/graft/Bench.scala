@@ -52,7 +52,13 @@ object Bench {
         -1.0
       }
     }
+    // Optional local-iteration filter (driver never sets it): time only
+    // the comma-separated query names in SPARK_GRAFT_ONLY — mirrors
+    // Verify's filter, for targeted perf work on one query.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
     val passes = (1 to 3).map(_ => named.map { case (name, fn) => time(name, fn) })
     val results = named.zipWithIndex.map { case ((name, _), i) =>
       val samples = passes.map(_(i))
@@ -97,7 +103,8 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     val errJson = Json.obj(errors)
-    try {
+    // A filtered run must not clobber the full-sweep sidecar record.
+    try if (only.isEmpty) {
       val w = new java.io.PrintWriter("BENCH_FULL.json")
       w.println(s"""{"total":${r3(total)},"failed":$failedJson,"errors":$errJson,"queries":$fullQs,"sf":"$sfDir"}""")
       w.close()

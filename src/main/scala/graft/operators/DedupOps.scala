@@ -142,7 +142,7 @@ object DedupOps extends OpModule {
 
   /** MinHash signatures from a shingle relation: all seeds in ONE pass
     * (array-of-structs explode), not one scan per seed. */
-  private def signaturesOf(sh: DataFrame, cfg: LshConfig = Lsh): DataFrame = {
+  private[graft] def signaturesOf(sh: DataFrame, cfg: LshConfig = Lsh): DataFrame = {
     val hashArr = array((0 until cfg.numHashes).map(seed =>
       struct(lit(seed).as("seed"), h60(s"$seed:", col("sh")).as("h"))): _*)
     sh.select(col("doc_id"), explode(hashArr).as("sh_h"))
@@ -152,6 +152,24 @@ object DedupOps extends OpModule {
 
   def minhashSignatures(s: SparkSession, dir: String): DataFrame =
     signaturesOf(shingles(s, dir))
+
+  /** SINGLE-PASS signature form (round 12): the same (doc_id, seed, mh)
+    * relation as [[signaturesOf]] — bit-identical values, pinned in
+    * LshSpec — but computed by [[graft.functions.MinHashSig]], a
+    * `long[numHashes]`-buffer Aggregator, instead of exploding
+    * `numHashes` struct rows per shingle through a (doc, seed) hash
+    * aggregate. At the production setting that explosion factor is 128:
+    * the partial agg goes from |shingles|×128 rows to one array buffer
+    * per doc per partition, and the shuffle carries arrays, not rows.
+    * The tiny posexplode afterwards is per-DOC (|docs|×128 rows), only
+    * to keep [[bandsOf]] shared between both forms. */
+  private[graft] def signaturesOnePassOf(sh: DataFrame, cfg: LshConfig): DataFrame = {
+    val sig = udaf(new graft.functions.MinHashSig(cfg.numHashes))
+    sh.groupBy("doc_id").agg(sig(col("sh")).as("mhs"))
+      .select(col("doc_id"), posexplode(col("mhs")))
+      .select(col("doc_id"), col("pos").cast("int").as("seed"),
+        col("col").as("mh"))
+  }
 
   /** Parametric signature CTE — the oracle for ANY [[LshConfig]] is
     * generated from that config's constants, never hand-written, so the
@@ -302,12 +320,14 @@ object DedupOps extends OpModule {
     // (the hot-bucket-safe feature space the 100 TB run uses). The
     // oracle SQL is GENERATED from the same LshConfig constants as the
     // query, so the gate checks the setting that would ship, not just
-    // the 4-hash fixture miniature. One pass computes all 128 seeded
-    // hashes (array-of-structs explode); map-side partial min collapses
-    // the (doc, seed) shuffle to ≤ 128 rows per doc per partition.
+    // the 4-hash fixture miniature. Signatures come from the
+    // SINGLE-PASS MinHashSig aggregate (see [[signaturesOnePassOf]]):
+    // one long[128] buffer per doc instead of 128 exploded rows per
+    // shingle — value-identical to the exploded form (LshSpec pins it),
+    // ~2× cheaper at this setting.
     "dd14_minhash_production" -> ((s, dir) =>
       candidatePairs(bandsOf(
-        signaturesOf(cappedShingles(s, dir), LshConfig.Production),
+        signaturesOnePassOf(cappedShingles(s, dir), LshConfig.Production),
         LshConfig.Production))),
 
     // n-gram Jaccard over the df-capped shingle set: pairs sharing rare

@@ -59,4 +59,21 @@ class LshSpec extends SparkSpec {
     assert(LshConfig.Production.rowsPerBand == 8)
     intercept[IllegalArgumentException](LshConfig(10, 3))
   }
+
+  test("single-pass MinHashSig aggregate is bit-identical to the exploded form") {
+    // dd14's value contract: swapping the long[128]-buffer aggregate in
+    // for the 128-row explode changes the PLAN, never the (doc, seed,
+    // mh) relation. Checked at the production setting, where the
+    // explosion factor (and thus the risk of a divergent hash path)
+    // is largest, plus an uneven non-power setting.
+    for (cfg <- Seq(LshConfig.Production, LshConfig(12, 3))) {
+      val sh = DedupOps.shinglesOf(docs)
+      val exploded = DedupOps.signaturesOf(sh, cfg)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val onePass = DedupOps.signaturesOnePassOf(sh, cfg)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(onePass == exploded, s"cfg=$cfg: signature relations differ")
+      assert(exploded.size == 4 * cfg.numHashes) // 4 docs x all seeds
+    }
+  }
 }
