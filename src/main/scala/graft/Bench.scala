@@ -96,10 +96,14 @@ object Bench {
       "dd15_cc_starcontract", "nn15_partitioned_ivf_probe",
       "g6_bucketed_pagerank", "dd14_minhash_production", "s1_jdbc_pushdown")
     val resMap = results.toMap
-    val qs = headline.flatMap(h => resMap.get(h).map(v => "\"" + h + "\":" + r3(v)))
-      .mkString("{", ",", "}")
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    // A filtered run is small: print every timed query inline instead of
+    // the headline subset (which may not intersect the filter at all).
+    val qs =
+      if (only.nonEmpty) fullQs
+      else headline.flatMap(h => resMap.get(h).map(v => "\"" + h + "\":" + r3(v)))
+        .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     val errJson = Json.obj(errors)

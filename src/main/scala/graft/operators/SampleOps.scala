@@ -271,6 +271,10 @@ object SampleOps extends OpModule {
       val ranged = docs
         .repartitionByRange(parts, col("n_chars").desc, col("doc_id"))
         .withColumn("pid", spark_partition_id())
+      // Unpartitioned window BY DESIGN: it runs over |partitions| rows
+      // (8 here, ~cluster cores at scale), never corpus rows — the
+      // "WindowExec: No Partition Defined" WARN it triggers is bounded
+      // by construction.
       val offW = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
       val offsets = ranged.groupBy("pid").agg(count(lit(1)).as("cnt"))
         .withColumn("off", coalesce(sum("cnt").over(offW), lit(0L)))
