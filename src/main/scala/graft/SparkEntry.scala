@@ -18,6 +18,7 @@ object SparkEntry {
     * in tests (names must be globally unique). */
   val modules: Seq[OpModule] = Seq(
     TileSelectOps,
+    PolyOps,
     JoinOps,
     AggOps,
     SetOps,

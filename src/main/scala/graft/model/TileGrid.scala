@@ -91,6 +91,86 @@ object TileGrid {
   val ExtentXMax = 8000
   val ExtentYMax = 7000
 
+  // ---- Non-rectangular tile geometry (closes the SURVEY §7.4 residual
+  // delta: every predicate so far ran on the envelope model; these
+  // polygons are genuinely non-rectangular, and every derived quantity
+  // stays EXACT because all vertices are integers — containment is
+  // integer-sign ray casting and area is the integer shoelace sum, both
+  // computable identically in Spark and DuckDB with no geometry lib and
+  // no float crossing the engine boundary). ----
+
+  /** One directed polygon edge (integer endpoints). */
+  final case class PEdge(x1: Long, y1: Long, x2: Long, y2: Long)
+
+  /** One tile's polygon: closed ring as an edge list, CCW. */
+  final case class PolyTile(tile_id: String, version: Int, edges: Seq[PEdge])
+
+  /** Six CCW sector directions (|component| ≤ 2): vertices placed along
+    * these at varying integer radii give an irregular hexagon that is
+    * star-shaped about the tile center (each vertex in its own angular
+    * sector, consecutive sector gaps < 180°) — hence simple — and
+    * emphatically not a rectangle. */
+  private val PolyDirs = Vector((2L, 0L), (1L, 2L), (-1L, 2L),
+    (-2L, 0L), (-1L, -2L), (1L, -2L))
+
+  /** Deterministic per-(tile, vertex) radius in [base, base+spread). */
+  private def polyRadius(k: Int, i: Int, base: Int, spread: Int): Long =
+    base + ((k * 31 + i * 17) % spread)
+
+  private def polyOf(t: Tile, base: Int, spread: Int): PolyTile = {
+    val k = t.tx * N + t.ty
+    val cx = t.tx * TileSize.toLong + TileSize / 2
+    val cy = t.ty * TileSize.toLong + TileSize / 2
+    val vs = PolyDirs.zipWithIndex.map { case ((dx, dy), i) =>
+      val r = polyRadius(k, i, base, spread)
+      (cx + dx * r, cy + dy * r)
+    }
+    val edges = vs.indices.map { i =>
+      val (x1, y1) = vs(i); val (x2, y2) = vs((i + 1) % vs.size)
+      PEdge(x1, y1, x2, y2)
+    }
+    PolyTile(t.tile_id, t.version, edges)
+  }
+
+  /** In-tile polygons: radii in [350, 600) ⇒ max |offset| 2·599 = 1198 <
+    * 1250, so each hexagon is strictly inside its own tile (the
+    * ST_Within fixture, reference tileconfig.py:170-176). */
+  val tilePolys: Seq[PolyTile] = tiles.map(polyOf(_, 350, 250))
+
+  /** Coverage polygons: radii in [900, 1600) ⇒ offsets up to 3198 spill
+    * well past the 2500-tile — neighbouring polygons genuinely overlap,
+    * like the reference's real AHN tile boundaries (buffered border
+    * strips, tileconfig.py:525-598). The j14 bin-then-exact join runs
+    * against these. */
+  val coverPolys: Seq[PolyTile] = tiles.map(polyOf(_, 900, 700))
+
+  /** Half-tile binning grid for the polygon join (cell = 1250). */
+  val PolyCell: Int = TileSize / 2
+
+  /** (polygon, covered bin cell) pairs from each coverage polygon's
+    * bbox, clamped to the world — the tiny exploded side of the binned
+    * join; a point probes exactly one cell. */
+  val coverCells: Seq[(String, Long, Long)] =
+    coverPolys.flatMap { p =>
+      val xs = p.edges.map(_.x1); val ys = p.edges.map(_.y1)
+      val cx0 = math.max(0L, xs.min / PolyCell)
+      val cx1 = math.min((World - 1).toLong / PolyCell, xs.max / PolyCell)
+      val cy0 = math.max(0L, ys.min / PolyCell)
+      val cy1 = math.min((World - 1).toLong / PolyCell, ys.max / PolyCell)
+      for { cx <- cx0 to cx1; cy <- cy0 to cy1 } yield (p.tile_id, cx, cy)
+    }
+
+  def polyEdgesSqlCte(name: String, polys: Seq[PolyTile]): String = {
+    val rows = for { p <- polys; e <- p.edges }
+      yield s"('${p.tile_id}', ${p.version}, ${e.x1}, ${e.y1}, ${e.x2}, ${e.y2})"
+    s"$name(tile_id, version, x1, y1, x2, y2) AS (VALUES ${rows.mkString(", ")})"
+  }
+
+  def coverCellsSqlCte: String = {
+    val rows = coverCells.map { case (id, cx, cy) => s"('$id', $cx, $cy)" }
+    s"poly_cells(tile_id, cellx, celly) AS (VALUES ${rows.mkString(", ")})"
+  }
+
   // ---- DuckDB renderings (oracle side) ----
 
   def boundariesSqlCte: String = {
