@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.MapType
+
+import graft.Fingerprint.Fp
 
 /** Multi-JVM execution audit main: run a representative query suite
   * under `local-cluster[2,4,2048]` — TWO REAL EXECUTOR JVMs, separate
@@ -58,24 +58,7 @@ object ClusterCheck {
     "mm1_decode_meta", "st1_stream_monitor_agg", "st2_stream_peak_state",
     "w1_rank_files", "ds13_curriculum_order")
 
-  private case class Fp(n: Long, xor: Long)
-
-  private def fingerprint(df: DataFrame): Fp = {
-    // Maps hash order-sensitively (Spark disallows hashing them by
-    // default for exactly that reason) — normalize through to_json,
-    // which renders map entries in insertion order deterministically
-    // for these queries' construction paths; everything else feeds
-    // xxhash64 natively.
-    val cols = df.schema.fields.map { f =>
-      if (f.dataType.isInstanceOf[MapType]) to_json(col(f.name))
-      else col(f.name)
-    }
-    val r = df
-      .agg(count(lit(1)).as("n"),
-        coalesce(bit_xor(xxhash64(cols.toIndexedSeq: _*)), lit(0L)).as("x"))
-      .collect()(0)
-    Fp(r.getLong(0), r.getLong(1))
-  }
+  private def fingerprint(df: DataFrame): Fp = Fingerprint.of(df)
 
   private def session(master: String, extra: Map[String, String]): SparkSession = {
     val b = SparkSession.builder()
