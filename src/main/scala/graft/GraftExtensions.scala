@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Hash60, RectRelate, VectorDot}
+import graft.functions.{Hash60, NfcNormalize, RectRelate, VectorDot}
 
 /** Production wiring for the engine's native extensions: a cluster user
   * sets `spark.sql.extensions=graft.GraftExtensions` (or
@@ -31,6 +31,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("h60"),
       new ExpressionInfo(classOf[Hash60].getName, "h60"),
       (exprs: Seq[Expression]) => Hash60(exprs.head)))
+    // Unicode NFC normalization (UAX #15 via the JDK) — step zero of
+    // text dedup; DuckDB's nfc_normalize is the oracle counterpart
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
     // the reference's spatial SQL surface (tileconfig.py:591-592) for
     // the rectangle geometry model: ST_Relate / ST_Covers / the raw
     // DE-9IM matrix as SQL functions. Each expands at RESOLUTION time

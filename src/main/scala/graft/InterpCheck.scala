@@ -63,7 +63,8 @@ object InterpCheck {
       if (args.lift(1).contains("quick"))
         (ClusterCheck.Suite ++ Seq("p15_poly_within", "j14_poly_bin_join",
           "a22_poly_area", "tx4_fingerprint", "tx5_rolling_hash",
-          "nn1_cosine_topk", "v3_sql_dedup")).distinct
+          "nn1_cosine_topk", "v3_sql_dedup", "tx18_nfc_normalize",
+          "dd16_url_canonicalize")).distinct
       else SparkEntry.queries.keys.toSeq.sorted
 
     def runPhase(noCodegen: Boolean): (Map[String, Fp], Map[String, String], Boolean) = {

@@ -510,6 +510,41 @@ object DedupOps extends OpModule {
         // the component id IS the keeper (min doc_id) by construction
         .groupBy("component").agg(count(lit(1)).as("n_docs"))),
 
+    // DD16 (extension) — URL CANONICALIZATION dedup: the web-corpus
+    // pre-dedup step (CommonCrawl-style) where the SAME page is fetched
+    // under byte-different URLs — case-varied scheme/host, default
+    // port, tracking params, fragments, param order. Canonical form:
+    // lowercase scheme+host, strip leading www. and :80, drop the
+    // fragment, drop utm_* params, sort the survivors. The fixture URL
+    // embeds doc_id ONLY in stripped components (utm param + fragment)
+    // plus real page keys (source, doc_id%7), so canonicalization
+    // genuinely collapses the corpus (2500 docs → 20·7 pages at
+    // sf0.01). Scale: pure per-row regex/array expressions on the scan
+    // + ONE partial-agg shuffle on the canonical key — the same shape
+    // as dd1 exact dedup, because after canonicalization it IS exact
+    // dedup.
+    "dd16_url_canonicalize" -> ((s, dir) => {
+      val raw = concat(lit("HTTP://WWW.Example-"), col("source"),
+        lit(".COM:80/Docs/Page-"), (col("doc_id") % 7).cast("string"),
+        lit("/?utm_source=doc"), col("doc_id").cast("string"),
+        lit("&z="), (col("doc_id") % 3).cast("string"),
+        lit("&a=1#sec"), col("doc_id").cast("string"))
+      val noFrag = regexp_replace(raw, "#.*$", "")
+      val host = regexp_replace(regexp_replace(
+        lower(regexp_extract(noFrag, "^[A-Za-z]+://([^/?]+)", 1)),
+        "^www\\.", ""), ":80$", "")
+      val path = regexp_extract(noFrag, "^[A-Za-z]+://[^/?]+([^?]*)", 1)
+      val params = array_join(array_sort(filter(
+        split(regexp_extract(noFrag, "\\?(.*)$", 1), "&"),
+        p => !p.startsWith("utm_") && p =!= "")), "&")
+      val canon = concat(lit("http://"), host, path,
+        when(length(params) > 0, concat(lit("?"), params)).otherwise(lit("")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), canon.as("canon_url"))
+        .groupBy("canon_url")
+        .agg(count(lit(1)).as("n_dups"), min("doc_id").as("keep_doc"))
+    }),
+
     // DD10 (extension) — CROSS-SOURCE duplication report: documents whose
     // normalized HEAD (first 40 chars — the boilerplate-prefix key that
     // catches shared headers/templates exact hashing misses) appears
@@ -710,6 +745,36 @@ object DedupOps extends OpModule {
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id,
         |       COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "dd16_url_canonicalize" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |         regexp_replace(
+        |           'HTTP://WWW.Example-' || source || '.COM:80/Docs/Page-' ||
+        |           CAST(doc_id % 7 AS VARCHAR) || '/?utm_source=doc' ||
+        |           CAST(doc_id AS VARCHAR) || '&z=' ||
+        |           CAST(doc_id % 3 AS VARCHAR) || '&a=1#sec' ||
+        |           CAST(doc_id AS VARCHAR), '#.*$', '') AS nofrag
+        |  FROM documents),
+        |comp AS (
+        |  SELECT doc_id,
+        |         regexp_replace(regexp_replace(
+        |           lower(regexp_extract(nofrag, '^[A-Za-z]+://([^/?]+)', 1)),
+        |           '^www\.', ''), ':80$', '') AS host,
+        |         regexp_extract(nofrag, '^[A-Za-z]+://[^/?]+([^?]*)', 1) AS path,
+        |         regexp_extract(nofrag, '\?(.*)$', 1) AS qs
+        |  FROM raw),
+        |canon AS (
+        |  SELECT doc_id,
+        |         'http://' || host || path ||
+        |         CASE WHEN pstr <> '' THEN '?' || pstr ELSE '' END AS canon_url
+        |  FROM (SELECT doc_id, host, path,
+        |               array_to_string(list_sort(list_filter(
+        |                 string_split(qs, '&'),
+        |                 p -> NOT starts_with(p, 'utm_') AND p <> '')), '&') AS pstr
+        |        FROM comp) t)
+        |SELECT canon_url, COUNT(*) AS n_dups, MIN(doc_id) AS keep_doc
+        |FROM canon GROUP BY canon_url""".stripMargin,
 
     "dd2_minhash_lsh" -> Sql.query(shinglesSql, sigSql, bandsSql)(
       """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

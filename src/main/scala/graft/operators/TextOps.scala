@@ -422,6 +422,40 @@ object TextOps extends OpModule {
         // the mean probability in 1e-8 units, again integer half-up
         .select(col("doc_id"), col("n_bg"),
           expr("(2L * sc_e8 + n_bg) DIV (2L * n_bg)").as("score_e8"))
+    }),
+
+    // TX18 (extension) — UNICODE NFC NORMALIZATION: step zero of text
+    // dedup ("é" precomposed vs e+combining-acute are different bytes,
+    // so every byte-level fingerprint/shingle treats them as distinct
+    // documents). The fixture text is ASCII, so each doc is decorated
+    // with a deterministic decomposed suffix (vowel by doc_id%5 +
+    // combining grave/acute/circumflex by doc_id%3 — all 15 pairs have
+    // precomposed forms, so NFC always composes) plus an already-
+    // precomposed "é" (idempotence must hold). Both engines implement
+    // the same UAX #15 tables (JDK Normalizer here, utf8proc in the
+    // DuckDB oracle), so the normalized strings hash-match exactly.
+    // Scale: a per-row codegen'd expression on the corpus scan with an
+    // isNormalized fast path — no shuffle, no allocation on real-world
+    // mostly-NFC text.
+    "tx18_nfc_normalize" -> ((s, dir) => {
+      val vowels = array(Seq("a", "e", "i", "o", "u").map(lit): _*)
+      // combining grave / acute / circumflex (escapes, not raw glyphs —
+      // a bare combining mark in source would attach to the quote)
+      val marks = array(Seq("\u0300", "\u0301", "\u0302").map(lit): _*)
+      val raw = concat(substring(col("text"), 1, 12), lit(" "),
+        element_at(vowels, (col("doc_id") % 5 + 1).cast("int")),
+        element_at(marks, (col("doc_id") % 3 + 1).cast("int")),
+        lit("\u00e9"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"),
+          org.apache.spark.sql.graft.ColumnBridge.toColumn(
+            graft.functions.NfcNormalize(
+              org.apache.spark.sql.graft.ColumnBridge.toExpression(col("raw"))))
+            .as("norm"),
+          length(col("raw")).as("n_raw"))
+        .withColumn("n_norm", length(col("norm")))
+        .withColumn("composed", col("n_raw") - col("n_norm"))
     })
   )
 
@@ -666,6 +700,22 @@ object TextOps extends OpModule {
         |FROM bg
         |JOIN bgc USING (w1, w2)
         |JOIN uni ON uni.w = bg.w1, voc
-        |GROUP BY bg.doc_id""".stripMargin)
+        |GROUP BY bg.doc_id""".stripMargin),
+
+    // combining marks are contiguous from U+0300, so the mark picks via
+    // chr(768 + k); the vowels are not, hence the list. utf8proc's NFC
+    // must produce the same bytes as the JDK's — one Unicode standard.
+    "tx18_nfc_normalize" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |         substr(text, 1, 12) || ' ' ||
+        |         (['a','e','i','o','u'])[CAST(doc_id % 5 AS INT) + 1] ||
+        |         chr(768 + CAST(doc_id % 3 AS INT)) || chr(233) AS raw
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(raw) AS norm,
+        |       length(raw) AS n_raw,
+        |       length(nfc_normalize(raw)) AS n_norm,
+        |       length(raw) - length(nfc_normalize(raw)) AS composed
+        |FROM raw""".stripMargin
   )
 }
