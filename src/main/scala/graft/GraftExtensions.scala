@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Hash60, NfcNormalize, RectRelate, VectorDot}
+import graft.functions.{Hash60, NfcNormalize, PointInPoly, RectRelate, VectorDot}
 
 /** Production wiring for the engine's native extensions: a cluster user
   * sets `spark.sql.extensions=graft.GraftExtensions` (or
@@ -37,6 +37,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
+    // exact integer ray-cast containment for the non-rectangular
+    // geometry family — the codegen'd hot loop behind p15/j14
+    ext.injectFunction((
+      FunctionIdentifier("point_in_poly"),
+      new ExpressionInfo(classOf[PointInPoly].getName, "point_in_poly"),
+      (exprs: Seq[Expression]) => PointInPoly(exprs(0), exprs(1), exprs(2))))
     // the reference's spatial SQL surface (tileconfig.py:591-592) for
     // the rectangle geometry model: ST_Relate / ST_Covers / the raw
     // DE-9IM matrix as SQL functions. Each expands at RESOLUTION time

@@ -46,8 +46,25 @@ object PolyOps extends OpModule {
     * inequality flipped on its sign. All-integer, so Spark and the
     * DuckDB oracle agree bit-for-bit. Exact for every non-boundary
     * point; boundary points resolve deterministically (same arithmetic
-    * both engines). */
+    * both engines).
+    *
+    * The registered queries bind the codegen'd
+    * [[graft.functions.PointInPoly]] Expression (a tight primitive loop
+    * inside whole-stage codegen — the 100 TB form of a corpus-wide
+    * containment filter); [[insideHof]] keeps the composable
+    * higher-order-function formulation as an independent second
+    * implementation, spec-pinned equal on seeded sweeps. */
   private[graft] def inside(px: Column, py: Column, edges: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.toColumn(graft.functions.PointInPoly(
+      ColumnBridge.toExpression(px), ColumnBridge.toExpression(py),
+      ColumnBridge.toExpression(edges)))
+  }
+
+  /** The same crossing rule as a built-in `aggregate` fold — interpreted
+    * (HOFs are CodegenFallback), kept as the cross-check twin of the
+    * Expression. */
+  private[graft] def insideHof(px: Column, py: Column, edges: Column): Column = {
     val crossings = aggregate(edges, lit(0L), (acc, e) => {
       val x1 = e.getField("x1"); val y1 = e.getField("y1")
       val x2 = e.getField("x2"); val y2 = e.getField("y2")

@@ -110,10 +110,17 @@ class PolyOpsSpec extends SparkSpec {
     val ptsDf = pts.toDF("px", "py")
     TileGrid.tilePolys.take(3).foreach { p =>
       val edgesLit = typedLit(p.edges)
-      val got = ptsDf.withColumn("in", PolyOps.inside(col("px"), col("py"), edgesLit))
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
-      got.foreach { case (px, py, in) =>
+      // three implementations, one truth: the codegen'd PointInPoly
+      // Expression (what the queries run), the higher-order aggregate
+      // fold, and the plain-Scala mirror
+      val got = ptsDf
+        .withColumn("in", PolyOps.inside(col("px"), col("py"), edgesLit))
+        .withColumn("in_hof", PolyOps.insideHof(col("px"), col("py"), edgesLit))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+      got.foreach { case (px, py, in, inHof) =>
         assert(in == insideScala(px, py, p.edges), s"(${px},${py}) vs ${p.tile_id}")
+        assert(in == inHof, s"Expression vs HOF diverge at (${px},${py}) vs ${p.tile_id}")
       }
       val a2 = ptsDf.limit(1).select(PolyOps.shoelace2(edgesLit)).as[Long].head()
       assert(a2 == shoelace2Scala(p.edges), p.tile_id)
