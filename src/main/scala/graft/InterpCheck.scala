@@ -32,7 +32,7 @@ import graft.Fingerprint.Fp
   */
 object InterpCheck {
 
-  private def session(noCodegen: Boolean): SparkSession = {
+  private def session(flipped: Boolean, mode: String): SparkSession = {
     val b = SparkSession.builder()
       .master("local[8]")
       .appName("graft-interp-check")
@@ -43,41 +43,52 @@ object InterpCheck {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.warehouse.dir",
-        s"/tmp/graft_warehouse_ic_${ProcessHandle.current.pid}_$noCodegen")
+        s"/tmp/graft_warehouse_ic_${ProcessHandle.current.pid}_$flipped")
       .config("spark.ui.enabled", "false")
-    if (noCodegen) {
-      b.config("spark.sql.codegen.wholeStage", "false")
-        .config("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    if (flipped) mode match {
+      case "noaqe" =>
+        b.config("spark.sql.adaptive.enabled", "false")
+      case _ =>
+        b.config("spark.sql.codegen.wholeStage", "false")
+          .config("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     }
     b.getOrCreate()
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    // `noaqe`: instead of disabling codegen, phase B disables ADAPTIVE
+    // EXECUTION entirely — results must not depend on AQE's runtime
+    // re-planning (coalesced shuffle reads, skew splits, runtime join
+    // demotions). Every other gate runs AQE on; this is the off half.
+    val mode = if (args.exists(_ == "noaqe")) "noaqe" else "nocodegen"
     // default: the FULL surface (the recorded audit). `quick`: the
     // expression-risk subset for CI — ClusterCheck's serialization
     // suite already concentrates the custom Expressions/Aggregators,
     // plus the HOF-heavy polygon queries and the two hash expressions'
     // hottest consumers.
     val suite: Seq[String] =
-      if (args.lift(1).contains("quick"))
+      if (args.exists(_ == "quick"))
         (ClusterCheck.Suite ++ Seq("p15_poly_within", "j14_poly_bin_join",
           "a22_poly_area", "tx4_fingerprint", "tx5_rolling_hash",
           "nn1_cosine_topk", "v3_sql_dedup", "tx18_nfc_normalize",
           "dd16_url_canonicalize")).distinct
       else SparkEntry.queries.keys.toSeq.sorted
 
-    def runPhase(noCodegen: Boolean): (Map[String, Fp], Map[String, String], Boolean) = {
-      val spark = session(noCodegen)
+    def runPhase(flipped: Boolean): (Map[String, Fp], Map[String, String], Boolean) = {
+      val spark = session(flipped, mode)
       spark.sparkContext.setLogLevel("ERROR")
       // regime proof: the flagship aggregation plan must (not) contain
-      // compiled stages. collect() (not count(), which plans its own
-      // tree) materializes THIS QueryExecution so the adaptive plan
-      // reaches isFinalPlan=true; codegen'd stages print as `*(n)`
-      // markers in the final plan string.
+      // the flipped regime's marker. collect() (not count(), which
+      // plans its own tree) materializes THIS QueryExecution so the
+      // adaptive plan reaches isFinalPlan=true; codegen'd stages print
+      // as `*(n)` markers, AQE as the AdaptiveSparkPlan root.
       val probe = SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
       probe.collect()
-      val hasCodegen = probe.queryExecution.executedPlan.toString.contains("*(")
+      val planStr = probe.queryExecution.executedPlan.toString
+      val hasCodegen =
+        if (mode == "noaqe") planStr.contains("AdaptiveSparkPlan")
+        else planStr.contains("*(")
       val fps = scala.collection.mutable.LinkedHashMap.empty[String, Fp]
       val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
       suite.foreach { name =>
@@ -93,8 +104,8 @@ object InterpCheck {
       (fps.toMap, errs.toMap, hasCodegen)
     }
 
-    val (genFps, genErrs, genHas) = runPhase(noCodegen = false)
-    val (interpFps, interpErrs, interpHas) = runPhase(noCodegen = true)
+    val (genFps, genErrs, genHas) = runPhase(flipped = false)
+    val (interpFps, interpErrs, interpHas) = runPhase(flipped = true)
 
     val mismatched = suite.filter(q =>
       genFps.get(q).isDefined && interpFps.get(q).isDefined &&
@@ -107,7 +118,8 @@ object InterpCheck {
       (genErrs.map { case (k, v) => s"codegen:$k" -> v } ++
         interpErrs.map { case (k, v) => s"interp:$k" -> v }).toSeq: _*))
     val regimeOk = genHas && !interpHas
-    println(s"""{"metric":"interp_parity","matched":$matched,"total":${suite.size},"regime_ok":$regimeOk,"mismatched":${arr(mismatched)},"failed":${arr(failed)},"errors":$errDetail,"sf":"$sfDir"}""")
+    val metric = if (mode == "noaqe") "aqe_parity" else "interp_parity"
+    println(s"""{"metric":"$metric","matched":$matched,"total":${suite.size},"regime_ok":$regimeOk,"mismatched":${arr(mismatched)},"failed":${arr(failed)},"errors":$errDetail,"sf":"$sfDir"}""")
     if (mismatched.nonEmpty || failed.nonEmpty || !regimeOk) sys.exit(1)
   }
 }
