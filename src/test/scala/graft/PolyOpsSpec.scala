@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.model.TileGrid
-import graft.model.TileGrid.{PEdge, PolyTile}
+import graft.model.TileGrid.PEdge
 import graft.operators.PolyOps
 
 /** Non-rectangular geometry: the ray-cast containment predicate and the
