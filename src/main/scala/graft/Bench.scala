@@ -56,7 +56,13 @@ object Bench {
     // the comma-separated query names in SPARK_GRAFT_ONLY — mirrors
     // Verify's filter, for targeted perf work on one query.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    // a typo'd name must error, not silently time zero queries and
+    // print a plausible-but-vacuous JSON line
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"SPARK_GRAFT_ONLY names not in the registry: ${unknown.toSeq.sorted.mkString(", ")}")
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
     val passes = (1 to 3).map(_ => named.map { case (name, fn) => time(name, fn) })

@@ -101,21 +101,14 @@ object ClusterCheck {
 
     // Executor JVMs need the graft classes and the JDK17 module opens;
     // ship the launching JVM's own classpath and opens verbatim.
-    val addOpens = Seq(
-      "java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
-      "java.net", "java.nio", "java.util", "java.util.concurrent",
-      "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
-      "sun.security.action", "sun.util.calendar")
-      .map(p => s"--add-opens java.base/$p=ALL-UNNAMED").mkString(" ")
-    // ABSOLUTE paths only: executors run from the Spark work dir, so a
-    // relative `target/scala-2.13/classes` entry silently resolves to
-    // nothing there — the first actual multi-JVM defect this main
-    // caught was its own harness shipping a relative classpath
-    // (SerializedLambda ClassCastExceptions on every Scala closure).
-    val absClasspath = sys.props("java.class.path").split(":")
-      .filter(_.nonEmpty)
-      .map(p => new java.io.File(p).getAbsolutePath)
-      .mkString(":")
+    val addOpens = Jvm.addOpensString
+    // ABSOLUTE paths only (Jvm.absoluteClasspath): executors run from
+    // the Spark work dir, so a relative `target/scala-2.13/classes`
+    // entry silently resolves to nothing there — the first actual
+    // multi-JVM defect this main caught was its own harness shipping a
+    // relative classpath (SerializedLambda ClassCastExceptions on every
+    // Scala closure).
+    val absClasspath = Jvm.absoluteClasspath
     val clusterConf = Map(
       "spark.executor.extraClassPath" -> absClasspath,
       "spark.executor.extraJavaOptions" -> addOpens,

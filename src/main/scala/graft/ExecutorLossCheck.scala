@@ -1,6 +1,6 @@
 package graft
 
-import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger, AtomicLong}
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
@@ -70,16 +70,8 @@ object ExecutorLossCheck {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
 
-    val addOpens = Seq(
-      "java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
-      "java.net", "java.nio", "java.util", "java.util.concurrent",
-      "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
-      "sun.security.action", "sun.util.calendar")
-      .map(p => s"--add-opens java.base/$p=ALL-UNNAMED").mkString(" ")
-    val absClasspath = sys.props("java.class.path").split(":")
-      .filter(_.nonEmpty)
-      .map(p => new java.io.File(p).getAbsolutePath)
-      .mkString(":")
+    val addOpens = Jvm.addOpensString
+    val absClasspath = Jvm.absoluteClasspath
 
     def session(tag: String): SparkSession = SparkSession.builder()
       .master("local-cluster[2,4,2048]")
@@ -106,8 +98,14 @@ object ExecutorLossCheck {
     // ---- Phase 1: undisturbed reference run ----
     val ref = session("ref")
     ref.sparkContext.setLogLevel("ERROR")
-    val refFps = Suite.map(q =>
-      q -> Fingerprint.of(SparkEntry.queries(q)(ref, sfDir))).toMap
+    val refErrs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val refFps = Suite.flatMap { q =>
+      try Some(q -> Fingerprint.of(SparkEntry.queries(q)(ref, sfDir)))
+      catch { case e: Throwable =>
+        refErrs(q) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        None
+      }
+    }.toMap
     graft.sources.Cached.releaseAll()
     ref.stop()
     SparkSession.clearActiveSession()
@@ -118,7 +116,7 @@ object ExecutorLossCheck {
     spark.sparkContext.setLogLevel("ERROR")
     val kills = new AtomicInteger(0)
     val nonSuccess = new AtomicInteger(0)
-    val stagesSeen = new AtomicLong(0)
+    val resubmits = new AtomicInteger(0)
     val armed = new AtomicBoolean(false)
     // ONE kill per query: the first kill attempt exhausts the budget
     // until the driver re-arms it for the next query — continuous
@@ -128,7 +126,9 @@ object ExecutorLossCheck {
     val killBudget = new AtomicInteger(0)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
-        stagesSeen.incrementAndGet()
+        // a stage attempt beyond 0 is the DAGScheduler resubmitting
+        // after lost shuffle output — the other way a felt loss shows
+        if (s.stageInfo.attemptNumber() > 0) resubmits.incrementAndGet()
         // arm the killer once a stage has completed: its map outputs
         // now live on the executors, including the victim
         armed.set(true)
@@ -168,13 +168,19 @@ object ExecutorLossCheck {
     spark.stop()
 
     val mismatched = Suite.filter(q =>
-      killFps.get(q).isDefined && refFps(q) != killFps(q))
-    val matched = Suite.count(q => killFps.get(q).contains(refFps(q)))
-    val failed = errs.keys.toSeq
+      refFps.get(q).isDefined && killFps.get(q).isDefined &&
+        refFps(q) != killFps(q))
+    val matched = Suite.count(q =>
+      refFps.get(q).isDefined && killFps.get(q) == refFps.get(q))
+    val failed = (refErrs.keySet ++ errs.keySet).toSeq.sorted
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // felt = the loss was observable in the scheduler, not a no-op kill
-    val felt = nonSuccess.get() > 0
-    println(s"""{"metric":"executor_loss_parity","matched":$matched,"total":${Suite.size},"kills":${kills.get()},"non_success_tasks":${nonSuccess.get()},"mismatched":${arr(mismatched)},"failed":${arr(failed)},"errors":${Json.obj(errs)},"sf":"$sfDir"}""")
+    val errDetail = Json.obj(scala.collection.mutable.LinkedHashMap(
+      (refErrs.map { case (k, v) => s"ref:$k" -> v } ++
+        errs.map { case (k, v) => s"kill:$k" -> v }).toSeq: _*))
+    // felt = the loss was observable in the scheduler (a lost/failed
+    // task OR a resubmitted stage), not a no-op kill
+    val felt = nonSuccess.get() > 0 || resubmits.get() > 0
+    println(s"""{"metric":"executor_loss_parity","matched":$matched,"total":${Suite.size},"kills":${kills.get()},"non_success_tasks":${nonSuccess.get()},"stage_resubmits":${resubmits.get()},"mismatched":${arr(mismatched)},"failed":${arr(failed)},"errors":$errDetail,"sf":"$sfDir"}""")
     if (mismatched.nonEmpty || failed.nonEmpty || kills.get() == 0 || !felt)
       sys.exit(1)
   }

@@ -25,7 +25,11 @@ object Verify {
     // Optional local-iteration filter (driver never sets it): run only
     // the comma-separated query names in SPARK_GRAFT_ONLY.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"SPARK_GRAFT_ONLY names not in the registry: ${unknown.toSeq.sorted.mkString(", ")}")
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only(n) }

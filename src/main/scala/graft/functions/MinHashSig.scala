@@ -33,6 +33,9 @@ final class MinHashSig(numHashes: Int)
   override def zero: Array[Long] = Array.fill(numHashes)(Long.MaxValue)
 
   override def reduce(buf: Array[Long], sh: String): Array[Long] = {
+    // null-tolerant like the exploded twin (h60 of null is null, and
+    // min() skips it) — the equivalence contract must hold row-for-row
+    if (sh == null) return buf
     val shBytes = sh.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val d = MinHashSig.md5.get()
     val prefixes = MinHashSig.prefixBytes(numHashes)

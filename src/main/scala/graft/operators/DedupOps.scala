@@ -303,6 +303,24 @@ object DedupOps extends OpModule {
        |              AS BIGINT) AS simhash
        |  FROM bits GROUP BY doc_id)""".stripMargin
 
+  /** dd16's URL canonicalization as a reusable Column pipeline:
+    * lowercase scheme+host, strip leading www. / default :80 / the
+    * fragment / utm_* params, sort the surviving params. One place —
+    * the registered query and TextCanonSpec's golden variants both
+    * call this, so the spec cannot drift from the shipped rule set. */
+  private[graft] def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val host = regexp_replace(regexp_replace(
+      lower(regexp_extract(noFrag, "^[A-Za-z]+://([^/?]+)", 1)),
+      "^www\\.", ""), ":80$", "")
+    val path = regexp_extract(noFrag, "^[A-Za-z]+://[^/?]+([^?]*)", 1)
+    val params = array_join(array_sort(filter(
+      split(regexp_extract(noFrag, "\\?(.*)$", 1), "&"),
+      p => !p.startsWith("utm_") && p =!= "")), "&")
+    concat(lit("http://"), host, path,
+      when(length(params) > 0, concat(lit("?"), params)).otherwise(lit("")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: hash-groupBy, keeper = min doc_id
     "dd1_exact_dedup" -> ((s, dir) =>
@@ -529,18 +547,8 @@ object DedupOps extends OpModule {
         lit("/?utm_source=doc"), col("doc_id").cast("string"),
         lit("&z="), (col("doc_id") % 3).cast("string"),
         lit("&a=1#sec"), col("doc_id").cast("string"))
-      val noFrag = regexp_replace(raw, "#.*$", "")
-      val host = regexp_replace(regexp_replace(
-        lower(regexp_extract(noFrag, "^[A-Za-z]+://([^/?]+)", 1)),
-        "^www\\.", ""), ":80$", "")
-      val path = regexp_extract(noFrag, "^[A-Za-z]+://[^/?]+([^?]*)", 1)
-      val params = array_join(array_sort(filter(
-        split(regexp_extract(noFrag, "\\?(.*)$", 1), "&"),
-        p => !p.startsWith("utm_") && p =!= "")), "&")
-      val canon = concat(lit("http://"), host, path,
-        when(length(params) > 0, concat(lit("?"), params)).otherwise(lit("")))
       Tables.documents(s, dir)
-        .select(col("doc_id"), canon.as("canon_url"))
+        .select(col("doc_id"), canonicalUrl(raw).as("canon_url"))
         .groupBy("canon_url")
         .agg(count(lit(1)).as("n_dups"), min("doc_id").as("keep_doc"))
     }),

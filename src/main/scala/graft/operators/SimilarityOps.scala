@@ -57,14 +57,6 @@ object SimilarityOps extends OpModule {
   def dot(a: String, b: String): org.apache.spark.sql.Column =
     expr(s"vector_dot($a, $b)")
 
-  /** Layout paths already built this process (nn15's build-once guard).
-    * A path enters the set only after its write COMPLETES (under
-    * nn15Lock), so a failed build is retried, never served partial.
-    */
-  private val nn15Built =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private val nn15Lock = new Object
-
   /** The IVF coarse-probe relation shared by nn4 and nn15: the fixture
     * query vector (vec_id 0) paired with its nearest centroid's list
     * label — one row, broadcast by the callers. */
@@ -168,15 +160,13 @@ object SimilarityOps extends OpModule {
       val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
       val out = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_nn15_${dirKey}_${ProcessHandle.current.pid}").getPath
-      // Mark built only AFTER the write succeeds; a failed write must
-      // not leave later calls reading a partial layout.
-      if (!nn15Built.contains(out)) nn15Lock.synchronized {
-        if (!nn15Built.contains(out)) {
-          e.withColumn("list", col("label"))
-            .write.mode("overwrite").partitionBy("list").parquet(out)
-          graft.model.Fs.deleteRecursivelyOnExit(new java.io.File(out))
-          nn15Built.add(out)
-        }
+      // build-once, marked done only AFTER the write succeeds — a
+      // failed write must not leave later calls reading a partial
+      // layout (graft.model.BuildOnce holds the DCL invariant)
+      graft.model.BuildOnce.once(out) {
+        e.withColumn("list", col("label"))
+          .write.mode("overwrite").partitionBy("list").parquet(out)
+        graft.model.Fs.deleteRecursivelyOnExit(new java.io.File(out))
       }
       s.read.parquet(out)
         .join(broadcast(centroidProbe(e).withColumnRenamed("label", "list")),

@@ -33,6 +33,7 @@ class LifecycleSpec extends SparkSpec {
     if (Files.exists(Paths.get(preferred, "orders.parquet"))) preferred
     else {
       val d = Files.createTempDirectory("graft_lifecycle_gen").toString
+      graft.model.Fs.deleteRecursivelyOnExit(new java.io.File(d))
       DataGen.generate(spark, 0.1, d, heapsVocab = true)
       d
     }
@@ -60,6 +61,7 @@ class LifecycleSpec extends SparkSpec {
 
     // ---- export-tile-inputs: per-tile footprints + merged payloads ----
     val exportDir = Files.createTempDirectory("graft_lifecycle_export").toString
+    graft.model.Fs.deleteRecursivelyOnExit(new java.io.File(exportDir))
     val exportOut = captureOut {
       Cli.main(Array("export-tile-inputs", corpusDir, exportDir))
     }
@@ -95,6 +97,7 @@ class LifecycleSpec extends SparkSpec {
 
     // ---- plot-monitor-log: CSV series + the reference's figures ----
     val plotDir = Files.createTempDirectory("graft_lifecycle_plot").toString
+    graft.model.Fs.deleteRecursivelyOnExit(new java.io.File(plotDir))
     val plotOut = captureOut {
       Cli.main(Array("plot-monitor-log", tsv.toString, plotDir))
     }

@@ -43,7 +43,10 @@ class TextCanonSpec extends SparkSpec {
       "HTTP://WWW.Example.COM:80/Docs/?b=2&a=1&utm_source=x#frag",
       "http://example.com/Docs/?a=1&utm_campaign=y&b=2",
       "http://EXAMPLE.com:80/Docs/?b=2&a=1")
-    val canon = variants.toDF("url").select(canonOf(col("url")).as("c"))
+    // the SAME Column pipeline the registered query runs — shared
+    // helper, so this golden cannot drift from the shipped rules
+    val canon = variants.toDF("url")
+      .select(graft.operators.DedupOps.canonicalUrl(col("url")).as("c"))
       .distinct().as[String].collect()
     assert(canon.toSeq == Seq("http://example.com/Docs/?a=1&b=2"), canon.toSeq)
 
@@ -55,19 +58,4 @@ class TextCanonSpec extends SparkSpec {
     assert(dd.agg(sum("n_dups")).first().getLong(0) == docs)
   }
 
-  /** The same canonicalization pipeline dd16 applies, exposed for the
-    * golden variants (kept in lockstep with the query by the oracle
-    * gate — dd16's canonical keys hash-match DuckDB's). */
-  private def canonOf(url: org.apache.spark.sql.Column) = {
-    val noFrag = regexp_replace(url, "#.*$", "")
-    val host = regexp_replace(regexp_replace(
-      lower(regexp_extract(noFrag, "^[A-Za-z]+://([^/?]+)", 1)),
-      "^www\\.", ""), ":80$", "")
-    val path = regexp_extract(noFrag, "^[A-Za-z]+://[^/?]+([^?]*)", 1)
-    val params = array_join(array_sort(filter(
-      split(regexp_extract(noFrag, "\\?(.*)$", 1), "&"),
-      p => !p.startsWith("utm_") && p =!= "")), "&")
-    concat(lit("http://"), host, path,
-      when(length(params) > 0, concat(lit("?"), params)).otherwise(lit("")))
-  }
 }
