@@ -57,7 +57,7 @@ object GraphOps extends OpModule {
     * relation — without the persist the plan re-derives the
     * orders⋈lineitem distinct once per iteration per consumer, a
     * 12×-scan blowup at 100 TB. */
-  private[operators] def tradeEdges(s: SparkSession, dir: String): DataFrame =
+  private[graft] def tradeEdges(s: SparkSession, dir: String): DataFrame =
     Cached.of(s, s"g:edges:$dir") {
       val e0 = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
         .join(Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey"),
@@ -121,6 +121,24 @@ object GraphOps extends OpModule {
       for (_ <- 1 to 3) pr = pagerankStep(edges, pr)
       pr.orderBy(col("pr").desc, col("node")).limit(20)
     }),
+
+    // G7 (round 12) — synchronous LABEL-PROPAGATION community detection:
+    // the third distinct community/cluster algorithm in the family
+    // (dd9/dd15 propagate the MIN label — connected components; g7
+    // propagates the MODE: each node adopts its neighbors' most
+    // frequent label, ties broken by smallest label, for 2 synchronous
+    // rounds). Pure neighbor vote (self excluded), so the update is
+    // one edge⋈label equi-join + two node-keyed partial aggregations —
+    // the (count, label) argmax via the a21 struct-ordering trick, no
+    // window. Deterministic by construction (integer counts, total
+    // tiebreak), hence exactly oracle-checkable; per-round
+    // localCheckpoint is the standard lineage-truncation discipline.
+    // Scale: same shuffle structure as one PageRank step — label
+    // relation is node-sized, edges never move beyond the join.
+    "g7_label_propagation" -> ((s, dir) =>
+      lpa(tradeEdges(s, dir), rounds = 2)
+        .groupBy(col("lab").as("community"))
+        .agg(count(lit(1)).as("n_nodes"))),
 
     // G5 (extension) — CONVERGENCE-AWARE PageRank: the same integer-mass
     // recurrence as g1, but iterated until the ranks are exactly
@@ -258,6 +276,29 @@ object GraphOps extends OpModule {
         .bucketBy(8, "src").sortBy("src").saveAsTable(t)
     }
     s.table(t)
+  }
+
+  /** Synchronous label propagation: `rounds` mode-label updates over a
+    * symmetric (src, dst) edge relation. Each round every node adopts
+    * the most frequent label among its NEIGHBORS (self excluded),
+    * smallest label on ties — (count desc, label asc) realized as
+    * min_by over a ((-count), label) struct, the a21 trick. Exposed for
+    * the synthetic-graph goldens in GraphSpec. */
+  private[graft] def lpa(edges: DataFrame, rounds: Int): DataFrame = {
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lab", col("node"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      labels = edges
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("node")
+        .agg(min_by(col("lab"),
+          struct((-col("c")).as("nc"), col("lab"))).as("lab"))
+        .localCheckpoint()
+    }
+    labels
   }
 
   /** Denormalize out-degree onto any (src, dst) edge relation — exposed
@@ -414,6 +455,22 @@ object GraphOps extends OpModule {
 
   def oracles: Map[String, String] = Map(
     "g1_pagerank" -> pagerank3Sql,
+
+    // one QUALIFY row_number per round spells the same (count desc,
+    // label asc) mode vote the Spark side computes with min_by
+    "g7_label_propagation" -> Sql.query(tradeSql,
+      "l0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges)",
+      """v1 AS (SELECT e.dst AS node, l.lab, COUNT(*) AS c
+        |       FROM edges e JOIN l0 l ON e.src = l.node GROUP BY 1, 2)""".stripMargin,
+      """l1 AS (SELECT node, lab FROM v1
+        |       QUALIFY row_number() OVER (PARTITION BY node
+        |                                  ORDER BY c DESC, lab) = 1)""".stripMargin,
+      """v2 AS (SELECT e.dst AS node, l.lab, COUNT(*) AS c
+        |       FROM edges e JOIN l1 l ON e.src = l.node GROUP BY 1, 2)""".stripMargin,
+      """l2 AS (SELECT node, lab FROM v2
+        |       QUALIFY row_number() OVER (PARTITION BY node
+        |                                  ORDER BY c DESC, lab) = 1)""".stripMargin)(
+      "SELECT lab AS community, COUNT(*) AS n_nodes FROM l2 GROUP BY lab"),
     "g6_bucketed_pagerank" -> pagerank3Sql,
 
     // g3: wedge total and cc recomputed from the un-oriented graph

@@ -166,4 +166,38 @@ class GraphSpec extends SparkSpec {
     assert(cont >= 0.8, s"embedded doc must clear dd12's cut, got $cont")
     assert(jac < 0.2, s"the same pair must MISS dd3's jaccard cut, got $jac")
   }
+
+  test("g7 LPA: two disjoint triangles converge to per-clique minimum in 2 rounds") {
+    import spark.implicits._
+    // symmetric edges of cliques {1,2,3} and {10,11,12}. Round 1: every
+    // node's two neighbor labels tie at count 1 -> it adopts the SMALLER
+    // neighbor id (node 1 adopts 2, others adopt the clique min). Round
+    // 2: the min label is now the majority vote everywhere -> all nodes
+    // of a clique share its minimum. The vote excludes self, so this
+    // golden pins both the tiebreak and the synchronous schedule.
+    def clique(ids: Seq[Long]) =
+      for { a <- ids; b <- ids if a != b } yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L)) ++ clique(Seq(10L, 11L, 12L)))
+      .toDF("src", "dst")
+    val labels = graft.operators.GraphOps.lpa(edges, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L), labels.toString)
+    // and the intermediate round-1 state shows the pure-neighbor vote:
+    // node 1's neighbors are {2,3}, tie -> 2 (NOT its own label 1)
+    val r1 = graft.operators.GraphOps.lpa(edges, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1(1L) == 2L && r1(2L) == 1L && r1(3L) == 1L, r1.toString)
+  }
+
+  test("g7 on the corpus: communities partition the node set") {
+    val nodes = graft.operators.GraphOps.lpa(
+      graft.operators.GraphOps.tradeEdges(spark, Sf), rounds = 2)
+    val total = nodes.count()
+    val distinctNodes = nodes.select("node").distinct().count()
+    assert(total == distinctNodes, "a node must carry exactly one label")
+    val viaQuery = run("g7_label_propagation")
+      .agg(sum("n_nodes")).first().getLong(0)
+    assert(viaQuery == total, "community sizes must sum to the node count")
+  }
 }
