@@ -30,12 +30,22 @@ final class MinHashSig(numHashes: Int)
     extends Aggregator[String, Array[Long], Seq[Long]] {
   require(numHashes > 0)
 
-  override def zero: Array[Long] = Array.fill(numHashes)(Long.MaxValue)
+  // Buffer slot `numHashes` counts non-null shingles seen, so a group
+  // with NO usable shingle finishes as NULL instead of leaking the
+  // Long.MaxValue zero-buffer sentinel as a "signature" — the exploded
+  // twin's min() over only-null hashes is NULL too, so the value
+  // contract holds at this corner as well (pinned in LshSpec).
+  override def zero: Array[Long] = {
+    val b = Array.fill(numHashes + 1)(Long.MaxValue)
+    b(numHashes) = 0L
+    b
+  }
 
   override def reduce(buf: Array[Long], sh: String): Array[Long] = {
     // null-tolerant like the exploded twin (h60 of null is null, and
     // min() skips it) — the equivalence contract must hold row-for-row
     if (sh == null) return buf
+    buf(numHashes) += 1L
     val shBytes = sh.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val d = MinHashSig.md5.get()
     val prefixes = MinHashSig.prefixBytes(numHashes)
@@ -54,11 +64,14 @@ final class MinHashSig(numHashes: Int)
   override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
     var i = 0
     while (i < numHashes) { if (y(i) < x(i)) x(i) = y(i); i += 1 }
+    x(numHashes) += y(numHashes)
     x
   }
 
   override def finish(buf: Array[Long]): Seq[Long] =
-    scala.collection.immutable.ArraySeq.unsafeWrapArray(buf)
+    if (buf(numHashes) == 0L) null
+    else scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      java.util.Arrays.copyOf(buf, numHashes))
 
   override def bufferEncoder: Encoder[Array[Long]] =
     ExpressionEncoder[Array[Long]]()

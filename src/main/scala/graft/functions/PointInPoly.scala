@@ -56,12 +56,21 @@ case class PointInPoly(first: Expression, second: Expression, third: Expression)
 object PointInPoly {
   /** Shared by eval and the generated code: a branch-light long-only
     * loop, no allocation. Exact for every non-boundary point (see
-    * PolyOps.inside scaladoc for the crossing rule). */
+    * PolyOps.inside scaladoc for the crossing rule).
+    *
+    * Null ELEMENTS of the edge array are skipped (contribute no
+    * crossing) rather than dereferenced: the input type check cannot
+    * forbid them — the Product encoder behind `Seq[Edge].toDF` marks
+    * array elements nullable even though none ever is — and an NPE
+    * through the registered `point_in_poly` SQL function would
+    * otherwise be reachable by any caller handing in a sparse array. */
   def inside(px: Long, py: Long, edges: ArrayData): Boolean = {
     val n = edges.numElements()
     var crossings = 0
     var i = 0
     while (i < n) {
+      if (edges.isNullAt(i)) { i += 1 }
+      else {
       val e = edges.getStruct(i, 4)
       val y1 = e.getLong(1); val y2 = e.getLong(3)
       if ((y1 > py) != (y2 > py)) {
@@ -71,6 +80,7 @@ object PointInPoly {
         if (if (y2 > y1) lhs < rhs else lhs > rhs) crossings += 1
       }
       i += 1
+      }
     }
     (crossings & 1) == 1
   }

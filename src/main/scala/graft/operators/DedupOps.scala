@@ -145,7 +145,12 @@ object DedupOps extends OpModule {
   private[graft] def signaturesOf(sh: DataFrame, cfg: LshConfig = Lsh): DataFrame = {
     val hashArr = array((0 until cfg.numHashes).map(seed =>
       struct(lit(seed).as("seed"), h60(s"$seed:", col("sh")).as("h"))): _*)
-    sh.select(col("doc_id"), explode(hashArr).as("sh_h"))
+    // null shingles are dropped BEFORE hashing in both signature forms,
+    // so a doc whose shingles are all null contributes no signature rows
+    // in either — without the filter the exploded form emits null-mh
+    // rows while the aggregate form emits none (LshSpec pins the corner)
+    sh.filter(col("sh").isNotNull)
+      .select(col("doc_id"), explode(hashArr).as("sh_h"))
       .select(col("doc_id"), col("sh_h.seed").as("seed"), col("sh_h.h").as("h"))
       .groupBy("doc_id", "seed").agg(min("h").as("mh"))
   }
@@ -165,7 +170,8 @@ object DedupOps extends OpModule {
     * to keep [[bandsOf]] shared between both forms. */
   private[graft] def signaturesOnePassOf(sh: DataFrame, cfg: LshConfig): DataFrame = {
     val sig = udaf(new graft.functions.MinHashSig(cfg.numHashes))
-    sh.groupBy("doc_id").agg(sig(col("sh")).as("mhs"))
+    sh.filter(col("sh").isNotNull) // same null rule as signaturesOf
+      .groupBy("doc_id").agg(sig(col("sh")).as("mhs"))
       .select(col("doc_id"), posexplode(col("mhs")))
       .select(col("doc_id"), col("pos").cast("int").as("seed"),
         col("col").as("mh"))
@@ -304,20 +310,29 @@ object DedupOps extends OpModule {
        |  FROM bits GROUP BY doc_id)""".stripMargin
 
   /** dd16's URL canonicalization as a reusable Column pipeline:
-    * lowercase scheme+host, strip leading www. / default :80 / the
-    * fragment / utm_* params, sort the surviving params. One place —
-    * the registered query and TextCanonSpec's golden variants both
-    * call this, so the spec cannot drift from the shipped rule set. */
+    * lowercase scheme+host, strip leading www. / the SCHEME'S default
+    * port (:80 http, :443 https) / the fragment / utm_* params, sort
+    * the surviving params. The scheme is extracted and lowercased, not
+    * rewritten: http:// and https:// pages are DISTINCT resources and
+    * must not collapse (the round-12 form hardcoded 'http://', which
+    * the then-http-only fixture could not detect — the fixture now
+    * alternates schemes so the oracle does). One place — the registered
+    * query and TextCanonSpec's golden variants both call this, so the
+    * spec cannot drift from the shipped rule set. */
   private[graft] def canonicalUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
-    val host = regexp_replace(regexp_replace(
-      lower(regexp_extract(noFrag, "^[A-Za-z]+://([^/?]+)", 1)),
-      "^www\\.", ""), ":80$", "")
-    val path = regexp_extract(noFrag, "^[A-Za-z]+://[^/?]+([^?]*)", 1)
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val noWww = regexp_replace(
+      lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)", 1)),
+      "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(noWww, ":80$", ""))
+      .when(scheme === "https", regexp_replace(noWww, ":443$", ""))
+      .otherwise(noWww)
+    val path = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]+([^?]*)", 1)
     val params = array_join(array_sort(filter(
       split(regexp_extract(noFrag, "\\?(.*)$", 1), "&"),
       p => !p.startsWith("utm_") && p =!= "")), "&")
-    concat(lit("http://"), host, path,
+    concat(scheme, lit("://"), host, path,
       when(length(params) > 0, concat(lit("?"), params)).otherwise(lit("")))
   }
 
@@ -542,8 +557,17 @@ object DedupOps extends OpModule {
     // as dd1 exact dedup, because after canonicalization it IS exact
     // dedup.
     "dd16_url_canonicalize" -> ((s, dir) => {
-      val raw = concat(lit("HTTP://WWW.Example-"), col("source"),
-        lit(".COM:80/Docs/Page-"), (col("doc_id") % 7).cast("string"),
+      // even docs decorate as HTTP://…:80, odd as HTTPS://…:443 — both
+      // sides of the scheme-aware default-port rule are exercised, and
+      // the two schemes must stay distinct canonical pages
+      val even = col("doc_id") % 2 === 0
+      val raw = concat(
+        when(even, lit("HTTP://WWW.Example-"))
+          .otherwise(lit("HTTPS://WWW.Example-")),
+        col("source"),
+        when(even, lit(".COM:80/Docs/Page-"))
+          .otherwise(lit(".COM:443/Docs/Page-")),
+        (col("doc_id") % 7).cast("string"),
         lit("/?utm_source=doc"), col("doc_id").cast("string"),
         lit("&z="), (col("doc_id") % 3).cast("string"),
         lit("&a=1#sec"), col("doc_id").cast("string"))
@@ -758,7 +782,10 @@ object DedupOps extends OpModule {
       """WITH raw AS (
         |  SELECT doc_id,
         |         regexp_replace(
-        |           'HTTP://WWW.Example-' || source || '.COM:80/Docs/Page-' ||
+        |           CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.Example-'
+        |                ELSE 'HTTPS://WWW.Example-' END || source ||
+        |           CASE WHEN doc_id % 2 = 0 THEN '.COM:80/Docs/Page-'
+        |                ELSE '.COM:443/Docs/Page-' END ||
         |           CAST(doc_id % 7 AS VARCHAR) || '/?utm_source=doc' ||
         |           CAST(doc_id AS VARCHAR) || '&z=' ||
         |           CAST(doc_id % 3 AS VARCHAR) || '&a=1#sec' ||
@@ -766,17 +793,26 @@ object DedupOps extends OpModule {
         |  FROM documents),
         |comp AS (
         |  SELECT doc_id,
-        |         regexp_replace(regexp_replace(
-        |           lower(regexp_extract(nofrag, '^[A-Za-z]+://([^/?]+)', 1)),
-        |           '^www\.', ''), ':80$', '') AS host,
-        |         regexp_extract(nofrag, '^[A-Za-z]+://[^/?]+([^?]*)', 1) AS path,
+        |         lower(regexp_extract(nofrag,
+        |           '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |         regexp_replace(
+        |           lower(regexp_extract(nofrag,
+        |             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)', 1)),
+        |           '^www\.', '') AS nowww,
+        |         regexp_extract(nofrag,
+        |           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]+([^?]*)', 1) AS path,
         |         regexp_extract(nofrag, '\?(.*)$', 1) AS qs
         |  FROM raw),
         |canon AS (
         |  SELECT doc_id,
-        |         'http://' || host || path ||
+        |         scheme || '://' ||
+        |         CASE WHEN scheme = 'http'
+        |                THEN regexp_replace(nowww, ':80$', '')
+        |              WHEN scheme = 'https'
+        |                THEN regexp_replace(nowww, ':443$', '')
+        |              ELSE nowww END || path ||
         |         CASE WHEN pstr <> '' THEN '?' || pstr ELSE '' END AS canon_url
-        |  FROM (SELECT doc_id, host, path,
+        |  FROM (SELECT doc_id, scheme, nowww, path,
         |               array_to_string(list_sort(list_filter(
         |                 string_split(qs, '&'),
         |                 p -> NOT starts_with(p, 'utm_') AND p <> '')), '&') AS pstr

@@ -415,8 +415,15 @@ object TextOps extends OpModule {
         // (Spark rounds the shortest-string decimal of the double, DuckDB
         // the exact binary value). Integer arithmetic on exact counts is
         // bit-identical everywhere; no float ever crosses the boundary.
+        // The NUMERATOR is decimal(38,0), not bigint: 2*(c_ab+1)*1e8
+        // wraps a long (ANSI off, silently) once one bigram's count
+        // passes ~4.6e10 — plausible for a hot bigram at the 100 TB
+        // envelope, and invisible to the fixture-scale oracle. The
+        // quotient is a probability in 1e-8 units (≤ ~1e8), so DIV
+        // lands back in a comfortable long.
         .withColumn("contrib_e8",
-          expr("(2L * (c_ab + 1) * 100000000L + (c_a + v)) DIV (2L * (c_a + v))"))
+          expr("(CAST(2 AS DECIMAL(38,0)) * (c_ab + 1) * 100000000" +
+            " + (c_a + v)) DIV (2L * (c_a + v))"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bg"), sum(col("contrib_e8")).as("sc_e8"))
         // the mean probability in 1e-8 units, again integer half-up

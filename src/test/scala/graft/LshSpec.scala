@@ -76,4 +76,28 @@ class LshSpec extends SparkSpec {
       assert(exploded.size == 4 * cfg.numHashes) // 4 docs x all seeds
     }
   }
+
+  test("a group whose shingles are all null yields no signature rows in either form") {
+    // The corner the round-12 forms disagreed on: the exploded twin
+    // emitted (doc, seed, NULL) rows while the aggregate emitted the
+    // Long.MaxValue zero-buffer sentinel. Both now drop null shingles
+    // up front (and MinHashSig.finish returns null for an empty group
+    // as defense in depth), so an all-null doc simply has no signature
+    // — and a doc with SOME null shingles signs on the non-null ones.
+    import org.apache.spark.sql.functions.{col, when}
+    val cfg = LshConfig.Fixture
+    val sh = DedupOps.shinglesOf(docs)
+      // doc 3: every shingle nulled; doc 1: every other shingle nulled
+      .withColumn("sh", when(col("doc_id") === 3L, null)
+        .when(col("doc_id") === 1L && col("sh").startsWith("w1"), null)
+        .otherwise(col("sh")))
+    for (form <- Seq(DedupOps.signaturesOf(sh, cfg),
+                     DedupOps.signaturesOnePassOf(sh, cfg))) {
+      val rows = form.collect()
+      assert(!rows.exists(_.getLong(0) == 3L), "all-null doc signed")
+      assert(rows.count(_.getLong(0) == 1L) == cfg.numHashes,
+        "partially-null doc must still sign on its non-null shingles")
+      assert(rows.forall(!_.isNullAt(2)), "null mh leaked")
+    }
+  }
 }

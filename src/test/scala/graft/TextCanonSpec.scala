@@ -50,6 +50,24 @@ class TextCanonSpec extends SparkSpec {
       .distinct().as[String].collect()
     assert(canon.toSeq == Seq("http://example.com/Docs/?a=1&b=2"), canon.toSeq)
 
+    // the scheme is preserved (lowercased), NOT rewritten: the https
+    // twin of the same page canonicalizes to a DISTINCT https:// URL
+    // (round 12 hardcoded 'http://' and collapsed them), and each
+    // scheme strips only ITS default port (:443 stays on http, :80 on
+    // https — a nonstandard port is part of the page's identity)
+    val schemed = Seq(
+      "HTTPS://WWW.Example.COM:443/Docs/?b=2&a=1#f",
+      "https://example.com/Docs/?a=1&b=2",
+      "http://example.com:443/Docs/?a=1&b=2",
+      "https://example.com:80/Docs/?a=1&b=2")
+      .toDF("url")
+      .select(graft.operators.DedupOps.canonicalUrl(col("url")).as("c"))
+      .distinct().as[String].collect().sorted
+    assert(schemed.toSeq == Seq(
+      "http://example.com:443/Docs/?a=1&b=2",
+      "https://example.com/Docs/?a=1&b=2",
+      "https://example.com:80/Docs/?a=1&b=2"), schemed.toSeq)
+
     // and the registered query really deduplicates: fewer canonical
     // pages than documents, counts sum back to the corpus
     val dd = run("dd16_url_canonicalize")
