@@ -46,7 +46,9 @@ object ClusterCheck {
     * (j6), seeded shuffle determinism (w3), the external-process worker
     * (o2), retry loop (o3), UDTF explode (f5), binary multimodal
     * batches (mm1), streaming state + sinks (st1/st2), window/sort
-    * shapes (w1/ds13), and a plain wide agg as control (q1). */
+    * shapes (w1/ds13), networked JDBC read/write from executor JVMs
+    * through the graft.jdbc proxy (s1/k5 — round 13; previously the two
+    * documented exclusions), and a plain wide agg as control (q1). */
   val Suite: Seq[String] = Seq(
     "q1_pricing_summary", "a1_envelope_union", "a19_heavy_hitters",
     "ds5_topk_agg", "j12_bloom_prune", "dd14_minhash_production",
@@ -56,7 +58,8 @@ object ClusterCheck {
     "k15_bucketed_join", "j6_file_lookup", "w3_det_shuffle",
     "o2_pipe_worker", "o3_retry_loop", "f5_explode_files",
     "mm1_decode_meta", "st1_stream_monitor_agg", "st2_stream_peak_state",
-    "w1_rank_files", "ds13_curriculum_order")
+    "w1_rank_files", "ds13_curriculum_order",
+    "s1_jdbc_pushdown", "k5_jdbc_roundtrip")
 
   private def fingerprint(df: DataFrame): Fp = Fingerprint.of(df)
 
@@ -82,21 +85,20 @@ object ClusterCheck {
     // `all`: gate the ENTIRE query surface, not just the representative
     // serialization suite. Every query is deterministic by construction
     // (the DuckDB oracle hash-checks them), so exact-fingerprint parity
-    // is well-defined for all of them — EXCEPT the two embedded-Derby
-    // JDBC queries. Embedded Derby is single-JVM by design: the driver
-    // boots the database, and a separate executor JVM attempting the
-    // same on-disk store gets "Failed to start database" (db.lck held).
-    // That is a FIXTURE limitation, not a graft defect — Derby stands in
-    // for the reference's PostgreSQL (db.py:17-77), and the production
-    // form of S1/K5 is Spark's stock JDBC connector against a server
-    // database, which any executor reaches over the network. The
-    // first full-surface run caught exactly this (220/222, the two
-    // Derby queries failing on every executor attempt), which is the
-    // kind of single-JVM-only assumption this gate exists to expose.
-    val embeddedOnly = Set("s1_jdbc_pushdown", "k5_jdbc_roundtrip")
+    // is well-defined for all of them — since round 13 with ZERO
+    // exclusions. Through round 12 the two JDBC queries had to be
+    // skipped: embedded Derby is single-JVM by design (db.lck), so a
+    // forked executor attempting the same on-disk store failed — the
+    // first full-surface run caught exactly that (220/222), which is
+    // the kind of single-JVM-only assumption this gate exists to
+    // expose. S1/K5 now reach Derby through graft.jdbc's TCP proxy
+    // (the sandbox ships no derbynet/derbyclient, so Derby's own
+    // network-server mode was unavailable): the gate JVM hosts the
+    // socket server, and every executor JVM opens real network JDBC
+    // connections to it — the same topology as the reference's
+    // PostgreSQL deployment (db.py:17-77).
     val suite: Seq[String] =
-      if (args.lift(1).contains("all"))
-        SparkEntry.queries.keys.toSeq.sorted.filterNot(embeddedOnly)
+      if (args.lift(1).contains("all")) SparkEntry.queries.keys.toSeq.sorted
       else Suite
 
     // Executor JVMs need the graft classes and the JDK17 module opens;

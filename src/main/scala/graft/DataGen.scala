@@ -34,6 +34,18 @@ object DataGen {
   private def uint(tag: String, id: Column, n: Int): Column =
     pmod(xxhash64(lit(tag), id), lit(n)).cast("int")
 
+  /** Approximately Zipf(s=1)-distributed integer rank in [0, n): the
+    * inverse CDF of the continuous Zipf-1 approximation
+    * CDF(k) ≈ ln(k+1)/ln(n+1), i.e. k = ⌊e^(u·ln(n+1))⌋ − 1, so
+    * P(k) ∝ ln((k+2)/(k+1)) ≈ 1/(k+1). One codegen'd expression — no
+    * rank table, no driver state, works for any n. Rank 0 is the
+    * celebrity: it draws ≈ ln(2)/ln(n+1) of all samples (~6% at
+    * n=150k), the hub that a uniform generator never produces. */
+  private def zipfInt(tag: String, id: Column, n: Int): Column =
+    least(greatest(
+      (floor(exp(u01(tag, id) * math.log(n + 1.0))) - 1).cast("int"),
+      lit(0)), lit(n - 1))
+
   /** exponential with the given mean. */
   private def uexp(tag: String, id: Column, mean: Double): Column =
     -lit(mean) * log(lit(1.0) - u01(tag, id))
@@ -89,9 +101,23 @@ object DataGen {
     else math.max(Vocab.length,
       math.round(Vocab.length * math.sqrt(nDoc / 5000.0)).toInt)
 
+  /** With `zipfKeys = true`, the RELATIONSHIP keys — o_custkey,
+    * l_suppkey, l_partkey, events.user_id, and the near-dup base-doc
+    * pick — draw from [[zipfInt]] instead of uniform, so the derived
+    * graphs (customer↔supplier trade, co-purchase, dup components) and
+    * the event stream get power-law degree distributions with genuine
+    * celebrity nodes. The uniform fixtures' degree distributions are
+    * benign, which means the skew machinery (g2's degree-oriented wedge
+    * bound, AQE skew-split, the session/dedup state hot keys) had only
+    * ever seen synthetic salt-bait; real graphs are Zipf, and this mode
+    * generates that shape deterministically. Value domains, schemas,
+    * and row counts are identical to the default mode. */
   def generate(s: SparkSession, sf: Double, out: String,
-      heapsVocab: Boolean = false): Unit = {
+      heapsVocab: Boolean = false, zipfKeys: Boolean = false): Unit = {
     import s.implicits._
+    // relationship-key draw: uniform (fixture parity) or Zipf (skew mode)
+    def rkey(tag: String, id: Column, n: Int): Column =
+      if (zipfKeys) zipfInt(tag, id, n) else uint(tag, id, n)
     val nCust = math.max(1, (150000 * sf).toInt)
     val nSupp = math.max(1, (10000 * sf).toInt)
     val nPart = math.max(1, (200000 * sf).toInt)
@@ -152,7 +178,7 @@ object DataGen {
     val ordDays = 2404 // .. 2001-08-01
     val orders = s.range(nOrd).select(
       col("id").as("o_orderkey"),
-      uint("ocust", col("id"), nCust).cast("bigint").as("o_custkey"),
+      rkey("ocust", col("id"), nCust).cast("bigint").as("o_custkey"),
       pick("ostat", col("id"), Seq("F", "O", "P")).as("o_orderstatus"),
       round(lit(1000.0) + u01("ototal", col("id")) * 499000.0, 2).as("o_totalprice"),
       tsFromEpoch(lit(ordEpoch0) +
@@ -175,8 +201,8 @@ object DataGen {
         (col("l_orderkey") * 31 + col("seq")).as("lid"), col("seq"))
     write(li.select(
       col("l_orderkey"),
-      uint("lpart", col("lid"), nPart).cast("bigint").as("l_partkey"),
-      uint("lsupp", col("lid"), nSupp).cast("bigint").as("l_suppkey"),
+      rkey("lpart", col("lid"), nPart).cast("bigint").as("l_partkey"),
+      rkey("lsupp", col("lid"), nSupp).cast("bigint").as("l_suppkey"),
       (uint("lnum", col("lid"), 7) + 1).as("l_linenumber"),
       (uint("lqty", col("lid"), 50) + 1).cast("double").as("l_quantity"),
       round(lit(900.0) + u01("lext", col("lid")) * 104100.0, 2).as("l_extendedprice"),
@@ -203,7 +229,7 @@ object DataGen {
     write(evTimes.select(
       col("event_id"),
       tsFromEpoch(col("tsec")).as("ts"),
-      uint("evuser", col("event_id"), nUser).cast("bigint").as("user_id"),
+      rkey("evuser", col("event_id"), nUser).cast("bigint").as("user_id"),
       pick("evtype", col("event_id"), EvTypes).as("event_type"),
       round(uexp("evval", col("event_id"), 50.0), 2).as("value"),
       format_string("{\"k\": %d}", uint("evk", col("event_id"), 100)).as("props")),
@@ -225,7 +251,7 @@ object DataGen {
         .as("base_text"))
     val isDup = u01("ddup", col("doc_id")) < 0.047
     val withBase = baseText.select(col("doc_id"), col("base_text"),
-      when(isDup, uint("dbase", col("doc_id"), nDoc).cast("bigint"))
+      when(isDup, rkey("dbase", col("doc_id"), nDoc).cast("bigint"))
         .otherwise(lit(null)).as("dup_of"))
     val dupText = withBase.as("d")
       .join(baseText.select(col("doc_id").as("b_id"),
@@ -263,10 +289,12 @@ object DataGen {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 2 || args.length == 3,
-      "usage: DataGen <sf> <outDir> [--heaps]")
+    require(args.length >= 2 && args.length <= 4 &&
+      args.drop(2).forall(Set("--heaps", "--zipf")),
+      "usage: DataGen <sf> <outDir> [--heaps] [--zipf]")
     val sf = args(0).toDouble
-    val heaps = args.length == 3 && args(2) == "--heaps"
+    val heaps = args.contains("--heaps")
+    val zipf = args.contains("--zipf")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
       .appName(s"graft-datagen-sf$sf")
@@ -274,6 +302,6 @@ object DataGen {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
-    try generate(spark, sf, args(1), heaps) finally spark.stop()
+    try generate(spark, sf, args(1), heaps, zipf) finally spark.stop()
   }
 }

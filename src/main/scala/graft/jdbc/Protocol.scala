@@ -1,0 +1,71 @@
+package graft.jdbc
+
+/** Wire protocol of the thin-client JDBC proxy (java serialization over
+  * a loopback TCP socket, one socket per JDBC connection).
+  *
+  * Why this exists at all: the reference's S1/K5 operators talk to a
+  * SERVER database (PostgreSQL, db.py:17-77), which any executor
+  * reaches over the network. The offline stand-in is embedded Derby —
+  * single-JVM by design (db.lck) — so until round 12 the two JDBC
+  * queries had to be EXCLUDED from the multi-JVM parity gate
+  * (ClusterCheck), the one documented hole in the full-surface audit.
+  * The sandbox ships no derbynet/derbyclient (and nothing can be
+  * downloaded), so Derby's own network-server mode is unavailable;
+  * this package supplies the same architecture with ~300 lines: a
+  * socket server in the driver JVM fronting the embedded engine
+  * ([[DerbyTcpServer]]) and a thin [[java.sql.Driver]] that forwards
+  * statements and streams rows back ([[ProxyDriver]]). Executors —
+  * in-process threads, forked local-cluster JVMs, anything on the host
+  * — now open REAL network JDBC connections, so Spark's whole JDBC
+  * read/write surface (schema probe, partitioned parallel reads with
+  * pushed predicates, per-partition batched INSERT transactions)
+  * crosses a process boundary exactly as it does against PostgreSQL.
+  *
+  * Fixture-scale by contract: `executeQuery` buffers the full result
+  * set in one response (the gated tables are dims of tens of rows;
+  * a production deployment talks to a real server database and never
+  * loads this driver). Statement.cancel is a no-op for the same reason.
+  */
+private[jdbc] object Protocol {
+
+  /** First message on a socket: open the embedded database at `dbPath`
+    * (server appends `;create=true`). */
+  final case class Open(dbPath: String) extends Serializable
+
+  /** Execute `sql`. `query`=true → [[Rows]]; else with `batch`=false a
+    * single update → [[Count]]; with `batch`=true one paramset per
+    * batched row → [[Counts]]. Params are positional; SQL NULL travels
+    * as [[SqlNull]] (setObject(null) loses the type Derby wants). */
+  final case class Exec(sql: String, params: Array[Array[AnyRef]],
+      query: Boolean, batch: Boolean) extends Serializable
+
+  final case class SqlNull(sqlType: Int) extends Serializable
+
+  final case class SetAutoCommit(on: Boolean) extends Serializable
+  final case class SetIsolation(level: Int) extends Serializable
+  case object Commit extends Serializable
+  case object Rollback extends Serializable
+  case object CloseConn extends Serializable
+
+  case object Ok extends Serializable
+  final case class Count(n: Int) extends Serializable
+  final case class Counts(ns: Array[Int]) extends Serializable
+
+  /** Everything Spark's `JdbcUtils.getSchema` reads off
+    * ResultSetMetaData, captured server-side. */
+  final case class ColMeta(name: String, typeCode: Int, typeName: String,
+      precision: Int, scale: Int, nullable: Int, signed: Boolean)
+    extends Serializable
+
+  /** A fully-buffered result set. LOB columns are materialized
+    * server-side (CLOB→String, BLOB→bytes): java.sql.Clob handles are
+    * connection-scoped and not serializable. */
+  final case class Rows(meta: Array[ColMeta], rows: Array[Array[AnyRef]])
+    extends Serializable
+
+  /** SQLException surrogate — rethrown client-side with the original
+    * state/code so callers like Spark's tableExists probe (which RELIES
+    * on the missing-table failure) behave identically. */
+  final case class Err(message: String, sqlState: String, code: Int)
+    extends Serializable
+}

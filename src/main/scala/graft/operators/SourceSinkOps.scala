@@ -115,17 +115,20 @@ object SourceSinkOps extends OpModule {
     // K5 — DB table write + read-back over a REAL JDBC boundary (the
     // reference's PostgreSQL layer-per-LoD sink, worker.py:449-455,
     // 505-545). No network DB exists offline, so the target is embedded
-    // Derby — same spark.write.jdbc / spark.read.jdbc codepath a
-    // PostgreSQL deployment uses, different URL. At scale the writer is
-    // per-partition parallel JDBC batches; the 16-row dim table here just
-    // exercises the path.
+    // Derby behind graft.jdbc's TCP proxy — same spark.write.jdbc /
+    // spark.read.jdbc codepath a PostgreSQL deployment uses, and since
+    // round 13 a genuinely NETWORKED one: every executor (including
+    // forked local-cluster JVMs in ClusterCheck) opens its own socket
+    // to the server, so the per-partition batched-INSERT transactions
+    // cross a process boundary exactly as against a server database.
+    // At scale the writer is per-partition parallel JDBC batches; the
+    // 16-row dim table here just exercises the path.
     "k5_jdbc_roundtrip" -> ((s, dir) => {
-      sys.props.getOrElseUpdate("derby.stream.error.file", "/tmp/graft_derby.log")
       val dbPath = new java.io.File(
         sys.props("java.io.tmpdir"), s"graft_k5_db_${dir.hashCode}").getPath
-      val url = s"jdbc:derby:$dbPath;create=true"
+      val url = graft.jdbc.DerbyTcpServer.url(dbPath)
       val props = new java.util.Properties()
-      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      props.setProperty("driver", "graft.jdbc.ProxyDriver")
       Tables.boundaries(s)
         .select("tile_id", "tx", "ty", "version", "border")
         .write.mode("overwrite").jdbc(url, "tile_index", props)
@@ -432,12 +435,15 @@ object SourceSinkOps extends OpModule {
     // one serial cursor. At 100 TB the pushdown is the difference between
     // the database shipping matching rows and shipping the whole table.
     "s1_jdbc_pushdown" -> ((s, dir) => {
-      sys.props.getOrElseUpdate("derby.stream.error.file", "/tmp/graft_derby.log")
+      // networked JDBC via graft.jdbc (see k5): each of the 2 read
+      // slices opens its own socket connection and ships its pushed
+      // WHERE clause to the server, like the reference's per-tile
+      // predicate-carrying PostgreSQL queries (db.py:59-77)
       val dbPath = new java.io.File(
         sys.props("java.io.tmpdir"), s"graft_s1_db_${dir.hashCode}").getPath
-      val url = s"jdbc:derby:$dbPath;create=true"
+      val url = graft.jdbc.DerbyTcpServer.url(dbPath)
       val props = new java.util.Properties()
-      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      props.setProperty("driver", "graft.jdbc.ProxyDriver")
       Tables.boundaries(s)
         .select("tile_id", "tx", "ty", "version", "border")
         .write.mode("overwrite").jdbc(url, "tile_index", props)

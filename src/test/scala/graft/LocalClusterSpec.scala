@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * Everything before this round ran in one JVM (local[*]), where task
   * closures, Aggregator buffers, custom Expressions, DSv2 reader
   * factories and broadcasts never actually cross a process boundary.
-  * [[ClusterCheck]] runs a 26-query representative suite (one query per
+  * [[ClusterCheck]] runs a 28-query representative suite (one query per
   * serialization mechanism) under `local-cluster[2,4,2048]` — two real
   * forked executor JVMs — and pins each result's order-independent
   * exact fingerprint equal to the in-process `local[8]` run. The
@@ -23,7 +23,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class LocalClusterSpec extends AnyFunSuite {
 
-  test("26-query serialization surface: local-cluster == local, byte-identical") {
+  test("28-query serialization surface: local-cluster == local, byte-identical") {
     val r = GateLauncher.run("graft.ClusterCheck",
       Seq("/root/testdata/sf0.01"), "cluster_parity")
     assert(r.line.contains("\"mismatched\":[]"), r.line)

@@ -171,7 +171,7 @@ class PipelineOpsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
-  test("k5: JDBC write + read-back over embedded Derby preserves the dim table") {
+  test("k5: JDBC write + read-back over the networked Derby proxy preserves the dim table") {
     val back = run("k5_jdbc_roundtrip").collect()
       .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getBoolean(4)))
       .toSet
