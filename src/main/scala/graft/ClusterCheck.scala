@@ -98,8 +98,46 @@ object ClusterCheck {
     // connections to it — the same topology as the reference's
     // PostgreSQL deployment (db.py:17-77).
     val suite: Seq[String] =
-      if (args.lift(1).contains("all")) SparkEntry.queries.keys.toSeq.sorted
+      if (args.lift(1).exists(Set("all", "driverheap"))) SparkEntry.queries.keys.toSeq.sorted
       else Suite
+
+    // `driverheap`: the resource PROOF behind "no driver-side
+    // materialization". The grep claim (no .collect() in operator hot
+    // paths) is code review; this converts it to physics — the full
+    // surface executes with the DRIVER JVM deliberately tiny (the
+    // launcher sets -Xmx1g; asserted below so a fat-heap run can't
+    // masquerade) while the real work runs in the two forked 2 GiB
+    // executor JVMs. Run it against a generated sf1 corpus and any
+    // query that secretly collects a corpus-sized relation (a
+    // driver-side loop, an unbounded collect_list to the driver, a
+    // broadcast of a fact table) dies on the spot instead of surviving
+    // review. Single phase, zero failures required; fingerprint parity
+    // is the `all` mode's job.
+    if (args.lift(1).contains("driverheap")) {
+      val maxHeapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
+      require(maxHeapMb <= 1536,
+        s"driverheap mode must run under -Xmx1g (saw ${maxHeapMb}MB) — " +
+          "a roomy driver heap proves nothing")
+      val spark = session("local-cluster[2,4,2048]", Map(
+        "spark.executor.extraClassPath" -> Jvm.absoluteClasspath,
+        "spark.executor.extraJavaOptions" -> Jvm.addOpensString,
+        "spark.executor.memory" -> "2g"))
+      spark.sparkContext.setLogLevel("ERROR")
+      val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      var done = 0
+      suite.foreach { name =>
+        try { SparkEntry.queries(name)(spark, sfDir).count(); done += 1 }
+        catch { case e: Throwable =>
+          errs(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        }
+      }
+      graft.sources.Cached.releaseAll()
+      spark.stop()
+      val failedArr = errs.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
+      println(s"""{"metric":"driver_heap_bound","ok":$done,"total":${suite.size},"driver_max_heap_mb":$maxHeapMb,"failed":$failedArr,"errors":${Json.obj(errs)},"sf":"$sfDir"}""")
+      if (errs.nonEmpty) sys.exit(1)
+      return
+    }
 
     // Executor JVMs need the graft classes and the JDK17 module opens;
     // ship the launching JVM's own classpath and opens verbatim.

@@ -147,6 +147,71 @@ object TileGrid {
   /** Half-tile binning grid for the polygon join (cell = 1250). */
   val PolyCell: Int = TileSize / 2
 
+  // ---- FLOAT-VERTEX polygons (round 13, closing SURVEY §7.4's last
+  // residual). Real GIS vertices are doubles; the exact integer
+  // machinery applies VERBATIM after scaling to fixed point at a
+  // DECLARED precision. The precision here is 1/8 world unit
+  // ([[PolyScale]] = 8): every fixture vertex is a multiple of 1/8,
+  // which is binary-exact in an IEEE double, and multiplying such a
+  // double by 8 is again exact — so Spark and DuckDB each scale their
+  // own float literals and land on bit-identical longs, keeping the
+  // whole suite oracle-exact with floats at the API surface. Vertices
+  // OFF the declared grid are rejected (PolyOps.fixedPointEdges raises;
+  // polyOfF requires), never silently rounded: snapping changes
+  // geometry, and a 100 TB pipeline must choose its precision
+  // deliberately (PostGIS deployments do the same with
+  // ST_SnapToGrid before exact predicates). ----
+
+  /** Fixed-point scale: world units per 1 = 8 (vertices on the 1/8 grid). */
+  val PolyScale: Int = 8
+
+  /** One directed polygon edge, double endpoints on the 1/8 grid. */
+  final case class PEdgeF(x1: Double, y1: Double, x2: Double, y2: Double)
+
+  /** One tile's float-vertex polygon: closed CCW ring as an edge list. */
+  final case class PolyTileF(tile_id: String, version: Int, edges: Seq[PEdgeF])
+
+  /** Deterministic fractional radius: [[polyRadius]] plus a per-vertex
+    * eighth (k·7+i·3 mod 8)/8 — irregular hexagons whose vertices are
+    * genuinely non-integer but exactly representable. */
+  private def polyOfF(t: Tile, base: Int, spread: Int): PolyTileF = {
+    val k = t.tx * N + t.ty
+    val cx = (t.tx * TileSize + TileSize / 2).toDouble
+    val cy = (t.ty * TileSize + TileSize / 2).toDouble
+    val vs = PolyDirs.zipWithIndex.map { case ((dx, dy), i) =>
+      val r = polyRadius(k, i, base, spread) + ((k * 7 + i * 3) % 8) / 8.0
+      (cx + dx * r, cy + dy * r)
+    }
+    val edges = vs.indices.map { i =>
+      val (x1, y1) = vs(i); val (x2, y2) = vs((i + 1) % vs.size)
+      Seq(x1, y1, x2, y2).foreach(v => require(v * PolyScale == (v * PolyScale).floor,
+        s"vertex $v off the declared 1/$PolyScale grid"))
+      PEdgeF(x1, y1, x2, y2)
+    }
+    PolyTileF(t.tile_id, t.version, edges)
+  }
+
+  /** Float-vertex in-tile polygons (p16 — the float ST_Within form). */
+  val tilePolysF: Seq[PolyTileF] = tiles.map(polyOfF(_, 350, 250))
+
+  /** Float-vertex coverage polygons (j15 — the float binned-join form). */
+  val coverPolysF: Seq[PolyTileF] = tiles.map(polyOfF(_, 900, 700))
+
+  /** (polygon, covered bin cell) pairs for the float coverage polygons,
+    * computed in fixed point (cell = PolyCell·PolyScale scaled units, so
+    * integer points probe the same `fx div PolyCell` cell as j14). */
+  val coverCellsF: Seq[(String, Long, Long)] =
+    coverPolysF.flatMap { p =>
+      val xs = p.edges.map(e => (e.x1 * PolyScale).toLong)
+      val ys = p.edges.map(e => (e.y1 * PolyScale).toLong)
+      val cell = (PolyCell * PolyScale).toLong
+      val cx0 = math.max(0L, xs.min / cell)
+      val cx1 = math.min((World - 1).toLong / PolyCell, xs.max / cell)
+      val cy0 = math.max(0L, ys.min / cell)
+      val cy1 = math.min((World - 1).toLong / PolyCell, ys.max / cell)
+      for { cx <- cx0 to cx1; cy <- cy0 to cy1 } yield (p.tile_id, cx, cy)
+    }
+
   /** (polygon, covered bin cell) pairs from each coverage polygon's
     * bbox, clamped to the world — the tiny exploded side of the binned
     * join; a point probes exactly one cell. */
@@ -169,6 +234,29 @@ object TileGrid {
   def coverCellsSqlCte: String = {
     val rows = coverCells.map { case (id, cx, cy) => s"('$id', $cx, $cy)" }
     s"poly_cells(tile_id, cellx, celly) AS (VALUES ${rows.mkString(", ")})"
+  }
+
+  /** Float-vertex edge CTE: the VALUES carry DOUBLE literals (shortest
+    * Java repr — parses back to the identical double in DuckDB) and the
+    * CTE body does ITS OWN fixed-point scaling, so the oracle proves the
+    * float→long conversion agrees across engines rather than receiving
+    * pre-scaled longs. */
+  def polyEdgesFSqlCte(name: String, polys: Seq[PolyTileF]): String = {
+    val rows = for { p <- polys; e <- p.edges }
+      yield s"('${p.tile_id}', ${p.version}, ${e.x1}, ${e.y1}, ${e.x2}, ${e.y2})"
+    s"""${name}_f(tile_id, version, fx1, fy1, fx2, fy2) AS (VALUES ${rows.mkString(", ")}),
+       |$name AS (
+       |  SELECT tile_id, version,
+       |         CAST(fx1 * $PolyScale AS BIGINT) AS x1,
+       |         CAST(fy1 * $PolyScale AS BIGINT) AS y1,
+       |         CAST(fx2 * $PolyScale AS BIGINT) AS x2,
+       |         CAST(fy2 * $PolyScale AS BIGINT) AS y2
+       |  FROM ${name}_f)""".stripMargin
+  }
+
+  def coverCellsFSqlCte: String = {
+    val rows = coverCellsF.map { case (id, cx, cy) => s"('$id', $cx, $cy)" }
+    s"poly_cells_f(tile_id, cellx, celly) AS (VALUES ${rows.mkString(", ")})"
   }
 
   // ---- DuckDB renderings (oracle side) ----

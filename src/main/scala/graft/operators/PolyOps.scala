@@ -89,6 +89,33 @@ object PolyOps extends OpModule {
     polys.toDF()
   }
 
+  private def polyDfF(s: SparkSession, polys: Seq[TileGrid.PolyTileF]): DataFrame = {
+    import s.implicits._
+    polys.toDF()
+  }
+
+  /** FLOAT vertex → fixed-point long at the declared 1/[[TileGrid.PolyScale]]
+    * precision. Vertices off the grid RAISE instead of rounding: snapping
+    * silently changes geometry, and the precision choice must be
+    * deliberate (the PostGIS analogue is ST_SnapToGrid before exact
+    * predicates). Scaling an on-grid double by the power-of-two scale is
+    * IEEE-exact, so Spark and the DuckDB oracle (which scales its own
+    * float literals, TileGrid.polyEdgesFSqlCte) land on bit-identical
+    * longs and the entire integer machinery — PointInPoly, shoelace,
+    * the binned join — applies verbatim. */
+  private[graft] def fixedPointEdges(edgesF: Column): Column = {
+    def fx(c: Column): Column = {
+      val scaled = c * lit(TileGrid.PolyScale.toDouble)
+      when(scaled === floor(scaled), scaled.cast("long"))
+        .otherwise(raise_error(concat(
+          lit(s"polygon vertex off the declared 1/${TileGrid.PolyScale} grid: "),
+          c.cast("string"))))
+    }
+    transform(edgesF, e => struct(
+      fx(e.getField("x1")).as("x1"), fx(e.getField("y1")).as("y1"),
+      fx(e.getField("x2")).as("x2"), fx(e.getField("y2")).as("y2")))
+  }
+
   /** The SQL spelling of [[inside]]'s per-edge crossing test, over an
     * exploded edge relation aliased `e` against point columns (px,py) —
     * composed into SUM(CASE…)%2=1 by the oracles. One string, used by
@@ -143,7 +170,44 @@ object PolyOps extends OpModule {
     "a22_poly_area" -> ((s, _) =>
       polyDf(s, TileGrid.tilePolys)
         .select(col("version"), shoelace2(col("edges")).as("a2"))
-        .groupBy("version").agg(sum("a2").as("area2"))))
+        .groupBy("version").agg(sum("a2").as("area2"))),
+
+    // P16 — FLOAT-vertex polygon containment (round 13, the last §7.4
+    // residual): real GIS vertices are doubles; scale to fixed point at
+    // the declared 1/8 precision ([[fixedPointEdges]] — off-grid
+    // vertices raise, never round) and run the identical integer
+    // ray-cast. The feature points are integers, scaled by the same
+    // factor inline; same broadcast-dim, scan-never-shuffles shape as
+    // p15.
+    "p16_poly_within_float" -> ((s, dir) =>
+      Tables.features(s, dir)
+        .join(broadcast(polyDfF(s, TileGrid.tilePolysF)
+          .select(col("tile_id"), fixedPointEdges(col("edges")).as("edges"))),
+          Seq("tile_id"))
+        .filter(inside(col("fx") * TileGrid.PolyScale,
+          col("fy") * TileGrid.PolyScale, col("edges")))
+        .select(col("o_orderkey").as("gid"), col("fx"), col("fy"), col("tile_id"))),
+
+    // J15 — FLOAT-vertex binned polygon join: j14's bin-then-exact
+    // pattern with double-vertex coverage polygons, all residual
+    // arithmetic in the scaled fixed-point domain. The bin cell of an
+    // integer point is scale-invariant (fx·8 div (1250·8) = fx div
+    // 1250), so the point side's probe expression is unchanged.
+    "j15_poly_bin_join_float" -> ((s, dir) => {
+      import s.implicits._
+      val cells = broadcast(TileGrid.coverCellsF.toDF("tile_id", "cellx", "celly"))
+      val polys = broadcast(polyDfF(s, TileGrid.coverPolysF)
+        .select(col("tile_id"), fixedPointEdges(col("edges")).as("edges")))
+      Tables.features(s, dir)
+        .drop("tile_id", "tx", "ty")
+        .withColumn("cellx", expr(s"fx div ${TileGrid.PolyCell}"))
+        .withColumn("celly", expr(s"fy div ${TileGrid.PolyCell}"))
+        .join(cells, Seq("cellx", "celly"))
+        .join(polys, Seq("tile_id"))
+        .filter(inside(col("fx") * TileGrid.PolyScale,
+          col("fy") * TileGrid.PolyScale, col("edges")))
+        .select(col("o_orderkey").as("gid"), col("fx"), col("fy"), col("tile_id"))
+    }))
 
   def oracles: Map[String, String] = Map(
     "p15_poly_within" -> Sql.query(Sql.feat,
@@ -167,5 +231,28 @@ object PolyOps extends OpModule {
     "a22_poly_area" -> Sql.query(
       TileGrid.polyEdgesSqlCte("poly_edges", TileGrid.tilePolys))(
       """SELECT version, CAST(SUM(x1 * y2 - x2 * y1) AS BIGINT) AS area2
-        |FROM poly_edges GROUP BY version""".stripMargin))
+        |FROM poly_edges GROUP BY version""".stripMargin),
+
+    // the float oracles scale the POINT inline (f.fx * 8 — exact: fx is
+    // an integer) and let polyEdgesFSqlCte scale the double vertices,
+    // so both engines independently do float→fixed and must agree
+    "p16_poly_within_float" -> Sql.query(Sql.feat,
+      TileGrid.polyEdgesFSqlCte("poly_edges", TileGrid.tilePolysF))(
+      s"""SELECT f.o_orderkey AS gid, f.fx, f.fy, f.tile_id
+         |FROM feat f JOIN poly_edges e ON f.tile_id = e.tile_id
+         |GROUP BY 1, 2, 3, 4
+         |HAVING SUM(${crossingSql(s"f.fx * ${TileGrid.PolyScale}",
+            s"f.fy * ${TileGrid.PolyScale}")}) % 2 = 1""".stripMargin),
+
+    "j15_poly_bin_join_float" -> Sql.query(Sql.feat,
+      TileGrid.polyEdgesFSqlCte("cover_edges", TileGrid.coverPolysF),
+      TileGrid.coverCellsFSqlCte)(
+      s"""SELECT f.o_orderkey AS gid, f.fx, f.fy, c.tile_id
+         |FROM feat f
+         |JOIN poly_cells_f c ON c.cellx = f.fx // ${TileGrid.PolyCell}
+         |                   AND c.celly = f.fy // ${TileGrid.PolyCell}
+         |JOIN cover_edges e ON e.tile_id = c.tile_id
+         |GROUP BY 1, 2, 3, 4
+         |HAVING SUM(${crossingSql(s"f.fx * ${TileGrid.PolyScale}",
+            s"f.fy * ${TileGrid.PolyScale}")}) % 2 = 1""".stripMargin))
 }

@@ -136,6 +136,45 @@ class PolyOpsSpec extends SparkSpec {
     }
   }
 
+  test("fixed-point scaling: integer-vertex float polygons reduce to the integer pipeline") {
+    import spark.implicits._
+    import graft.model.TileGrid
+    // the SAME polygons, once as longs and once as doubles through
+    // fixedPointEdges ×8: containment of every feature point must be
+    // identical — the float path is the integer path after scaling
+    val asFloat = TileGrid.tilePolys.map(p => TileGrid.PolyTileF(p.tile_id, p.version,
+      p.edges.map(e => TileGrid.PEdgeF(e.x1.toDouble, e.y1.toDouble,
+        e.x2.toDouble, e.y2.toDouble))))
+    val intHits = run("p15_poly_within").collect().map(_.toSeq).toSet
+    val floatHits = graft.sources.Tables.features(spark, Sf)
+      .join(broadcast(asFloat.toDF()
+        .select(col("tile_id"),
+          graft.operators.PolyOps.fixedPointEdges(col("edges")).as("edges"))),
+        Seq("tile_id"))
+      .filter(graft.operators.PolyOps.inside(
+        col("fx") * TileGrid.PolyScale, col("fy") * TileGrid.PolyScale, col("edges")))
+      .select(col("o_orderkey").as("gid"), col("fx"), col("fy"), col("tile_id"))
+      .collect().map(_.toSeq).toSet
+    assert(floatHits == intHits)
+  }
+
+  test("a vertex off the declared 1/8 grid raises instead of silently rounding") {
+    import spark.implicits._
+    import graft.model.TileGrid
+    val bad = Seq(TileGrid.PolyTileF("tbad", 2,
+      Seq(TileGrid.PEdgeF(0.0, 0.0, 10.1, 0.0),
+        TileGrid.PEdgeF(10.1, 0.0, 0.0, 10.0),
+        TileGrid.PEdgeF(0.0, 10.0, 0.0, 0.0)))).toDF()
+    val e = intercept[Exception] {
+      bad.select(graft.operators.PolyOps.fixedPointEdges(col("edges")).as("e"))
+        .selectExpr("e[0].x2").collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("off the declared 1/8 grid")), e.toString)
+  }
+
   test("j14 finds cross-tile memberships that the grid join cannot see") {
     val j14 = run("j14_poly_bin_join")
     // recompute each hit's own grid tile; some must differ from the
