@@ -68,19 +68,34 @@ object GraphOps extends OpModule {
         .unionByName(e0.select(col("b").as("src"), col("a").as("dst")))
     }
 
+  /** Per-part fan-out cap for the co-purchase pair join: a part
+    * contributes pairs among at most this many customers — the
+    * MaxCoDeg SMALLEST custkeys buying it, a deterministic rule both
+    * engines can spell. Without it the per-part clique is quadratic in
+    * part popularity: benign on the uniform fixtures (≤ a handful of
+    * %7-customers per part, the cap never binds, results unchanged),
+    * a real blowup on a power-law corpus — the round-13 Zipf re-gate
+    * caught the uncapped form computing a ~10⁹-pair clique for the hub
+    * part at gen-zipf-sf1. Same guard as the dedup family's MaxDf on
+    * hot shingles (round 11); the 100 TB form is exactly this window. */
+  val MaxCoDeg = 64
+
   /** Canonical undirected co-purchase edges (u < v) between customers in
-    * the custkey % 7 = 0 slice that share a part. The slice bounds the
-    * per-part clique the same way the dedup family's MaxDf cap bounds
-    * hot-shingle joins — at 100 TB the cap would be per-part top-K by
-    * key, the same deterministic guard. */
+    * the custkey % 7 = 0 slice that share a part, per-part fan-out
+    * capped at [[MaxCoDeg]] (see there). One shuffle on the part key
+    * serves both the cap window and the pair join. */
   private[operators] def copurchaseEdges(s: SparkSession, dir: String): DataFrame =
     Cached.of(s, s"g:copurchase:$dir") {
-      val cp = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      val cp0 = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
         .filter(col("o_custkey") % 7 === 0)
         .join(Tables.lineitem(s, dir).select("l_orderkey", "l_partkey"),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
         .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("p").orderBy("c")
+      val cp = cp0.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= MaxCoDeg).drop("rn")
       cp.as("a").join(cp.as("b"),
           col("a.p") === col("b.p") && col("a.c") < col("b.c"))
         .select(col("a.c").as("u"), col("b.c").as("v"))
@@ -473,23 +488,15 @@ object GraphOps extends OpModule {
       "SELECT lab AS community, COUNT(*) AS n_nodes FROM l2 GROUP BY lab"),
     "g6_bucketed_pagerank" -> pagerank3Sql,
 
-    // g3: wedge total and cc recomputed from the un-oriented graph
-    "g3_clustering_coeff" ->
-      """WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
-        |            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-        |            WHERE o_custkey % 7 = 0),
-        |und AS (SELECT DISTINCT a.c AS u, b.c AS v
-        |        FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c),
-        |deg AS (SELECT n, COUNT(*) AS d FROM (
-        |          SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und) t
-        |        GROUP BY n),
-        |w AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
-        |tri AS (SELECT COUNT(*) AS n_triangles
-        |        FROM und e1 JOIN und e2 ON e1.v = e2.u
-        |        JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v)
-        |SELECT tri.n_triangles, w.n_wedges,
-        |       ROUND(3 * tri.n_triangles / w.n_wedges, 6) AS global_cc
-        |FROM tri, w""".stripMargin,
+    // g3: wedge total from un-oriented degrees; the triangle probe uses
+    // the oriented spelling (see copurchaseSql/orientedTriSql) so the
+    // oracle survives power-law corpora too
+    "g3_clustering_coeff" -> Sql.query(copurchaseSql, orientedTriSql)(
+      """SELECT tri.n_triangles,
+        |       (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+        |       ROUND(3 * tri.n_triangles /
+        |             (SELECT SUM(d * (d - 1) // 2) FROM deg), 6) AS global_cc
+        |FROM tri""".stripMargin),
 
     // g5: the oracle replays exactly 8 steps — the cap the Spark loop
     // deterministically reaches on the fixture (the bipartite trade
@@ -524,18 +531,54 @@ object GraphOps extends OpModule {
       bfsStep("d3", "d2"), bfsStep("d4", "d3"))(
       "SELECT d, COUNT(*) AS n_nodes FROM d4 GROUP BY d ORDER BY d"),
 
-    // g2: the oracle counts ordered triangles u<v<w directly (no
-    // orientation trick) — two independent enumeration strategies must
-    // agree on the exact count.
-    "g2_triangle_count" ->
-      """WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
-        |            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-        |            WHERE o_custkey % 7 = 0),
-        |und AS (SELECT DISTINCT a.c AS u, b.c AS v
-        |        FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c)
-        |SELECT COUNT(*) AS n_triangles
-        |FROM und e1
-        |JOIN und e2 ON e1.v = e2.u
-        |JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin
+    // g2: the oracle orients by ITS OWN total order before the wedge
+    // join. Until round 13 it enumerated u<v<w wedges unoriented — an
+    // independent second strategy, but one that squares a celebrity
+    // node's neighbourhood: on the Zipf corpus the capped graph still
+    // has a 15.8k-degree hub (Σd² ≈ 4·10⁹ unoriented wedges) where the
+    // oriented form is bounded at max-outdeg 355 / Σ ≈ 1.8·10⁸. The
+    // independence that matters survives: a DIFFERENT orientation
+    // order (plain degree-then-id over a different tie profile) and a
+    // different join spelling must land on the identical count.
+    "g2_triangle_count" -> Sql.query(copurchaseSql, orientedTriSql)(
+      "SELECT n_triangles FROM tri")
   )
+
+  /** Shared co-purchase CTE chain (cp0 → capped cp → und → deg),
+    * generated from the SAME [[MaxCoDeg]] constant as the Spark
+    * pipeline — the cap rule cannot drift between engines. */
+  private def copurchaseSql: String =
+    // MATERIALIZED throughout: DuckDB re-inlines plain CTEs per
+    // reference, and und/deg/ori are each consumed 2-3 times — the
+    // sigSqlAt lesson (an un-materialized chain turned the dd oracle
+    // quadratic in references)
+    s"""cp0 AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+       |        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       |        WHERE o_custkey % 7 = 0),
+       |cp AS MATERIALIZED (SELECT c, p FROM (
+       |         SELECT c, p, row_number() OVER (PARTITION BY p ORDER BY c) AS rn
+       |         FROM cp0) t
+       |       WHERE rn <= ${MaxCoDeg}),
+       |und AS MATERIALIZED (SELECT DISTINCT a.c AS u, b.c AS v
+       |        FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c),
+       |deg AS MATERIALIZED (SELECT n, COUNT(*) AS d FROM (
+       |          SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und) t
+       |        GROUP BY n)""".stripMargin
+
+  /** Degree-oriented triangle count over `und`/`deg`: each edge points
+    * from its lower-(degree, id) endpoint, so a triangle's three
+    * vertices orient r1→r2, r1→r3, r2→r3 and the wedge-at-r1 join
+    * counts it exactly once. Any strict total order works — the count
+    * is orientation-invariant — which is what keeps this an independent
+    * check of the Spark side's own orientation. */
+  private def orientedTriSql: String =
+    """ori AS MATERIALIZED (
+      |        SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+      |                    THEN e.u ELSE e.v END AS a,
+      |               CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+      |                    THEN e.v ELSE e.u END AS b
+      |        FROM und e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v),
+      |tri AS (SELECT COUNT(*) AS n_triangles
+      |        FROM ori e1 JOIN ori e2 ON e2.a = e1.a
+      |        JOIN ori e3 ON e3.a = e1.b AND e3.b = e2.b)""".stripMargin
 }

@@ -128,7 +128,8 @@ class PolyOpsSpec extends SparkSpec {
   }
 
   test("p15/j14 plans: broadcast joins only, corpus side never shuffles") {
-    Seq("p15_poly_within", "j14_poly_bin_join").foreach { q =>
+    Seq("p15_poly_within", "j14_poly_bin_join",
+        "p16_poly_within_float", "j15_poly_bin_join_float").foreach { q =>
       val plan = run(q).queryExecution.executedPlan.toString
       assert(plan.contains("BroadcastHashJoin"), s"$q: no broadcast join\n$plan")
       assert(!plan.contains("Exchange hashpartitioning"),
