@@ -160,30 +160,57 @@ object AggOps extends OpModule {
     // is spec-tested (AggJoinSpec), not hash-gated.
     // (Spark's approx_count_distinct HLL++ lacks an exact phase — off by
     // one even at 150 keys — hence the Datasketches variant.)
+    // A13 — HLL approximate distinct, gated by its ERROR CONTRACT. The
+    // r12 form output the raw estimate and the oracle compared it to
+    // the exact count — which "passed" only while no two user_ids
+    // collided in the sketch's 26-bit coupon space (expected collisions
+    // ≈ k²/2²⁷ ≈ 1.4 at k≈14k distinct): the round-13 Zipf corpus
+    // produced the collision and the estimate came up one short, as an
+    // approximate sketch is ALLOWED to. The honest, scale-robust gate
+    // is the bound itself: the estimate must track the exact count
+    // within 2% (lgK=21's nominal RSE is 0.07%; the coupon-collision
+    // correction adds off-by-ones at small k), asserted exactly as a
+    // boolean both engines agree on. The exact count rides along for
+    // the hash compare — at gate scale it is one more agg on the same
+    // shuffle; at 100 TB only the sketch column survives.
     "a13_approx_distinct" -> ((s, dir) =>
       Tables.events(s, dir).groupBy("event_type")
-        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 21))")
-          .as("n_users"))),
+        .agg(countDistinct("user_id").as("n_users"),
+          expr("hll_sketch_estimate(hll_sketch_agg(user_id, 21))").as("est"))
+        .select(col("event_type"), col("n_users"),
+          (abs(col("est") - col("n_users")) <= col("n_users") * 0.02)
+            .as("est_in_bound"))),
 
     // A18 (extension) — MERGEABLE-SKETCH re-aggregation: per-(type, day)
     // HLL sketches built once, then union-merged to per-type totals —
     // the incremental-analytics pattern that makes distinct-counting
     // tractable at 100 TB (daily sketch materialization; any window's
     // cardinality is a cheap register max-merge of O(days) sketches,
-    // never a re-scan). HLL union is REGISTER-EXACT (max-merge), so the
-    // merged estimate provably equals the single-pass a13 estimate —
-    // which the gate already pins to the exact count at fixture
-    // cardinalities (lgK=21 keeps the whole chain in the coupon-exact
-    // regime through sf1 — see a13). Both aggregation levels are
-    // partial-agg shuffles on shrinking keys.
+    // never a re-scan). Two exact booleans gate the two properties that
+    // actually define the pattern: HLL union is REGISTER-EXACT
+    // (max-merge), so the merged estimate must equal the single-pass
+    // a13 estimate BIT-FOR-BIT (`merge_exact` — the sketches see the
+    // same values, so their states are identical whatever the grouping);
+    // and the estimate must track the exact count within the sketch's
+    // bound (`est_in_bound` — see a13 for why exact equality was the
+    // wrong gate: coupon-space hash collisions). Both aggregation
+    // levels are partial-agg shuffles on shrinking keys.
     "a18_sketch_merge" -> ((s, dir) => {
       val daily = Tables.events(s, dir)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(expr("hll_sketch_agg(user_id, 21)").as("sk"))
-      daily.groupBy("event_type")
+      val merged = daily.groupBy("event_type")
         .agg(count(lit(1)).as("n_days"),
-          expr("hll_sketch_estimate(hll_union_agg(sk, false))")
-            .as("n_users"))
+          expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"))
+      val exact = Tables.events(s, dir).groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_users"),
+          expr("hll_sketch_estimate(hll_sketch_agg(user_id, 21))")
+            .as("single_pass_est"))
+      merged.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_days"), col("n_users"),
+          (col("est") === col("single_pass_est")).as("merge_exact"),
+          (abs(col("est") - col("n_users")) <= col("n_users") * 0.02)
+            .as("est_in_bound"))
         .orderBy("event_type")
     }),
 
@@ -608,16 +635,21 @@ object AggOps extends OpModule {
       """SELECT COUNT(DISTINCT tile_id) AS n_tiles,
         |       COUNT(DISTINCT version) AS n_versions FROM boundaries""".stripMargin),
 
+    // a13/a18: the oracle asserts the exact counts and requires the
+    // sketch-side booleans TRUE — the estimate's 2% contract and (a18)
+    // the register-exact merge are what an approximate sketch
+    // guarantees; exact estimate==count equality is not (see the query
+    // comments: coupon-space collisions)
     "a13_approx_distinct" ->
-      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+        |       TRUE AS est_in_bound
         |FROM events GROUP BY event_type""".stripMargin,
 
-    // a18: merged-sketch estimate must equal the EXACT counts — the
-    // union-exactness property plus a13's pinned estimate precision
     "a18_sketch_merge" ->
       """SELECT event_type,
         |       COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
-        |       COUNT(DISTINCT user_id) AS n_users
+        |       COUNT(DISTINCT user_id) AS n_users,
+        |       TRUE AS merge_exact, TRUE AS est_in_bound
         |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 
