@@ -68,9 +68,21 @@ object Plans {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Debug arm: `Plans <sfDir> <queryName>` prints ONE query's EXECUTED
+    // plan (post-AQE — what actually ran, not what was proposed) to
+    // stdout and exits. For plan triage on any corpus without editing
+    // the Show list.
+    args.lift(1).foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.count()
+      println(df.queryExecution.executedPlan.toString)
+      spark.stop()
+      return
+    }
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append(s"Generated by `sbt \"runMain graft.Plans $sfDir\"`. ")

@@ -236,13 +236,27 @@ object GraphOps extends OpModule {
     "v4_sql_pagerank" -> ((s, dir) => {
       Tables.orders(s, dir).createOrReplaceTempView("orders_v")
       Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      // SHUFFLE_HASH on the rank/degree sides: they are NODE-proportional
+      // relations, and without the hint Catalyst happily broadcasts them
+      // once stats look small — which materializes a data-proportional
+      // table ON THE DRIVER. The round-13 driver-heap gate caught
+      // exactly that: this query was the only one of 230 to die at
+      // -Xmx1g on zipf-sf1 ("Not enough memory to build and broadcast"),
+      // while the DataFrame twin g1 (shuffle joins throughout) passed.
+      // At 100 TB a broadcast rank table is a driver OOM by design;
+      // node-keyed shuffle joins are the only shape that scales.
       def step(name: String, prev: String): String =
-        s"""$name AS (SELECT e.dst AS node,
+        s"""$name AS (SELECT /*+ SHUFFLE_HASH(p, d) */ e.dst AS node,
            |       $Teleport + (85 * SUM(CAST(p.pr div d.deg AS DECIMAL(38,0)))) div 100 AS pr
            |FROM edges e JOIN $prev p ON e.src = p.node JOIN deg d ON e.src = d.node
            |GROUP BY e.dst)""".stripMargin
       s.sql(
-        s"""WITH e0 AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
+        // MERGE on the fact-fact foundation join: orders is a FACT table,
+      // and un-hinted Catalyst broadcast it (1.5M rows hashed on the
+      // driver) — worse, the un-persisted CTE chain re-inlines e0 into
+      // every pr step, so SEVERAL fact broadcasts were live on the
+      // driver at once. Same driver-heap-gate find as the step hint.
+      s"""WITH e0 AS (SELECT /*+ MERGE(o) */ DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
            |            FROM orders_v o JOIN lineitem_v l ON o.o_orderkey = l.l_orderkey),
            |edges AS (SELECT a AS src, b AS dst FROM e0
            |          UNION ALL SELECT b AS src, a AS dst FROM e0),
