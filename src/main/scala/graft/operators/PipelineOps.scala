@@ -371,6 +371,54 @@ object PipelineOps extends OpModule {
         .agg(count(lit(1)).as("n_docs"),
           sum("n_chars").as("sum_chars"))
         .orderBy("split")
+    }),
+
+    // pp6 — SEQUENCE PACKING: the tokenize-and-pack step every LLM
+    // training pipeline runs between curation and the data loader.
+    // Semantics are the standard concat-and-cut: documents concatenated
+    // in doc_id order into one global token stream, cut every B=512
+    // tokens; each doc's ledger row reports its token span and the
+    // pack(s) it lands in (a doc crossing a cut boundary spans two).
+    // The whole computation reduces to one EXACT GLOBAL PREFIX SUM of
+    // per-doc token counts — and a naive `sum().over(Window.orderBy)`
+    // puts the entire corpus in ONE window partition, the same
+    // single-reducer scale-killer ds13 avoids. Same distributed-exact
+    // plan here: (1) repartitionByRange on doc_id (contiguous ranges),
+    // (2) per-RANGE-PARTITION running sum (well-distributed window key),
+    // (3) per-partition totals -> prefix-sum offsets (|partitions| rows,
+    // the only serial step, broadcast back). tok_start = offset + local
+    // running sum, exact at any scale. Token rule shared with tx3
+    // (whitespace split, empties dropped).
+    "pp6_sequence_pack" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val B = 512L
+      val parts = 8 // |range partitions|; ~cluster cores at corpus scale
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        size(filter(split(col("text"), " "), w => w =!= ""))
+          .cast("long").as("n_tokens"))
+      val ranged = docs.repartitionByRange(parts, col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+      // Unpartitioned window BY DESIGN: |partitions| rows, never corpus
+      // rows (the bounded-window argument ds13 documents).
+      val offW = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = ranged.groupBy("pid").agg(sum("n_tokens").as("toks"))
+        .withColumn("off", coalesce(sum("toks").over(offW), lit(0L)))
+        .select("pid", "off")
+      val localW = Window.partitionBy("pid").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ranged
+        .withColumn("local_before",
+          coalesce(sum("n_tokens").over(localW), lit(0L)))
+        .join(broadcast(offsets), Seq("pid"))
+        .withColumn("tok_start", col("off") + col("local_before"))
+        .withColumn("first_pack", expr(s"tok_start div $B"))
+        // a zero-token doc stays in its start pack (greatest guards the
+        // tok_start-on-a-boundary corner where start-1 div B dips back)
+        .withColumn("last_pack", greatest(col("first_pack"),
+          expr(s"(tok_start + n_tokens - 1) div $B")))
+        .select(col("doc_id"), col("n_tokens"), col("tok_start"),
+          col("first_pack"), col("last_pack"),
+          (col("last_pack") - col("first_pack") + 1L).as("n_packs"))
     })
   )
 
@@ -413,6 +461,31 @@ object PipelineOps extends OpModule {
         |       COUNT(*) AS n_docs,
         |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM kept GROUP BY 1 ORDER BY split""".stripMargin),
+
+    // pp6: the same concat-and-cut ledger, spelled as DuckDB's single
+    // global window cumsum (the single-node engine CAN afford the
+    // global window; the Spark side must reproduce it exactly without
+    // one). Token rule matches tokensSql: whitespace split, '' dropped.
+    "pp6_sequence_pack" -> Sql.query(
+      """toks AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |                              x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents)""".stripMargin,
+      """spans AS (
+        |  SELECT doc_id, n_tokens,
+        |         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0) AS tok_start
+        |  FROM toks)""".stripMargin)(
+      """SELECT doc_id, n_tokens, CAST(tok_start AS BIGINT) AS tok_start,
+        |       CAST(tok_start // 512 AS BIGINT) AS first_pack,
+        |       CAST(GREATEST(tok_start // 512,
+        |            (tok_start + n_tokens - 1) // 512) AS BIGINT) AS last_pack,
+        |       CAST(GREATEST(tok_start // 512,
+        |            (tok_start + n_tokens - 1) // 512)
+        |            - tok_start // 512 + 1 AS BIGINT) AS n_packs
+        |FROM spans""".stripMargin),
 
     "v1_sql_frontend" -> Sql.query(Sql.boundaries)(
       s"""SELECT tile_id FROM boundaries

@@ -772,6 +772,52 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ordered.max - ordered.min <= 1 && ordered == ordered.sorted.reverse)
   }
 
+  test("pp6: distributed prefix-sum packing equals the single-window global cumsum") {
+    import org.apache.spark.sql.expressions.Window
+    val got = run("pp6_sequence_pack").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    // naive single-reducer reference: fine at spec scale, the thing the
+    // shipped plan exists to avoid at corpus scale
+    val B = 512L
+    val ref = sources.Tables.documents(spark, Sf)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), w => w =!= ""))
+          .cast("long").as("n_tokens"))
+      .withColumn("tok_start", coalesce(sum("n_tokens").over(
+        Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("first_pack", expr(s"tok_start div $B"))
+      .withColumn("last_pack", greatest(col("first_pack"),
+        expr(s"(tok_start + n_tokens - 1) div $B")))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(4) - r.getLong(3) + 1))).toMap
+    assert(got == ref)
+    // the ledger tiles the token stream exactly: spans are contiguous,
+    // and the last doc's end equals the total token count
+    val byStart = got.values.toSeq.sortBy(_._2)
+    byStart.sliding(2).foreach {
+      case Seq((n, s, _, _, _), (_, s2, _, _, _)) => assert(s + n == s2)
+      case _ => ()
+    }
+    val total = byStart.map(_._1).sum
+    assert(byStart.last._2 + byStart.last._1 == total)
+    // every doc fits its declared packs: n_packs >= 1 and a doc spans
+    // two packs iff its span crosses a multiple of B
+    got.values.foreach { case (n, s, fp, lp, np) =>
+      assert(np == lp - fp + 1 && np >= 1)
+      if (n > 0) assert(lp == (s + n - 1) / B && fp == s / B)
+    }
+  }
+
+  test("pp6: the packing plan never windows over an unbounded global partition") {
+    // the corpus-sized window must be keyed by the range-partition id;
+    // the only unpartitioned window runs over |partitions| rows
+    val plan = run("pp6_sequence_pack").queryExecution.executedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.exists(_.contains("pid")), s"no pid-keyed window:\n$plan")
+  }
+
   test("ds14: no surviving train doc shares a 5-gram with the test split (string-level recompute)") {
     import graft.operators.DedupOps.h60
     val docs = sources.Tables.documents(spark, Sf)
