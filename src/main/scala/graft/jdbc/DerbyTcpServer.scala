@@ -65,6 +65,7 @@ object DerbyTcpServer {
       val out = new ObjectOutputStream(new BufferedOutputStream(sock.getOutputStream))
       out.flush() // release the stream header before the client reads
       val in = new ObjectInputStream(new BufferedInputStream(sock.getInputStream))
+      in.setObjectInputFilter(wireFilter) // reject non-protocol classes
       var open = true
       while (open) {
         val req = in.readObject()
@@ -96,6 +97,9 @@ object DerbyTcpServer {
       }
     } catch {
       case _: EOFException | _: SocketException => () // client went away
+      // a rejected (non-protocol) object on the wire: drop the
+      // connection without running any part of the payload
+      case _: java.io.InvalidClassException => ()
     } finally {
       if (conn != null) { try conn.rollback() catch { case _: Throwable => () }
         try conn.close() catch { case _: Throwable => () } }

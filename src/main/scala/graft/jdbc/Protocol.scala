@@ -68,4 +68,40 @@ private[jdbc] object Protocol {
     * on the missing-table failure) behave identically. */
   final case class Err(message: String, sqlState: String, code: Int)
     extends Serializable
+
+  /** Deserialization allowlist for both wire ends ([[DerbyTcpServer]]
+    * and [[ProxyDriver.Wire]]): `ObjectInputStream.readObject()` on a
+    * socket that any local process can reach is the classic Java
+    * gadget-chain surface, loopback or not. The filter admits ONLY the
+    * protocol classes, the boxed/temporal/decimal value types Derby
+    * actually returns (and their serial-form internals), and primitive
+    * or allowlisted-component arrays — everything else is rejected
+    * before its class initializer or readObject can run.
+    * JdbcProxySpec pins the rejection with a live non-protocol object. */
+  private val AllowedValueClasses: Set[String] = Set(
+    "java.lang.String", "java.lang.Boolean", "java.lang.Byte",
+    "java.lang.Short", "java.lang.Integer", "java.lang.Long",
+    "java.lang.Float", "java.lang.Double", "java.lang.Character",
+    "java.lang.Number", "java.lang.Object", "java.lang.Class",
+    "java.lang.Enum",
+    "java.math.BigDecimal", "java.math.BigInteger",
+    "java.sql.Date", "java.sql.Time", "java.sql.Timestamp",
+    "java.util.Date",
+    // Scala case objects (Ok/Commit/...) serialize through this proxy
+    "scala.runtime.ModuleSerializationProxy")
+
+  private[jdbc] val wireFilter: java.io.ObjectInputFilter =
+    (info: java.io.ObjectInputFilter.FilterInfo) => {
+      val cl = info.serialClass()
+      if (cl == null) java.io.ObjectInputFilter.Status.UNDECIDED
+      else {
+        var c = cl
+        while (c.isArray) c = c.getComponentType
+        val ok = c.isPrimitive ||
+          c.getName.startsWith("graft.jdbc.Protocol$") ||
+          AllowedValueClasses.contains(c.getName)
+        if (ok) java.io.ObjectInputFilter.Status.ALLOWED
+        else java.io.ObjectInputFilter.Status.REJECTED
+      }
+    }
 }

@@ -69,6 +69,7 @@ private object ProxyDriver {
     private val out = new ObjectOutputStream(new BufferedOutputStream(sock.getOutputStream))
     out.flush()
     private val in = new ObjectInputStream(new BufferedInputStream(sock.getInputStream))
+    in.setObjectInputFilter(wireFilter) // reject non-protocol classes
 
     def call(req: AnyRef): AnyRef = synchronized {
       out.writeObject(req)

@@ -392,10 +392,18 @@ object PipelineOps extends OpModule {
     "pp6_sequence_pack" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val B = 512L
-      val parts = 8 // |range partitions|; ~cluster cores at corpus scale
+      // |range partitions| = cluster cores: the offsets relation is
+      // |partitions| rows (the only serial step), so it tracks the
+      // cluster, not the corpus; the result is partition-count-
+      // invariant (PipelineOpsSpec pins equality with the naive form).
+      val parts = s.sparkContext.defaultParallelism
+      // null text packs as 0 tokens (the explode-based tokens() rule);
+      // without the guard, legacy sizeOfNull makes size() return -1
+      // and a single NULL doc would corrupt every later tok_start
       val docs = Tables.documents(s, dir).select(col("doc_id"),
-        size(filter(split(col("text"), " "), w => w =!= ""))
-          .cast("long").as("n_tokens"))
+        when(col("text").isNull, 0L)
+          .otherwise(size(filter(split(col("text"), " "), w => w =!= ""))
+            .cast("long")).as("n_tokens"))
       val ranged = docs.repartitionByRange(parts, col("doc_id"))
         .withColumn("pid", spark_partition_id())
       // Unpartitioned window BY DESIGN: |partitions| rows, never corpus
@@ -469,8 +477,8 @@ object PipelineOps extends OpModule {
     "pp6_sequence_pack" -> Sql.query(
       """toks AS (
         |  SELECT doc_id,
-        |         CAST(len(list_filter(string_split(text, ' '),
-        |                              x -> x <> '')) AS BIGINT) AS n_tokens
+        |         CAST(COALESCE(len(list_filter(string_split(text, ' '),
+        |                                       x -> x <> '')), 0) AS BIGINT) AS n_tokens
         |  FROM documents)""".stripMargin,
       """spans AS (
         |  SELECT doc_id, n_tokens,

@@ -66,4 +66,61 @@ class JdbcProxySpec extends SparkSpec {
     // and a pushed predicate is evaluated server-side without error
     assert(back.filter(col("b")).count() == 1)
   }
+
+  test("server rejects a non-protocol object on the wire (deserialization filter)") {
+    import java.io.{BufferedInputStream, BufferedOutputStream, ObjectInputStream, ObjectOutputStream}
+    val port = graft.jdbc.DerbyTcpServer.port
+    val before = graft.jdbc.DerbyTcpServer.accepted.get()
+    val sock = new java.net.Socket("localhost", port)
+    try {
+      val out = new ObjectOutputStream(new BufferedOutputStream(sock.getOutputStream))
+      out.flush()
+      val in = new ObjectInputStream(new BufferedInputStream(sock.getInputStream))
+      // an arbitrary serializable object that is NOT a Protocol message:
+      // the ObjectInputFilter must reject its class before readObject
+      // completes, and the server must drop the connection
+      val evil = new java.util.ArrayList[String]()
+      evil.add("gadget")
+      out.writeObject(evil)
+      out.flush()
+      val e = intercept[java.io.IOException](in.readObject())
+      assert(e.isInstanceOf[java.io.EOFException] ||
+        e.isInstanceOf[java.net.SocketException], s"unexpected: $e")
+    } finally sock.close()
+    // the accept loop survives: a legitimate connection still works
+    val url = graft.jdbc.DerbyTcpServer.url("/tmp/graft_proxy_filterdb")
+    import spark.implicits._
+    Seq((1L, "ok")).toDF("id", "s").write.mode("overwrite").jdbc(url, "filter_rt", props)
+    assert(spark.read.jdbc(url, "filter_rt", props).count() == 1)
+    assert(graft.jdbc.DerbyTcpServer.accepted.get() > before)
+  }
+
+  test("client rejects a non-protocol object from a malicious server") {
+    import java.io.{BufferedInputStream, BufferedOutputStream, ObjectInputStream, ObjectOutputStream}
+    val ss = new java.net.ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
+    val server = new Thread(() => {
+      val s = ss.accept()
+      val out = new ObjectOutputStream(new BufferedOutputStream(s.getOutputStream))
+      out.flush()
+      val in = new ObjectInputStream(new BufferedInputStream(s.getInputStream))
+      in.readObject() // the client's Open request
+      val evil = new java.util.ArrayList[String]()
+      evil.add("gadget")
+      out.writeObject(evil) // instead of Protocol.Ok
+      out.flush()
+      s.close()
+    })
+    server.setDaemon(true)
+    server.start()
+    try {
+      val e = intercept[Throwable] {
+        new graft.jdbc.ProxyDriver().connect(
+          s"jdbc:derby://localhost:${ss.getLocalPort}/ignored", props)
+      }
+      def chain(t: Throwable): List[Throwable] =
+        if (t == null) Nil else t :: chain(t.getCause)
+      assert(chain(e).exists(_.isInstanceOf[java.io.InvalidClassException]),
+        s"expected InvalidClassException in chain, got: $e")
+    } finally ss.close()
+  }
 }

@@ -816,6 +816,15 @@ class PipelineOpsSpec extends SparkSpec {
     val plan = run("pp6_sequence_pack").queryExecution.executedPlan.toString
     val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
     assert(windows.exists(_.contains("pid")), s"no pid-keyed window:\n$plan")
+    // the pin that matters: the window that ORDERS BY doc_id (the
+    // corpus-sized running sum) is the one that must be partitioned by
+    // pid — a regression back to a global Window.orderBy(doc_id) would
+    // still satisfy the exists() above via the |partitions|-row offsets
+    // window, so check the doc_id window lines specifically
+    val docIdWindows = windows.filter(_.contains("doc_id"))
+    assert(docIdWindows.nonEmpty, s"no doc_id-ordered window found:\n$plan")
+    docIdWindows.foreach(w =>
+      assert(w.contains("pid"), s"corpus-sized window not keyed by pid: $w"))
   }
 
   test("ds14: no surviving train doc shares a 5-gram with the test split (string-level recompute)") {
