@@ -197,7 +197,7 @@ object DedupOps extends OpModule {
   private val sigSql: String = sigSqlAt(Lsh, "shingles", "sig")
 
   /** Band keys from a signature relation (cfg.rowsPerBand rows each). */
-  private def bandsOf(sig: DataFrame, cfg: LshConfig = Lsh): DataFrame =
+  private[graft] def bandsOf(sig: DataFrame, cfg: LshConfig = Lsh): DataFrame =
     sig.withColumn("band", floor(col("seed") / cfg.rowsPerBand).cast("int"))
       .withColumn("sm", concat(col("seed").cast("string"), lit(":"),
         col("mh").cast("string")))
@@ -226,9 +226,65 @@ object DedupOps extends OpModule {
   def candidatePairsAt(docs: DataFrame, cfg: LshConfig): DataFrame =
     candidatePairs(bandsOf(signaturesOf(shinglesOf(docs), cfg), cfg))
 
+  /** WIDE production plan: band keys straight from one per-doc
+    * signature ROW — (doc_id, band, bkey) value-identical to
+    * `bandsOf(signaturesOnePassOf(sh, cfg), cfg)` (pinned in LshSpec at
+    * both settings), with a physical plan that survives corpus scale:
+    *
+    *  - one shuffle of the SKINNY shingle rows (`repartition(doc_id)`),
+    *    after which the group-by needs no further exchange;
+    *  - the signature aggregate is `cfg.numHashes` DECLARATIVE `min`
+    *    columns — a codegen'd HashAggregate over a fixed-width Tungsten
+    *    buffer whose map is bounded by docs-per-partition, NOT the
+    *    TypedImperativeAggregate path: ObjectHashAggregate's sort-based
+    *    fallback (threshold 128 keys — i.e. always, at corpus scale)
+    *    serializes one ~1 KB `long[numHashes]` buffer PER INPUT ROW
+    *    into its external sorter, which at gen-sf10 measured 18.1 GB of
+    *    spill and a ×1.55 super-linear step on ×3.33 data
+    *    (LshScaleCheck; the round-13 dd14 finding);
+    *  - band keys are PURE column expressions over the wide row
+    *    (`rowsPerBand` "seed:mh" strings per band, sorted and joined),
+    *    so the old posexplode→(|docs|×numHashes rows)→collect_list
+    *    re-aggregation — 64 M rows and 9.5 GB of sorter spill of its
+    *    own at gen-sf10 — disappears entirely: 16 band rows explode
+    *    straight out of each doc's one row.
+    *
+    * Same md5 count per (shingle, seed) as [[graft.functions.MinHashSig]];
+    * the one-pass aggregate keeps its byte-sharing edge at fixture
+    * scale, but at corpus scale the fallback spill dwarfs it — this is
+    * the plan dd14 ships. */
+  private[graft] def wideSignatureBands(sh: DataFrame, cfg: LshConfig): DataFrame = {
+    // all numHashes seeded hashes in ONE evaluation per row (shared
+    // UTF-8 encode — see MinHashArray's doc); the minima are plain
+    // declarative min columns over array slots. The optimizer must NOT
+    // collapse the projection into the aggregate (which would
+    // re-evaluate the digest loop once per slot) — CollapseProject
+    // refuses to duplicate non-cheap expressions, and LshSpec pins
+    // exactly one minhasharray node in dd14's physical plan.
+    val mha = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.MinHashArray(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("sh")),
+        cfg.numHashes))
+    val mins = (0 until cfg.numHashes).map(seed =>
+      min(element_at(col("mha"), seed + 1)).as(s"m$seed"))
+    val wide = sh.filter(col("sh").isNotNull)
+      .repartition(col("doc_id"))
+      .withColumn("mha", mha)
+      .groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+    val bandStructs = array((0 until cfg.bands).map { b =>
+      val sms = (b * cfg.rowsPerBand until (b + 1) * cfg.rowsPerBand).map(
+        seed => concat(lit(s"$seed:"), col(s"m$seed").cast("string")))
+      struct(lit(b).as("band"),
+        array_join(sort_array(array(sms: _*)), "|").as("bkey"))
+    }: _*)
+    wide.select(col("doc_id"), explode(bandStructs).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
+
   /** Candidate pairs from a band relation: equi-join on (band, bkey) —
     * the shuffle key is the bucket, never all-pairs. */
-  private def candidatePairs(bands: DataFrame): DataFrame = {
+  private[graft] def candidatePairs(bands: DataFrame): DataFrame = {
     val a = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
     val b = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "bkey"))
@@ -353,15 +409,16 @@ object DedupOps extends OpModule {
     // (the hot-bucket-safe feature space the 100 TB run uses). The
     // oracle SQL is GENERATED from the same LshConfig constants as the
     // query, so the gate checks the setting that would ship, not just
-    // the 4-hash fixture miniature. Signatures come from the
-    // SINGLE-PASS MinHashSig aggregate (see [[signaturesOnePassOf]]):
-    // one long[128] buffer per doc instead of 128 exploded rows per
-    // shingle — value-identical to the exploded form (LshSpec pins it),
-    // ~2× cheaper at this setting.
+    // the 4-hash fixture miniature. Bands come from the WIDE
+    // declarative plan ([[wideSignatureBands]]): 128 codegen'd mins
+    // over doc_id-partitioned rows, band keys as pure expressions —
+    // the round-14 re-plan after LshScaleCheck measured the one-pass
+    // TypedImperativeAggregate's sort-based fallback spilling 18 GB at
+    // gen-sf10 (value-identical; LshSpec pins all three signature
+    // forms against each other).
     "dd14_minhash_production" -> ((s, dir) =>
-      candidatePairs(bandsOf(
-        signaturesOnePassOf(cappedShingles(s, dir), LshConfig.Production),
-        LshConfig.Production))),
+      candidatePairs(
+        wideSignatureBands(cappedShingles(s, dir), LshConfig.Production))),
 
     // n-gram Jaccard over the df-capped shingle set: pairs sharing rare
     // shingles, J = |∩| / |∪| with both intersection and sizes computed

@@ -77,6 +77,60 @@ class LshSpec extends SparkSpec {
     }
   }
 
+  test("wide declarative band plan is value-identical to the aggregate forms") {
+    // dd14's round-14 re-plan: band keys from one wide 128-min row
+    // (codegen'd HashAggregate) instead of the long[128] buffer
+    // aggregate whose ObjectHashAggregate fallback spilled 18 GB at
+    // gen-sf10. Same (doc_id, band, bkey) relation, at both settings
+    // and an uneven non-power one.
+    for (cfg <- Seq(LshConfig.Fixture, LshConfig.Production, LshConfig(12, 3))) {
+      val sh = DedupOps.shinglesOf(docs)
+      def rel(df: DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      val viaAgg = rel(DedupOps.bandsOf(DedupOps.signaturesOnePassOf(sh, cfg), cfg))
+      val viaWide = rel(DedupOps.wideSignatureBands(sh, cfg))
+      assert(viaWide == viaAgg, s"cfg=$cfg: band relations differ")
+      assert(viaWide.size == 4 * cfg.bands) // 4 docs x all bands
+    }
+  }
+
+  test("wide plan drops all-null docs and signs partially-null docs like the aggregate forms") {
+    import org.apache.spark.sql.functions.{col, when}
+    val cfg = LshConfig.Fixture
+    val sh = DedupOps.shinglesOf(docs)
+      .withColumn("sh", when(col("doc_id") === 3L, null)
+        .when(col("doc_id") === 1L && col("sh").startsWith("w1"), null)
+        .otherwise(col("sh")))
+    val rows = DedupOps.wideSignatureBands(sh, cfg).collect()
+    assert(!rows.exists(_.getLong(0) == 3L), "all-null doc banded")
+    assert(rows.count(_.getLong(0) == 1L) == cfg.bands,
+      "partially-null doc must still band on its non-null shingles")
+    assert(rows.forall(!_.isNullAt(2)), "null bkey leaked")
+  }
+
+  test("dd14's physical plan has no ObjectHashAggregate (the sort-fallback spill path)") {
+    // The scale defect this plan exists to avoid: ObjectHashAggregate
+    // falls back to sort-based aggregation at 128 map keys and then
+    // serializes one agg buffer PER INPUT ROW into its external sorter
+    // (18 GB of spill at gen-sf10, LshScaleCheck). The production
+    // query must plan as codegen'd HashAggregate only.
+    val plan = SparkEntry.queries("dd14_minhash_production")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ObjectHashAggregate"),
+      s"dd14 planned through ObjectHashAggregate:\n$plan")
+    assert(plan.contains("HashAggregate"), s"no hash aggregate at all?\n$plan")
+    // the shared-encode digest loop must be evaluated ONCE per row: if
+    // CollapseProject ever inlined the projection into the aggregate,
+    // the plan would carry one minhasharray per min slot (128 digest
+    // loops per row instead of 1). The band relation legitimately
+    // appears once per side of the candidate self-join (the identical
+    // shuffle subtrees dedup via ReusedExchange at scale), so the
+    // bound is 2, not 1.
+    val nMha = "minhasharray".r.findAllIn(plan.toLowerCase).size
+    assert(nMha >= 1 && nMha <= 2,
+      s"expected 1-2 minhasharray nodes (per-slot duplication?), found $nMha:\n$plan")
+  }
+
   test("a group whose shingles are all null yields no signature rows in either form") {
     // The corner the round-12 forms disagreed on: the exploded twin
     // emitted (doc, seed, NULL) rows while the aggregate emitted the

@@ -53,6 +53,27 @@ class PropertySpec extends SparkSpec {
     assert(df.filter(col("fast") < 0).count() == 0) // 60-bit → non-negative
   }
 
+  test("MinHashArray element i equals Hash60 of the 'i:'-prefixed input for arbitrary strings") {
+    // dd14's wide plan hinges on this identity: one shared-encode
+    // digest loop per row must produce exactly the per-seed Hash60
+    // family the exploded/one-pass forms (and the generated oracle
+    // SQL) compute. Checked via eval on arbitrary strings at several
+    // hash counts, including multi-byte UTF-8 and the empty string.
+    import org.apache.spark.unsafe.types.UTF8String
+    val genStr = Gen.listOfN(24,
+      Gen.frequency(8 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', ':', 'é', '中')))
+      .map(_.mkString)
+    val inputs = samples(genStr, 60) :+ "" :+ "0:exact"
+    for (n <- Seq(1, 4, 12, 128); s <- inputs) {
+      val arr = graft.functions.MinHashArray.compute(UTF8String.fromString(s), n)
+      assert(arr.numElements() == n)
+      for (i <- 0 until n)
+        assert(arr.getLong(i) ==
+          graft.functions.Hash60.hash(UTF8String.fromString(s"$i:" + s)),
+          s"n=$n i=$i s=$s")
+    }
+  }
+
   test("TopKByHash merge is assoc/comm with identity and equals sort-take") {
     import graft.functions.{KeyedId, TopKByHash}
     val agg = new TopKByHash(3)
