@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Per-query execution-metrics audit main: wall time plus the task
+  * metrics a scale claim needs numbers for — spilled bytes, shuffle
+  * read/write bytes, and max per-task peak execution memory — one JSON
+  * line per (query, rep).
+  *
+  * Why reps: the queries that build a persistent artifact once per
+  * (process, corpus) — g6's bucketed edge layout, nn15's partitioned
+  * serving layout — have a build-vs-iterate split that a single
+  * measurement conflates. Rep 1 pays the build; rep 2+ measures the
+  * steady state the operator's cost model claims. Comparing the two
+  * lines IS the split.
+  *
+  * Executes `count()` like [[Bench]], so wall numbers are comparable
+  * with BENCH_FULL records.
+  *
+  * Usage: runMain graft.MetricsCheck <sfDir> <q1,q2,...> [reps=2]
+  */
+object MetricsCheck {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: MetricsCheck <sfDir> <q1,q2,...> [reps]")
+    val sfDir = args(0)
+    val names = args(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val reps = if (args.length > 2) args(2).toInt else 2
+    val unknown = names.toSet -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"not in the registry: ${unknown.toSeq.sorted.mkString(", ")}")
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-metrics-check")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        s"/tmp/graft_warehouse_mx_${ProcessHandle.current.pid}")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val spill = new java.util.concurrent.atomic.AtomicLong(0L)
+    val shufW = new java.util.concurrent.atomic.AtomicLong(0L)
+    val shufR = new java.util.concurrent.atomic.AtomicLong(0L)
+    val peak = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+          shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          shufR.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          peak.getAndAccumulate(m.peakExecutionMemory, Math.max(_, _))
+        }
+      }
+    })
+
+    // warmup: codegen/JIT + fs metadata outside the measurements
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+
+    def f(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+    for (rep <- 1 to reps; name <- names) {
+      Thread.sleep(400) // drain listener from the previous measurement
+      spill.set(0); shufW.set(0); shufR.set(0); peak.set(0)
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries(name)(spark, sfDir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(400) // let this measurement's TaskEnd events land
+      println(s"""{"metric":"qmetrics","query":${Json.str(name)},"rep":$rep,""" +
+        s""""sec":${f(sec)},"rows":$rows,"spill_bytes":${spill.get},""" +
+        s""""shuffle_write_bytes":${shufW.get},"shuffle_read_bytes":${shufR.get},""" +
+        s""""peak_task_mem":${peak.get},"sf":${Json.str(sfDir)}}""")
+    }
+    spark.stop()
+  }
+}

@@ -155,9 +155,6 @@ object DedupOps extends OpModule {
       .groupBy("doc_id", "seed").agg(min("h").as("mh"))
   }
 
-  def minhashSignatures(s: SparkSession, dir: String): DataFrame =
-    signaturesOf(shingles(s, dir))
-
   /** SINGLE-PASS signature form (round 12): the same (doc_id, seed, mh)
     * relation as [[signaturesOf]] — bit-identical values, pinned in
     * LshSpec — but computed by [[graft.functions.MinHashSig]], a
@@ -205,19 +202,25 @@ object DedupOps extends OpModule {
       .agg(array_join(sort_array(collect_list("sm")), "|").as("bkey"))
 
   /** LSH band keys over the full shingle set (shared, persisted — feeds
-    * both sides of dd2/dd6's bucket self-join). */
+    * both sides of dd2/dd6's bucket self-join). Built through the WIDE
+    * declarative plan since round 14: `bandsOf(signaturesOf(...))`
+    * routes the band aggregation through collect_list's
+    * ObjectHashAggregate, whose per-input-row buffer serialization in
+    * sort fallback is the dd14 scale defect one setting down
+    * (value-identity of the two plans pinned in LshSpec). */
   def lshBands(s: SparkSession, dir: String): DataFrame =
-    Cached.of(s, s"dd:bands:$dir")(bandsOf(minhashSignatures(s, dir)))
+    Cached.of(s, s"dd:bands:$dir")(
+      wideSignatureBands(shingles(s, dir), Lsh))
 
   /** Band keys over the DF-CAPPED shingle set (shared, persisted) — the
     * hot-bucket-safe relation dd7 and the component graph (dd9/pp4)
     * enumerate pairs from: a boilerplate shingle shared by a constant
     * corpus fraction makes UNCAPPED band buckets quadratic (measured
     * ×363 in SkewStressSpec), which a pair-enumerating consumer cannot
-    * survive at 100 TB. */
+    * survive at 100 TB. Wide plan since round 14 (see [[lshBands]]). */
   def cappedLshBands(s: SparkSession, dir: String): DataFrame =
     Cached.of(s, s"dd:cbands:$dir")(
-      bandsOf(signaturesOf(cappedShingles(s, dir))))
+      wideSignatureBands(cappedShingles(s, dir), Lsh))
 
   /** The full shingle→minhash→band→bucket-join pipeline at an arbitrary
     * [[LshConfig]] over any (doc_id, text) frame — LshSpec drives this
