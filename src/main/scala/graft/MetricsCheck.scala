@@ -65,12 +65,17 @@ object MetricsCheck {
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
     def f(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+    val explain = sys.env.contains("SPARK_GRAFT_EXPLAIN")
     for (rep <- 1 to reps; name <- names) {
       Thread.sleep(400) // drain listener from the previous measurement
       spill.set(0); shufW.set(0); shufR.set(0); peak.set(0)
       val t0 = System.nanoTime()
-      val rows = SparkEntry.queries(name)(spark, sfDir).count()
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val rows = df.count()
       val sec = (System.nanoTime() - t0) / 1e9
+      if (explain) // post-execution: AQE's FINAL plan, ReusedExchange visible
+        System.err.println(s"== $name rep $rep ==\n" +
+          df.queryExecution.executedPlan.toString.take(30000))
       Thread.sleep(400) // let this measurement's TaskEnd events land
       println(s"""{"metric":"qmetrics","query":${Json.str(name)},"rep":$rep,""" +
         s""""sec":${f(sec)},"rows":$rows,"spill_bytes":${spill.get},""" +

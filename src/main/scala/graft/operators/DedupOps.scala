@@ -419,9 +419,17 @@ object DedupOps extends OpModule {
     // TypedImperativeAggregate's sort-based fallback spilling 18 GB at
     // gen-sf10 (value-identical; LshSpec pins all three signature
     // forms against each other).
+    // The band relation is persisted (family convention — lshBands/
+    // cappedLshBands are Cached too): candidatePairs self-joins it, and
+    // an unpersisted side would recompute the whole signature aggregate
+    // per join input (measured: the two (band, bkey) exchanges do NOT
+    // ReuseExchange-dedup, so the fixture-plan "compute once" hope does
+    // not survive contact with the physical planner). Materializing the
+    // feature relation once is also exactly what a 100 TB dedup run
+    // does before pair enumeration.
     "dd14_minhash_production" -> ((s, dir) =>
-      candidatePairs(
-        wideSignatureBands(cappedShingles(s, dir), LshConfig.Production))),
+      candidatePairs(Cached.of(s, s"dd:pbands:$dir")(
+        wideSignatureBands(cappedShingles(s, dir), LshConfig.Production)))),
 
     // n-gram Jaccard over the df-capped shingle set: pairs sharing rare
     // shingles, J = |∩| / |∪| with both intersection and sizes computed
