@@ -121,14 +121,15 @@ class LshSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), s"no hash aggregate at all?\n$plan")
     // the shared-encode digest loop must be evaluated ONCE per row: if
     // CollapseProject ever inlined the projection into the aggregate,
-    // the plan would carry one minhasharray per min slot (128 digest
-    // loops per row instead of 1). The band relation legitimately
-    // appears once per side of the candidate self-join (the identical
-    // shuffle subtrees dedup via ReusedExchange at scale), so the
-    // bound is 2, not 1.
+    // the plan would carry one minhasharray per min slot (>= 128 digest
+    // loops per row instead of 1). The node legitimately appears a few
+    // times in the STRING: once per side of the candidate self-join,
+    // and the persisted band relation's InMemoryRelation re-prints its
+    // build plan at every scan site — so the pin is an order-of-
+    // magnitude bound against per-slot duplication, not exact-1.
     val nMha = "minhasharray".r.findAllIn(plan.toLowerCase).size
-    assert(nMha >= 1 && nMha <= 2,
-      s"expected 1-2 minhasharray nodes (per-slot duplication?), found $nMha:\n$plan")
+    assert(nMha >= 1 && nMha < 16,
+      s"expected a handful of minhasharray nodes (per-slot duplication?), found $nMha:\n$plan")
   }
 
   test("a group whose shingles are all null yields no signature rows in either form") {
