@@ -97,9 +97,12 @@ object DerbyTcpServer {
       }
     } catch {
       case _: EOFException | _: SocketException => () // client went away
-      // a rejected (non-protocol) object on the wire: drop the
-      // connection without running any part of the payload
-      case _: java.io.InvalidClassException => ()
+      // malformed wire input — a rejected (non-protocol) object, an
+      // unknown class name, or garbage bytes (StreamCorruptedException
+      // et al. are IOExceptions): drop the connection quietly without
+      // running any part of the payload. The accept loop is unaffected
+      // and `finally` below still closes the resources either way.
+      case _: java.io.IOException | _: ClassNotFoundException => ()
     } finally {
       if (conn != null) { try conn.rollback() catch { case _: Throwable => () }
         try conn.close() catch { case _: Throwable => () } }

@@ -90,18 +90,36 @@ private[jdbc] object Protocol {
     // Scala case objects (Ok/Commit/...) serialize through this proxy
     "scala.runtime.ModuleSerializationProxy")
 
+  /** Resource ceilings enforced alongside the class allowlist: without
+    * them a peer could still exhaust memory with an ALLOWED shape, e.g.
+    * `long[Integer.MAX_VALUE]` (a 16 GiB allocation from a 17-byte
+    * header) or a deeply nested `Object[]` that overflows the parser
+    * stack. 1<<26 elements bounds any single array at 512 MiB of longs —
+    * far above a real partitioned-read slice, far below the attack.
+    * No `streamBytes` cap on purpose: both wire ends keep ONE
+    * ObjectInputStream alive across the whole connection (thousands of
+    * request/response objects), and streamBytes is cumulative over the
+    * stream, so any fixed byte cap would kill legitimate long-lived
+    * connections rather than large single objects. */
+  private val MaxArrayLength = 1L << 26
+  private val MaxGraphDepth = 64L
+
   private[jdbc] val wireFilter: java.io.ObjectInputFilter =
     (info: java.io.ObjectInputFilter.FilterInfo) => {
-      val cl = info.serialClass()
-      if (cl == null) java.io.ObjectInputFilter.Status.UNDECIDED
+      if (info.arrayLength() > MaxArrayLength || info.depth() > MaxGraphDepth)
+        java.io.ObjectInputFilter.Status.REJECTED
       else {
-        var c = cl
-        while (c.isArray) c = c.getComponentType
-        val ok = c.isPrimitive ||
-          c.getName.startsWith("graft.jdbc.Protocol$") ||
-          AllowedValueClasses.contains(c.getName)
-        if (ok) java.io.ObjectInputFilter.Status.ALLOWED
-        else java.io.ObjectInputFilter.Status.REJECTED
+        val cl = info.serialClass()
+        if (cl == null) java.io.ObjectInputFilter.Status.UNDECIDED
+        else {
+          var c = cl
+          while (c.isArray) c = c.getComponentType
+          val ok = c.isPrimitive ||
+            c.getName.startsWith("graft.jdbc.Protocol$") ||
+            AllowedValueClasses.contains(c.getName)
+          if (ok) java.io.ObjectInputFilter.Status.ALLOWED
+          else java.io.ObjectInputFilter.Status.REJECTED
+        }
       }
     }
 }

@@ -95,6 +95,31 @@ class JdbcProxySpec extends SparkSpec {
     assert(graft.jdbc.DerbyTcpServer.accepted.get() > before)
   }
 
+  test("server rejects an over-deep object graph of ALLOWED classes (resource limits)") {
+    import java.io.{BufferedInputStream, BufferedOutputStream, ObjectInputStream, ObjectOutputStream}
+    val sock = new java.net.Socket("localhost", graft.jdbc.DerbyTcpServer.port)
+    try {
+      val out = new ObjectOutputStream(new BufferedOutputStream(sock.getOutputStream))
+      out.flush()
+      val in = new ObjectInputStream(new BufferedInputStream(sock.getInputStream))
+      // Object[] is an allowlisted component type, so only the depth
+      // ceiling (64) can stop a 70-deep nest — WireFilterSpec unit-pins
+      // the ceiling itself; this proves it live on the server socket
+      var nest: AnyRef = "payload"
+      for (_ <- 1 to 70) nest = Array[AnyRef](nest)
+      out.writeObject(nest)
+      out.flush()
+      val e = intercept[java.io.IOException](in.readObject())
+      assert(e.isInstanceOf[java.io.EOFException] ||
+        e.isInstanceOf[java.net.SocketException], s"unexpected: $e")
+    } finally sock.close()
+    // the accept loop survives
+    val url = graft.jdbc.DerbyTcpServer.url("/tmp/graft_proxy_depthdb")
+    import spark.implicits._
+    Seq((1L, "ok")).toDF("id", "s").write.mode("overwrite").jdbc(url, "depth_rt", props)
+    assert(spark.read.jdbc(url, "depth_rt", props).count() == 1)
+  }
+
   test("client rejects a non-protocol object from a malicious server") {
     import java.io.{BufferedInputStream, BufferedOutputStream, ObjectInputStream, ObjectOutputStream}
     val ss = new java.net.ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
