@@ -133,10 +133,14 @@ object LshScaleCheck {
         val rd = timed("sig_default")(
           DedupOps.signaturesOnePassOf(capped, Cfg).count())
         nSigD = rd._1; tSigD = rd._2
+        // try/finally: the bigmap arm can OOM at gen-sf10 — without the
+        // restore, the inflated threshold would leak into every later
+        // dir's "default" arm and silently invalidate the A/B.
         spark.conf.set(fbKey, "20000000")
-        tSigB = timed("sig_bigmap")(
-          DedupOps.signaturesOnePassOf(capped, Cfg).count())._2
-        spark.conf.set(fbKey, fbDefault)
+        try {
+          tSigB = timed("sig_bigmap")(
+            DedupOps.signaturesOnePassOf(capped, Cfg).count())._2
+        } finally spark.conf.set(fbKey, fbDefault)
 
         val sig = DedupOps.signaturesOnePassOf(capped, Cfg).persist()
         sig.count() // materialize outside the band timing

@@ -18,12 +18,18 @@ import org.apache.spark.sql.SparkSession
   * Executes `count()` like [[Bench]], so wall numbers are comparable
   * with BENCH_FULL records.
   *
-  * Usage: runMain graft.MetricsCheck <sfDir> <q1,q2,...> [reps=2]
+  * The dir argument accepts a comma-separated list: all dirs run in ONE
+  * process (same JIT/heap/storage state), which is what a controlled
+  * scale step needs — the round-14 heap-tier A/B (LshScaleCheck at
+  * 48 GB over sf10+sf30) is the pattern, generalized here to any
+  * registered query.
+  *
+  * Usage: runMain graft.MetricsCheck <sfDir[,sfDir2,...]> <q1,q2,...> [reps=2]
   */
 object MetricsCheck {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: MetricsCheck <sfDir> <q1,q2,...> [reps]")
-    val sfDir = args(0)
+    require(args.length >= 2, "usage: MetricsCheck <sfDir[,sfDir2,...]> <q1,q2,...> [reps]")
+    val sfDirs = args(0).split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val names = args(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val reps = if (args.length > 2) args(2).toInt else 2
     val unknown = names.toSet -- SparkEntry.queries.keySet
@@ -66,7 +72,16 @@ object MetricsCheck {
 
     def f(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     val explain = sys.env.contains("SPARK_GRAFT_EXPLAIN")
-    for (rep <- 1 to reps; name <- names) {
+    var lastDir: String = null
+    for (sfDir <- sfDirs; rep <- 1 to reps; name <- names) {
+      if (lastDir != null && lastDir != sfDir) {
+        // scale step within one process: release the previous corpus's
+        // persisted relations so the larger scale isn't measured with
+        // its storage memory displaced by the smaller one's caches —
+        // the A/B isolates HEAP SIZE, not cache-pressure carryover
+        graft.sources.Cached.releaseAll()
+      }
+      lastDir = sfDir
       Thread.sleep(400) // drain listener from the previous measurement
       spill.set(0); shufW.set(0); shufR.set(0); peak.set(0)
       val t0 = System.nanoTime()

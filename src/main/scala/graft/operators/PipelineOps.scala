@@ -398,8 +398,11 @@ object PipelineOps extends OpModule {
       // invariant (PipelineOpsSpec pins equality with the naive form).
       val parts = s.sparkContext.defaultParallelism
       // null text packs as 0 tokens (the explode-based tokens() rule);
-      // without the guard, legacy sizeOfNull makes size() return -1
-      // and a single NULL doc would corrupt every later tok_start
+      // without the guard, size(split(NULL)) is NULL under default
+      // sizeOfNull (and -1 under the legacy flag) — either way a single
+      // NULL doc would poison every later tok_start in the running sum,
+      // so the explicit 0 covers both settings and matches the oracle's
+      // COALESCE
       val docs = Tables.documents(s, dir).select(col("doc_id"),
         when(col("text").isNull, 0L)
           .otherwise(size(filter(split(col("text"), " "), w => w =!= ""))
