@@ -9,7 +9,8 @@ import org.apache.spark.sql.SparkSession
   * queries, so the physical plans (pushdown, pruning, broadcast, codegen
   * spans) can be reviewed without running anything. */
 object Plans {
-  private val Show = Seq(
+  // private[graft]: PlansDriftSpec pins PLANS.md against this list
+  private[graft] val Show = Seq(
     "q1_pricing_summary",  // scan-agg: pushdown + partial agg + codegen
     "q5_nation_revenue",   // star join: broadcast every dimension
     "j1_feature_index_join", // large-large equi join under AQE
@@ -57,7 +58,15 @@ object Plans {
     "p15_poly_within",     // codegen'd point_in_poly over a broadcast edge array
     "j14_poly_bin_join",   // bin-cell equi-join + exact ray-cast residual
     "dd16_url_canonicalize", // per-row canonicalization + one partial-agg shuffle
-    "tx18_nfc_normalize")  // per-row NFC expression on the corpus scan
+    "tx18_nfc_normalize",  // per-row NFC expression on the corpus scan
+    "dd14_minhash_production", // r14 wide re-plan: minhash_array + 128-min HashAggregate, NO ObjectHashAggregate
+    "dd1_exact_dedup",     // canonical exact dedup: one hash-groupBy, no join
+    "dd8_shingle_dupfrac", // df-capped shingle overlap, doc-bounded pair join
+    "g6_bucketed_pagerank", // build-once bucketed edges: exchange-free join side per iteration
+    "pp6_sequence_pack",   // cluster-derived range partitions, pid-local windows
+    "k15_bucketed_join",   // bucketed SMJ read-back: zero exchanges on either side
+    "j13_salted_join",     // AQE skew-split on a natural Zipf hub key
+    "mm7_phash_neardup")   // Hamming-ball pHash bucket join over binary payloads
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

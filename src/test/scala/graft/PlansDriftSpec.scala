@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PLANS.md ⇄ Plans.Show drift gate (round-15; the CoverageDriftSpec
+  * pattern applied to the plan document).
+  *
+  * PLANS.md is the document of plan record — "these are the physical
+  * plans a 100 TB run gets". Round 14 proved how dangerous silent rot
+  * is there: the file still displayed dd2/dd6 ObjectHashAggregate
+  * pipelines two rounds after the shipped code replaced them because
+  * their sort-based fallback was THE measured scale-killer (18+ GB
+  * spill / OOM at gen-sf10, see SCALE.md). This spec fails the build
+  * the moment (a) the generated file and the generator's query list
+  * disagree in either direction, (b) a heading names an unregistered
+  * query, or (c) any dd-family section shows an ObjectHashAggregate
+  * again.
+  */
+class PlansDriftSpec extends AnyFunSuite {
+
+  private lazy val plans: String = {
+    val src = scala.io.Source.fromFile("PLANS.md", "UTF-8")
+    try src.mkString finally src.close()
+  }
+
+  /** (query name, section body) per `## name` heading. */
+  private lazy val sections: Seq[(String, String)] = {
+    val parts = plans.split("\n## ").toSeq.drop(1)
+    parts.map { p =>
+      val nl = p.indexOf('\n')
+      (p.substring(0, nl).trim, p.substring(nl + 1))
+    }
+  }
+
+  test("PLANS.md headings == Plans.Show, both directions") {
+    val headings = sections.map(_._1).toSet
+    val show = Plans.Show.toSet
+    val stale = headings -- show
+    val unrendered = show -- headings
+    assert(stale.isEmpty,
+      s"PLANS.md has sections Plans.Show no longer lists (regenerate): ${stale.toSeq.sorted.mkString(", ")}")
+    assert(unrendered.isEmpty,
+      s"Plans.Show lists queries PLANS.md lacks (regenerate): ${unrendered.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("every PLANS.md heading is a registered query") {
+    val unknown = sections.map(_._1).filterNot(SparkEntry.queries.contains)
+    assert(unknown.isEmpty,
+      s"PLANS.md documents unregistered queries: ${unknown.sorted.mkString(", ")}")
+  }
+
+  test("the flagship dedup re-plan is documented") {
+    assert(Plans.Show.contains("dd14_minhash_production"),
+      "dd14 is the round-14 flagship re-plan; PLANS.md must carry it")
+  }
+
+  test("no dd-family section shows ObjectHashAggregate (the measured scale-killer)") {
+    val offenders = sections.collect {
+      case (name, body) if name.startsWith("dd") &&
+        body.contains("ObjectHashAggregate") => name
+    }
+    assert(offenders.isEmpty,
+      s"dd plans regressed to ObjectHashAggregate (sort-fallback spill path): ${offenders.mkString(", ")}")
+  }
+}
