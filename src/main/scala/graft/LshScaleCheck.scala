@@ -64,10 +64,19 @@ object LshScaleCheck {
     val runLegacy = arms != "wide"
     val runWide = arms != "legacy"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle-partition override for corpora past gen-sf30: a cluster
+    // holds per-task rows constant by scaling PARTITION count with the
+    // corpus, while this box's default (= cpus = 32) scales per-task
+    // rows instead — at gen-sf100 the cap join's per-task sort is then
+    // 3.3× the sf30 size, and with AQE coalescing only ever MERGING
+    // initial partitions, no setting downstream can split them again.
+    // Raising the initial count is the faithful local emulation (AQE
+    // still coalesces the small stages back to its 64 MB advisory).
+    val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-lsh-scale-check")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufParts)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
