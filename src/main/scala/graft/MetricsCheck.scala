@@ -36,10 +36,16 @@ object MetricsCheck {
     require(unknown.isEmpty, s"not in the registry: ${unknown.toSeq.sorted.mkString(", ")}")
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Same knob as LshScaleCheck: past gen-sf30 a fixed 32-partition
+    // layout carries per-task sorts too big for the box's disk, and
+    // AQE can only merge initial partitions, never split them —
+    // scaling the initial count with the corpus is the faithful
+    // cluster emulation (and what made gen-sf100 runnable at all).
+    val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-metrics-check")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufParts)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
