@@ -301,8 +301,24 @@ object GraphOps extends OpModule {
       val loc = new java.io.File(wh, t)
       if (loc.exists())
         org.apache.commons.io.FileUtils.deleteDirectory(loc)
+      // |buckets| = cluster cores (pp6's partition rule applied to a
+      // LAYOUT): a fixed count caps every later iteration's join at
+      // that parallelism forever — buckets can be coalesced but never
+      // split, so 8 buckets at 1000 executors means an 8-task join
+      // stage. Two gen-sf10 measurements temper the claim honestly
+      // (records/GRAPHITER_gensf10{,_fix}_r15.jsonl): the LOCAL
+      // per-round wall is edge-scan/checkpoint-bound, not join-width-
+      // bound (8 vs 32 buckets lands within box noise — the box's
+      // loopback shuffle makes g5's cached-relation round artificially
+      // cheap), and widening the layout multiplies the groupBy(dst)
+      // partial-agg shuffle (each bucket partition emits its own
+      // partial row per dst key: ~240 MB/round at 8 buckets → ~570 MB
+      // at 32). Both are the right trade: the cap is removed where it
+      // is fatal (cluster join width) and the partial-agg fan-out is
+      // bounded by buckets × |nodes|, linear in each.
       tradeEdgesDeg(s, dir).write.mode("overwrite")
-        .bucketBy(8, "src").sortBy("src").saveAsTable(t)
+        .bucketBy(s.sparkContext.defaultParallelism, "src")
+        .sortBy("src").saveAsTable(t)
     }
     s.table(t)
   }

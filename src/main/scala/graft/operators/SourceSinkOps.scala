@@ -189,12 +189,19 @@ object SourceSinkOps extends OpModule {
         if (loc.exists())
           org.apache.commons.io.FileUtils.deleteDirectory(loc)
       }
+      // |buckets| = cluster cores, same rationale as g6's layout: a
+      // hardcoded count caps every consumer join's parallelism forever
+      // (buckets can be coalesced but never split), so the layout
+      // tracks the cluster and per-bucket rows track corpus/cluster
+      val nBuckets = s.sparkContext.defaultParallelism
       Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
         .write.mode("overwrite")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("k15_li")
+        .bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("k15_li")
       Tables.orders(s, dir).select("o_orderkey", "o_orderstatus")
         .write.mode("overwrite")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("k15_o")
+        .bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("k15_o")
       s.table("k15_li")
         .join(s.table("k15_o"), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderstatus")
