@@ -401,7 +401,12 @@ object SourceSinkOps extends OpModule {
           "l_extendedprice", "l_discount")
         .withColumn("zv",
           graft.functions.ZOrder.zvalue(col("l_partkey"), col("l_suppkey")))
-        .repartitionByRange(8, col("zv"))
+        // |range partitions| = cluster cores (the g6/k15 layout rule):
+        // a hardcoded count caps the layout-sort's parallelism AND
+        // fixes the output file count regardless of data volume; at
+        // cluster scale files-per-write should track the cluster and
+        // rows-per-file the corpus/cluster ratio
+        .repartitionByRange(s.sparkContext.defaultParallelism, col("zv"))
         .sortWithinPartitions("zv")
         .write.mode("overwrite").parquet(out)
       s.read.parquet(out)
