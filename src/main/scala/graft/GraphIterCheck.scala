@@ -30,6 +30,12 @@ import graft.sources.Tables
   * Per-round shuffle bytes come from a TaskEnd listener reset at each
   * round boundary (400 ms drains around each mark, like MetricsCheck).
   *
+  * Rep semantics for "bucketed_build": BuildOnce caches the g6 layout
+  * process-wide, so only REP 1's line is a real build — rep >= 2
+  * measures a count() over the existing table (the build/steady split,
+  * same convention as MetricsCheck's rep 1 vs rep 2). Read build costs
+  * from rep 1, never min-of-reps.
+  *
   * Usage: runMain graft.GraphIterCheck <sfDir> [reps=2]
   */
 object GraphIterCheck {
@@ -154,6 +160,33 @@ object GraphIterCheck {
       }
       mark("g4_bfs_hops", "histogram", rep) {
         dist.groupBy("d").agg(count(lit(1)).as("n_nodes")).orderBy("d").count()
+      }
+
+      // Parity lock (rep 1): the g5/g4 round bodies above are
+      // re-implementations of the registered operators' loops (the
+      // per-round marks cannot thread through the sealed loop), so a
+      // future change to the operator would otherwise leave this audit
+      // silently measuring the OLD recurrence. Comparing the audit
+      // loops' final relations against the registered queries makes
+      // the drift a hard failure instead of a wrong record.
+      if (rep == 1) {
+        val g5Audit = pr.orderBy(col("pr").desc, col("node")).limit(20)
+          .withColumn("n_iters", lit(iters))
+          .collect().map(_.toSeq).toSeq
+        val g5Reg = SparkEntry.queries("g5_pagerank_converged")(spark, sfDir)
+          .collect().map(_.toSeq).toSeq
+        require(g5Audit == g5Reg,
+          s"g5 audit loop drifted from the registered operator:\n" +
+            s"audit=$g5Audit\nregistered=$g5Reg")
+        val g4Audit = dist.groupBy("d").agg(count(lit(1)).as("n_nodes"))
+          .orderBy("d").collect().map(_.toSeq).toSeq
+        val g4Reg = SparkEntry.queries("g4_bfs_hops")(spark, sfDir)
+          .collect().map(_.toSeq).toSeq
+        require(g4Audit == g4Reg,
+          s"g4 audit loop drifted from the registered operator:\n" +
+            s"audit=$g4Audit\nregistered=$g4Reg")
+        System.err.println("[graphiter] parity lock: g5/g4 audit loops " +
+          "match the registered operators")
       }
     }
     spark.stop()

@@ -142,13 +142,22 @@ object LshScaleCheck {
         val rd = timed("sig_default")(
           DedupOps.signaturesOnePassOf(capped, Cfg).count())
         nSigD = rd._1; tSigD = rd._2
-        // try/finally: the bigmap arm can OOM at gen-sf10 — without the
-        // restore, the inflated threshold would leak into every later
-        // dir's "default" arm and silently invalidate the A/B.
+        // try/catch/finally: the bigmap arm can fail at gen-sf10 (a
+        // SparkException when the job aborts; a JVM-level OOM is not
+        // survivable and kills the run regardless). Catching the job
+        // abort records the arm as failed (-2, distinct from the -1
+        // "not run") and lets every LATER dir still measure; the
+        // finally guarantees the inflated threshold cannot leak into a
+        // later dir's "default" arm either way.
         spark.conf.set(fbKey, "20000000")
         try {
           tSigB = timed("sig_bigmap")(
             DedupOps.signaturesOnePassOf(capped, Cfg).count())._2
+        } catch {
+          case e: Exception =>
+            tSigB = -2.0
+            System.err.println(s"[lsh-scale] bigmap arm failed on $dir: " +
+              Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
         } finally spark.conf.set(fbKey, fbDefault)
 
         val sig = DedupOps.signaturesOnePassOf(capped, Cfg).persist()

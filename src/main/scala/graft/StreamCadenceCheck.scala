@@ -108,10 +108,15 @@ object StreamCadenceCheck {
         s""""max_state_rows":$maxStateRows,"max_state_mem_bytes":$maxStateMem}""")
     }
 
+    // try/finally around the measured queries: the staging dir holds a
+    // full parquet copy of the corpus's events table (multi-GB at
+    // gen-sf10) on a box where free disk is the scarce resource — a
+    // failed query must not leak it (a new pid-suffixed copy per retry)
+    try {
+
     // 1) st1 production form: watermark + tumbling window, APPEND mode
     {
-      val agg = MonitorStream.windowedAgg(Tables.monitorCols(
-        stream().withColumn("ts", col("ts")))) // ts already timestamp in staged files
+      val agg = MonitorStream.windowedAgg(Tables.monitorCols(stream()))
       val q = agg.writeStream.outputMode("append").format("noop")
         .option("checkpointLocation", s"$base/ckpt_st1").start()
       try q.processAllAvailable() finally q.stop()
@@ -142,7 +147,9 @@ object StreamCadenceCheck {
       report("st13_availablenow_agg", q.recentProgress.toSeq)
     }
 
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
-    spark.stop()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      spark.stop()
+    }
   }
 }

@@ -97,12 +97,18 @@ object DerbyTcpServer {
       }
     } catch {
       case _: EOFException | _: SocketException => () // client went away
-      // malformed wire input — a rejected (non-protocol) object, an
-      // unknown class name, or garbage bytes (StreamCorruptedException
-      // et al. are IOExceptions): drop the connection quietly without
-      // running any part of the payload. The accept loop is unaffected
-      // and `finally` below still closes the resources either way.
-      case _: java.io.IOException | _: ClassNotFoundException => ()
+      // Everything else IOException-shaped on this connection: malformed
+      // wire INPUT (a filter-rejected object, an unknown class name,
+      // garbage bytes — StreamCorruptedException et al.) but also any
+      // failed response WRITE (the try spans out.writeObject too). Drop
+      // the connection without running any part of a hostile payload,
+      // but leave a one-line class-name trace so a server-side
+      // serialization bug is diagnosable and not just a mystery
+      // disconnect. The accept loop is unaffected and `finally` below
+      // still closes the resources either way.
+      case e @ (_: java.io.IOException | _: ClassNotFoundException) =>
+        System.err.println(
+          s"[graft-jdbc] dropped connection: ${e.getClass.getSimpleName}")
     } finally {
       if (conn != null) { try conn.rollback() catch { case _: Throwable => () }
         try conn.close() catch { case _: Throwable => () } }

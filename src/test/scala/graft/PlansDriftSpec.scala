@@ -27,8 +27,11 @@ class PlansDriftSpec extends AnyFunSuite {
   private lazy val sections: Seq[(String, String)] = {
     val parts = plans.split("\n## ").toSeq.drop(1)
     parts.map { p =>
+      // a heading as the file's last line has no trailing newline —
+      // substring(0, -1) would throw instead of reporting the drift
       val nl = p.indexOf('\n')
-      (p.substring(0, nl).trim, p.substring(nl + 1))
+      if (nl < 0) (p.trim, "")
+      else (p.substring(0, nl).trim, p.substring(nl + 1))
     }
   }
 

@@ -32,7 +32,11 @@ class ReadmePinSpec extends AnyFunSuite {
   }
 
   test("README's 'ScalaTest suites' count matches the test tree") {
-    val suites = new java.io.File("src/test/scala/graft").listFiles()
+    // recursive: specs live in subpackages too (graft.jdbc.WireFilterSpec)
+    // — a non-recursive listing silently undercounted the tree
+    def walk(d: java.io.File): Seq[java.io.File] =
+      d.listFiles().toSeq.flatMap(f => if (f.isDirectory) walk(f) else Seq(f))
+    val suites = walk(new java.io.File("src/test/scala/graft"))
       .filter(_.getName.endsWith(".scala"))
       .count { f =>
         val src = scala.io.Source.fromFile(f, "UTF-8")
