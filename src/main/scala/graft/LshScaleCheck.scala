@@ -107,11 +107,18 @@ object LshScaleCheck {
     })
     def timed[A](label: String)(body: => A): (A, Double) = {
       Thread.sleep(300); phase.set(label)
-      val t0 = System.nanoTime()
-      val r = body
-      val dt = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300); phase.set("other")
-      (r, dt)
+      try {
+        val t0 = System.nanoTime()
+        val r = body
+        val dt = (System.nanoTime() - t0) / 1e9
+        (r, dt)
+      } finally {
+        // finally, not fall-through: if `body` throws (the bigmap arm's
+        // caught job abort), the phase label must still reset so spill
+        // from the subsequent untimed persist/materialization work is
+        // attributed to "other", not to the failed phase.
+        Thread.sleep(300); phase.set("other")
+      }
     }
 
     // warmup: codegen + fs metadata outside the timings

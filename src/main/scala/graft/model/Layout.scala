@@ -1,0 +1,27 @@
+package graft.model
+
+import org.apache.spark.sql.SparkSession
+
+/** Single source of truth for write-once layout widths (bucket counts,
+  * range-partition counts). Rule: the width should track the CLUSTER, not
+  * be a hardcoded constant — buckets can be coalesced but never split, so
+  * a fixed 8 caps every future consumer join at 8 tasks forever.
+  *
+  * `sparkContext.defaultParallelism` is the right default under local[N]
+  * (fixed = N) but is TIME-VARYING on a real cluster with dynamic
+  * allocation: it reflects currently-registered executor cores and can be
+  * tiny right after startup, which would silently bake a narrow layout.
+  * Deployments therefore pin the width explicitly via the
+  * `SPARK_GRAFT_LAYOUT_BUCKETS` env knob (mirroring
+  * SPARK_GRAFT_SHUFFLE_PARTS in the audit mains); defaultParallelism is
+  * only the fallback.
+  */
+object Layout {
+  val EnvKnob = "SPARK_GRAFT_LAYOUT_BUCKETS"
+
+  /** Bucket/partition width for persisted layouts: explicit knob first,
+    * defaultParallelism fallback. */
+  def buckets(s: SparkSession): Int =
+    sys.env.get(EnvKnob).map(_.trim.toInt).filter(_ > 0)
+      .getOrElse(s.sparkContext.defaultParallelism)
+}

@@ -278,8 +278,9 @@ object GraphOps extends OpModule {
     Cached.of(s, s"g:edgesdeg:$dir")(withDeg(tradeEdges(s, dir)))
 
   /** The denormalized (src, dst, deg) trade relation written
-    * hash-bucketed (8) + sorted by `src` and read back from the managed
-    * table — the write-once layout every PageRank iteration's frontier
+    * hash-bucketed ([[graft.model.Layout.buckets]] — explicit knob with a
+    * defaultParallelism fallback) + sorted by `src` and read back from the
+    * managed table — the write-once layout every PageRank iteration's frontier
     * join consumes shuffle-free on the edge side (k15's machinery
     * applied to iterative graph state; plan property pinned in
     * PlanSpec). Drop + location cleanup mirrors k15: the in-memory
@@ -301,8 +302,10 @@ object GraphOps extends OpModule {
       val loc = new java.io.File(wh, t)
       if (loc.exists())
         org.apache.commons.io.FileUtils.deleteDirectory(loc)
-      // |buckets| = cluster cores (pp6's partition rule applied to a
-      // LAYOUT): a fixed count caps every later iteration's join at
+      // |buckets| = Layout.buckets: explicit env knob, cluster cores as
+      // the fallback (pp6's partition rule applied to a LAYOUT — the
+      // knob exists because defaultParallelism is time-varying under
+      // dynamic allocation): a fixed count caps every later iteration's join at
       // that parallelism forever — buckets can be coalesced but never
       // split, so 8 buckets at 1000 executors means an 8-task join
       // stage. Two gen-sf10 measurements temper the claim honestly
@@ -317,7 +320,7 @@ object GraphOps extends OpModule {
       // is fatal (cluster join width) and the partial-agg fan-out is
       // bounded by buckets × |nodes|, linear in each.
       tradeEdgesDeg(s, dir).write.mode("overwrite")
-        .bucketBy(s.sparkContext.defaultParallelism, "src")
+        .bucketBy(graft.model.Layout.buckets(s), "src")
         .sortBy("src").saveAsTable(t)
     }
     s.table(t)

@@ -392,11 +392,12 @@ object PipelineOps extends OpModule {
     "pp6_sequence_pack" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val B = 512L
-      // |range partitions| = cluster cores: the offsets relation is
-      // |partitions| rows (the only serial step), so it tracks the
-      // cluster, not the corpus; the result is partition-count-
-      // invariant (PipelineOpsSpec pins equality with the naive form).
-      val parts = s.sparkContext.defaultParallelism
+      // |range partitions| = Layout.buckets (knob-or-cores): the offsets
+      // relation is |partitions| rows (the only serial step), so it
+      // tracks the cluster, not the corpus; the result is partition-
+      // count-invariant (PipelineOpsSpec pins equality with the naive
+      // form).
+      val parts = graft.model.Layout.buckets(s)
       // null text packs as 0 tokens (the explode-based tokens() rule);
       // without the guard, size(split(NULL)) is NULL under default
       // sizeOfNull (and -1 under the legacy flag) — either way a single

@@ -264,13 +264,13 @@ object SampleOps extends OpModule {
     // length ties, so the global order is total and the result unique.
     "ds13_curriculum_order" -> ((s, dir) => {
       val k = 8L
-      // |range partitions| = cluster cores (pp6's rule — this was a
-      // hardcoded 8 whose own comment said "~cluster cores at scale"):
-      // the global rank is partition-count-invariant by construction
-      // (range partitioner preserves the total order; rank = prefix
-      // offset + local row_number), so the count is purely a
+      // |range partitions| = Layout.buckets (pp6's rule, knob-or-cores —
+      // this was a hardcoded 8 whose own comment said "~cluster cores at
+      // scale"): the global rank is partition-count-invariant by
+      // construction (range partitioner preserves the total order; rank =
+      // prefix offset + local row_number), so the count is purely a
       // parallelism/offsets-relation-size choice
-      val parts = s.sparkContext.defaultParallelism
+      val parts = graft.model.Layout.buckets(s)
       val docs = Tables.documents(s, dir).select("doc_id", "n_chars")
       val n = docs.count()
       val q = n / k; val r = n % k

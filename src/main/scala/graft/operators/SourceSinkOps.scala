@@ -169,8 +169,9 @@ object SourceSinkOps extends OpModule {
     }),
 
     // K15 — BUCKETED table write + co-located join read-back: both fact
-    // tables land hash-bucketed (8 buckets) and sorted on their join
-    // key, so the subsequent join needs no shuffle on either side (the
+    // tables land hash-bucketed (Layout.buckets — explicit knob with a
+    // defaultParallelism fallback) and sorted on their join key, so the
+    // subsequent join needs no shuffle on either side (the
     // plan property is pinned in PlanSpec's bucketed-join test; at
     // cluster scale this is the layout that turns every recurring
     // fact-fact join on the same key into a mapper-side merge). The
@@ -189,11 +190,12 @@ object SourceSinkOps extends OpModule {
         if (loc.exists())
           org.apache.commons.io.FileUtils.deleteDirectory(loc)
       }
-      // |buckets| = cluster cores, same rationale as g6's layout: a
-      // hardcoded count caps every consumer join's parallelism forever
-      // (buckets can be coalesced but never split), so the layout
-      // tracks the cluster and per-bucket rows track corpus/cluster
-      val nBuckets = s.sparkContext.defaultParallelism
+      // |buckets| = Layout.buckets (knob-or-cores), same rationale as
+      // g6's layout: a hardcoded count caps every consumer join's
+      // parallelism forever (buckets can be coalesced but never split),
+      // so the layout tracks the cluster and per-bucket rows track
+      // corpus/cluster
+      val nBuckets = graft.model.Layout.buckets(s)
       Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
         .write.mode("overwrite")
         .bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
@@ -401,12 +403,12 @@ object SourceSinkOps extends OpModule {
           "l_extendedprice", "l_discount")
         .withColumn("zv",
           graft.functions.ZOrder.zvalue(col("l_partkey"), col("l_suppkey")))
-        // |range partitions| = cluster cores (the g6/k15 layout rule):
-        // a hardcoded count caps the layout-sort's parallelism AND
-        // fixes the output file count regardless of data volume; at
-        // cluster scale files-per-write should track the cluster and
-        // rows-per-file the corpus/cluster ratio
-        .repartitionByRange(s.sparkContext.defaultParallelism, col("zv"))
+        // |range partitions| = Layout.buckets (the g6/k15 layout rule,
+        // knob-or-cores): a hardcoded count caps the layout-sort's
+        // parallelism AND fixes the output file count regardless of data
+        // volume; at cluster scale files-per-write should track the
+        // cluster and rows-per-file the corpus/cluster ratio
+        .repartitionByRange(graft.model.Layout.buckets(s), col("zv"))
         .sortWithinPartitions("zv")
         .write.mode("overwrite").parquet(out)
       s.read.parquet(out)

@@ -337,7 +337,18 @@ object TextOps extends OpModule {
       val pres = tokens(s, dir).select("doc_id", "w").distinct()
       val wc = pres.groupBy("w").agg(count(lit(1)).as("c"))
       val ndocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
-      pres.as("a").join(pres.as("b"),
+      // Frequency bound pushed below the pair join: a pair's document
+      // co-occurrence count can never exceed either word's own document
+      // frequency, so `c_ab >= 50` implies df(wa) >= 50 AND df(wb) >= 50.
+      // Semi-joining the presence relation against the frequent vocabulary
+      // BEFORE the quadratic self-join is therefore semantics-preserving
+      // (lift still divides by the FULL c_a/c_b, computed above from the
+      // unpruned relation) and prunes the Zipf tail of rare words from the
+      // pair fan-out — the pair-join input and its sort working set shrink
+      // roughly quadratically in the pruned per-doc token fraction.
+      val frequent = broadcast(wc.filter(col("c") >= 50).select("w"))
+      val presF = pres.join(frequent, Seq("w"), "left_semi")
+      presF.as("a").join(presF.as("b"),
           col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
         .groupBy(col("a.w").as("wa"), col("b.w").as("wb"))
         .agg(count(lit(1)).as("c_ab"))

@@ -65,4 +65,38 @@ class PlansDriftSpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"dd plans regressed to ObjectHashAggregate (sort-fallback spill path): ${offenders.mkString(", ")}")
   }
+
+  /** ObjectHashAggregate is only dangerous when its buffers grow with the
+    * CORPUS (a collect_list over per-row inputs — the dd14 killer whose
+    * sort-based fallback spilled 18+ GB). These two queries legitimately
+    * show it today because their collect_list inputs are bounded BEFORE
+    * the aggregate by a prior reduction: pp3 collects label×dim average
+    * rows (|labels|·|dims|, corpus-independent) and nn15 collects centroid
+    * rows (|lists|·|dims|). Any OTHER section growing one must be
+    * re-justified here or re-planned.
+    */
+  private val boundedObjHashAllowlist =
+    Set("pp3_embed_pipeline", "nn15_partitioned_ivf_probe")
+
+  test("ObjectHashAggregate appears only in the bounded-input allowlist") {
+    val offenders = sections.collect {
+      case (name, body) if !name.startsWith("dd") &&
+        !boundedObjHashAllowlist.contains(name) &&
+        body.contains("ObjectHashAggregate") => name
+    }
+    assert(offenders.isEmpty,
+      "new ObjectHashAggregate outside the bounded-input allowlist — " +
+        "either the collect_list input is corpus-sized (re-plan it: " +
+        "reduce first, the dd14 lesson) or it is provably bounded " +
+        s"(add it to the allowlist with the argument): ${offenders.mkString(", ")}")
+  }
+
+  test("the allowlisted sections still exist and still need the exemption") {
+    for (name <- boundedObjHashAllowlist) {
+      val body = sections.collectFirst { case (`name`, b) => b }
+      assert(body.isDefined, s"allowlisted section $name vanished from PLANS.md")
+      assert(body.get.contains("ObjectHashAggregate"),
+        s"$name no longer shows ObjectHashAggregate — drop it from the allowlist")
+    }
+  }
 }
