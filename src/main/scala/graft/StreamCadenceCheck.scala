@@ -29,8 +29,12 @@ import graft.streaming.MonitorStream
   *  - st13's form — Trigger.AvailableNow batch-of-streams ingest with
   *    a keyed agg: state bounded by key cardinality.
   *
-  * Sinks are `noop` (a real streaming sink with no write cost), so the
-  * numbers are the operator's, not a harness sink's.
+  * Sinks for the three shapes above are `noop` (a real streaming sink
+  * with no write cost), so those numbers are the operator's, not a
+  * harness sink's. A fourth arm (round 16) runs st7's production shape —
+  * foreachBatch landing each micro-batch as parquet — and reports the
+  * landed file/byte census, putting write amplification per micro-batch
+  * on the record.
   *
   * Usage: runMain graft.StreamCadenceCheck <sfDir> [nFiles=32] [maxFilesPerTrigger=2]
   */
@@ -133,6 +137,38 @@ object StreamCadenceCheck {
         .option("checkpointLocation", s"$base/ckpt_st5").start()
       try q.processAllAvailable() finally q.stop()
       report("st5_stream_static_join", q.recentProgress.toSeq)
+    }
+
+    // 4-staged-before-3) st7 production form: foreachBatch parquet FILE
+    // sink. Arms 1-3 use the noop sink by design (operator-only numbers);
+    // this arm is the production write path — the reference's recorder
+    // appends monitor samples to DISK (recorder.py:50-72), so each
+    // micro-batch here LANDS as parquet. The per-batch trigger wall now
+    // includes the write cost, and the landed-file census after the run
+    // puts write amplification per micro-batch on the record: files and
+    // bytes landed per batch is the small-files pressure a compaction
+    // stage (k12's machinery) would absorb downstream at cluster scale.
+    {
+      val landing = s"$base/landing_st7"
+      val mon = Tables.monitorCols(stream())
+        .select("event_id", "tile_id", "mem_rss")
+      val q = mon.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt_st7")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(landing)
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      report("st7_foreachbatch_parquet", q.recentProgress.toSeq)
+      val dir = new java.io.File(landing)
+      val parts = org.apache.commons.io.FileUtils
+        .listFiles(dir, Array("parquet"), true).size()
+      val bytes = org.apache.commons.io.FileUtils.sizeOfDirectory(dir)
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      println(s"""{"metric":"stream_cadence_sink","query":"st7_foreachbatch_parquet",""" +
+        s""""sf":${Json.str(sfDir)},"batches":$batches,"landed_files":$parts,""" +
+        s""""landed_bytes":$bytes,"files_per_batch":${
+          if (batches > 0) f"${parts.toDouble / batches}%.2f" else "-1"}}""")
     }
 
     // 3) st13 form: AvailableNow ingest with a keyed agg (state = keys)

@@ -337,18 +337,22 @@ object TextOps extends OpModule {
       val pres = tokens(s, dir).select("doc_id", "w").distinct()
       val wc = pres.groupBy("w").agg(count(lit(1)).as("c"))
       val ndocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
-      // Frequency bound pushed below the pair join: a pair's document
-      // co-occurrence count can never exceed either word's own document
-      // frequency, so `c_ab >= 50` implies df(wa) >= 50 AND df(wb) >= 50.
-      // Semi-joining the presence relation against the frequent vocabulary
-      // BEFORE the quadratic self-join is therefore semantics-preserving
-      // (lift still divides by the FULL c_a/c_b, computed above from the
-      // unpruned relation) and prunes the Zipf tail of rare words from the
-      // pair fan-out — the pair-join input and its sort working set shrink
-      // roughly quadratically in the pruned per-doc token fraction.
-      val frequent = broadcast(wc.filter(col("c") >= 50).select("w"))
-      val presF = pres.join(frequent, Seq("w"), "left_semi")
-      presF.as("a").join(presF.as("b"),
+      // A frequency bound IS pushable below the pair join — `c_ab >= 50`
+      // implies df(wa) >= 50 AND df(wb) >= 50, so semi-joining `pres`
+      // against wc.filter(c >= 50) before the self-join is semantics-
+      // preserving (lift still divides by the FULL c_a/c_b) — and round
+      // 16 implemented and MEASURED it at gen-sf30 + gen-sf100
+      // (records/QMETRICS_tx15_pushdown_96g_r16.jsonl): strictly worse at
+      // both scales (sf30 steady 157→221 s, sf100 476→719 s, shuffle
+      // +47%, spill 44→51 GB). Cause, verified in DuckDB: the gen corpus
+      // vocabulary is CLOSED (537 words, min df far above 50), so the
+      // bound prunes ZERO of the 77.7M presence rows while the `frequent`
+      // broadcast's build re-materializes the pres subtree as an extra
+      // job. The pushdown is the right move only on an open-vocabulary
+      // (Heaps-law) corpus where the df<50 tail is a real per-doc
+      // fraction — see SCALE.md "Round-16: tx15 frequency pushdown,
+      // measured and refuted" for the cross-over argument.
+      pres.as("a").join(pres.as("b"),
           col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
         .groupBy(col("a.w").as("wa"), col("b.w").as("wb"))
         .agg(count(lit(1)).as("c_ab"))
