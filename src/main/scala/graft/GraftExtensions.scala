@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Hash60, NfcNormalize, PointInPoly, RectRelate, VectorDot}
+import graft.functions.{Hash60, NfcNormalize, PointInPoly, PqArgmin, RectRelate, VectorDot}
 
 /** Production wiring for the engine's native extensions: a cluster user
   * sets `spark.sql.extensions=graft.GraftExtensions` (or
@@ -43,6 +43,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("point_in_poly"),
       new ExpressionInfo(classOf[PointInPoly].getName, "point_in_poly"),
       (exprs: Seq[Expression]) => PointInPoly(exprs(0), exprs(1), exprs(2))))
+    // PQ nearest-codeword assignment as a codegen'd per-row loop — the
+    // encode step of the nn13/nn14 IVF-PQ family (see PqArgmin's
+    // scaladoc for the measured failure modes of the relational forms)
+    ext.injectFunction((
+      FunctionIdentifier("pq_argmin"),
+      new ExpressionInfo(classOf[PqArgmin].getName, "pq_argmin"),
+      (exprs: Seq[Expression]) => PqArgmin(exprs(0), exprs(1))))
     // the reference's spatial SQL surface (tileconfig.py:591-592) for
     // the rectangle geometry model: ST_Relate / ST_Covers / the raw
     // DE-9IM matrix as SQL functions. Each expands at RESOLUTION time

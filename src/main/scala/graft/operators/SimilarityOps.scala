@@ -499,17 +499,31 @@ object SimilarityOps extends OpModule {
 
   /** PQ encoding of the whole corpus: nearest-centroid id per (vector,
     * subspace), argmin with deterministic (min distance, then min cid)
-    * tie-break — matches the oracle's relational replay bit-for-bit. */
+    * tie-break — matches the oracle's relational replay bit-for-bit.
+    *
+    * The argmin is a PER-ROW EXPRESSION, not a relation: the codebook
+    * collapses to one 16-element array per subspace (4 rows, broadcast),
+    * and each slice evaluates the codegen'd
+    * [[graft.functions.PqArgmin]] loop over it. The round-16 nn QMETRICS
+    * protocol measured every other spelling failing at gen-sf100: the
+    * original min-join re-joined the |corpus|×m×k distance relation
+    * against its own aggregate (a corpus×k sort-merge join — 6.7 GB
+    * spill), the min-over-structs aggregate landed in a non-codegen
+    * object-hash buffer (5.4 GB sort-fallback spill), and the
+    * `array_min(transform(...))` higher-order form was spill-free but
+    * interpreted (~2x encode wall). PqArgmin keeps the expression
+    * form's shape — |corpus| × m rows in, one long out per row, no
+    * intermediate relation — inside whole-stage codegen
+    * (records/QMETRICS_nn_sf10sf30sf100_r16.jsonl). */
   private def pqCodes(e: DataFrame): DataFrame = {
-    val cb = pqCodebook(e)
-    val sl = pqSlices(e, "vec_id", "v")
-    val asg = sl.join(broadcast(cb), Seq("sub"))
-      .withColumn("d2", dot("v", "v") - lit(2) * dot("v", "cvec")
-        + dot("cvec", "cvec"))
-    val mind = asg.groupBy("vec_id", "sub").agg(min("d2").as("md"))
-    asg.join(mind, Seq("vec_id", "sub"))
-      .filter(col("d2") === col("md"))
-      .groupBy("vec_id", "sub").agg(min("cid").as("cid"))
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    val cbArr = pqCodebook(e).groupBy("sub")
+      .agg(collect_list(struct(col("cid"), col("cvec"))).as("cands"))
+    pqSlices(e, "vec_id", "v")
+      .join(broadcast(cbArr), Seq("sub"))
+      .select(col("vec_id"), col("sub"),
+        column(graft.functions.PqArgmin(
+          expression(col("v")), expression(col("cands")))).as("cid"))
   }
 
   private val cosSql =

@@ -64,4 +64,57 @@ class InterpSpec extends AnyFunSuite {
       }
     }
   }
+
+  /** pq_argmin is the round-16 codegen'd loop behind nn13/nn14's PQ
+    * encode (see PqArgmin's scaladoc for why the relational spellings
+    * were replaced). Same duality as minhash_array: `nullSafeEval`
+    * (interpreted) and `doGenCode` are two implementations of one
+    * argmin, so this pins them against each other across the branch
+    * space — plain argmin, exact-tie cid break, empty codebook, null
+    * codebook ENTRY (skipped), and null inputs. */
+  test("pq_argmin: interpreted eval == codegen'd projection, incl. ties and nulls") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.types._
+
+    val vType = ArrayType(DoubleType)
+    val candType = ArrayType(StructType(Seq(
+      StructField("cid", LongType), StructField("cvec", vType))))
+    val e = graft.functions.PqArgmin(
+      BoundReference(0, vType, nullable = true),
+      BoundReference(1, candType, nullable = true))
+    val codegen = GenerateMutableProjection.generate(Seq(e))
+
+    def vec(xs: Double*): ArrayData = ArrayData.toArrayData(xs.toArray)
+    def entry(cid: Long, cv: Seq[Double]): InternalRow =
+      new GenericInternalRow(Array[Any](cid, vec(cv: _*)))
+    def cands(es: Any*): ArrayData = new GenericArrayData(es.toArray)
+
+    val cases: Seq[(Any, Any, Any)] = Seq(
+      // plain argmin: c1 is exactly v -> d2 = 0
+      (vec(1.0, 0.0), cands(entry(0L, Seq(0.0, 0.0)), entry(1L, Seq(1.0, 0.0))), 1L),
+      // exact distance tie (both d2 = 1.0) -> smaller cid wins
+      (vec(1.0, 1.0), cands(entry(5L, Seq(0.0, 1.0)), entry(3L, Seq(1.0, 0.0))), 3L),
+      // null codebook entry is skipped, not fatal
+      (vec(1.0, 0.0), cands(null, entry(7L, Seq(0.0, 0.0))), 7L),
+      // empty / all-null codebook -> null result
+      (vec(1.0), cands(), null),
+      (vec(1.0), cands(null), null),
+      // null inputs -> null
+      (null, cands(entry(1L, Seq(0.0))), null),
+      (vec(1.0), null, null))
+
+    for ((v, cs, expected) <- cases) {
+      val row = InternalRow(v, cs)
+      val interp = e.eval(row)
+      val gen = codegen(row)
+      assert(interp == expected, s"interpreted: got $interp, want $expected")
+      if (expected == null) assert(gen.isNullAt(0), "codegen must yield null")
+      else assert(!gen.isNullAt(0) && gen.getLong(0) == expected,
+        s"codegen: got ${if (gen.isNullAt(0)) null else gen.getLong(0)}, want $expected")
+    }
+  }
 }

@@ -72,11 +72,14 @@ class PlansDriftSpec extends AnyFunSuite {
     * show it today because their collect_list inputs are bounded BEFORE
     * the aggregate by a prior reduction: pp3 collects label×dim average
     * rows (|labels|·|dims|, corpus-independent) and nn15 collects centroid
-    * rows (|lists|·|dims|). Any OTHER section growing one must be
-    * re-justified here or re-planned.
+    * rows (|lists|·|dims|). nn13 (round 16) collects the PQ codebook
+    * into per-subspace arrays for the PqArgmin expression — 64 input
+    * rows into 4 groups, corpus-independent by construction (the
+    * codebook is the 16 lowest-vec_id anchors' slices). Any OTHER
+    * section growing one must be re-justified here or re-planned.
     */
   private val boundedObjHashAllowlist =
-    Set("pp3_embed_pipeline", "nn15_partitioned_ivf_probe")
+    Set("pp3_embed_pipeline", "nn15_partitioned_ivf_probe", "nn13_pq_adc")
 
   test("ObjectHashAggregate appears only in the bounded-input allowlist") {
     val offenders = sections.collect {
