@@ -47,6 +47,7 @@ object Plans {
     "ds15_ks_drift",       // value-grid windows partitioned by source
     "w15_gap_fill",        // calendar-sized densify + per-tile fill window
     "tx15_cooccurrence_lift", // doc-bounded pair join, broadcast vocab counts
+    "tx19_capped_cooccurrence", // the capped form: constant per-doc pair fan-out
     "dd13_incremental_dedup", // batch-proportional new-vs-corpus band probe
     "g4_bfs_hops",         // fixed-round min-propagation, node-keyed shuffles
     "q21_waiting_supplier", // EXISTS+NOT-EXISTS as per-order distinct counts

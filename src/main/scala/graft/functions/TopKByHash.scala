@@ -58,3 +58,48 @@ final class TopKByHash(k: Int) extends Aggregator[KeyedId, Seq[KeyedId], Seq[Lon
   override def outputEncoder: Encoder[Seq[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
 }
+
+/** [[KeyedId]] with a string payload: `ord` is the (ascending) selection
+  * key, `id` the payload and tie-break. */
+final case class KeyedStr(ord: Long, id: String)
+
+/** [[TopKByHash]] for string payloads — the same bounded-heap algebra
+  * (same invariants, same merge-walk), with the tie-break comparing the
+  * payload in UTF-8 BINARY order via [[UTF8String]], so the selection
+  * agrees bit-for-bit with Spark's `<` on StringType columns and
+  * DuckDB's default binary collation (a JVM `String.compareTo` would
+  * order by UTF-16 code units and diverge on supplementary characters).
+  * tx19 uses it to cap each document's co-occurrence contribution at K
+  * hash-sampled tokens without the window formulation's corpus-wide
+  * sort (measured: the row_number form sort-spilled ~99 GB at
+  * gen-sf100 across its three re-computations). */
+final class TopKStrByHash(k: Int)
+    extends Aggregator[KeyedStr, Seq[KeyedStr], Seq[String]] {
+  import org.apache.spark.unsafe.types.UTF8String
+  private def lt(x: KeyedStr, y: KeyedStr): Boolean =
+    x.ord < y.ord || (x.ord == y.ord &&
+      UTF8String.fromString(x.id).compareTo(UTF8String.fromString(y.id)) < 0)
+  override def zero: Seq[KeyedStr] = Seq.empty
+  override def reduce(b: Seq[KeyedStr], a: KeyedStr): Seq[KeyedStr] =
+    if (k <= 0) b
+    else if (b.length >= k && !lt(a, b.last)) b
+    else {
+      val i = b.indexWhere(e => lt(a, e)) match { case -1 => b.length; case n => n }
+      val ins = (b.take(i) :+ a) ++ b.drop(i)
+      if (ins.length > k) ins.take(k) else ins
+    }
+  override def merge(x: Seq[KeyedStr], y: Seq[KeyedStr]): Seq[KeyedStr] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[KeyedStr]
+    var i = 0; var j = 0
+    while (out.length < k && (i < x.length || j < y.length)) {
+      if (j >= y.length || (i < x.length && lt(x(i), y(j)))) { out += x(i); i += 1 }
+      else { out += y(j); j += 1 }
+    }
+    out.toSeq
+  }
+  override def finish(r: Seq[KeyedStr]): Seq[String] = r.map(_.id)
+  override def bufferEncoder: Encoder[Seq[KeyedStr]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[KeyedStr]]()
+  override def outputEncoder: Encoder[Seq[String]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+}

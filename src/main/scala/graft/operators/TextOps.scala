@@ -37,6 +37,15 @@ object TextOps extends OpModule {
     * so Java regex (Spark) and RE2 (DuckDB) tokenize identically. */
   val BpePattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
 
+  /** tx19's per-doc token cap: each document contributes at most this
+    * many (hash-sampled) distinct tokens to the co-occurrence pair join,
+    * so the quadratic step fans out a CONSTANT CapK·(CapK-1)/2 = 120
+    * pairs per doc. 16 is small enough to bind on the sf ≥ 0.01
+    * fixtures (per-doc distinct tokens run into the twenties), which
+    * keeps the cap path itself inside the oracle gate rather than a
+    * dead branch that only wakes at gen scale. */
+  private[operators] val CapK = 16
+
   /** Exploded non-empty whitespace tokens per doc — shared persisted
     * relation ([[Cached]]): tx1/tx2/tx3 and PipelineOps.pp1 all aggregate
     * over it, so it is built once per (session, dir) instead of
@@ -365,6 +374,60 @@ object TextOps extends OpModule {
             .as("lift"))
     }),
 
+    // TX19 (extension, round 16) — CAPPED CO-OCCURRENCE: tx15's lift
+    // under the PRODUCTION guard its own scale note promises ("a
+    // per-doc top-K token cap — the dedup family's MaxDf argument
+    // applied doc-wise"). Round 16 measured the uncapped pair sort
+    // spilling 44 GB at gen-sf100 and refuted the frequency pushdown on
+    // this corpus (closed vocabulary — SCALE.md "Round-16: tx15"), so
+    // the cap IS the 100 TB plan, and this query makes it a gated,
+    // measurable operator instead of a comment: per document keep the
+    // CapK tokens with the smallest (h60, w) key — a deterministic
+    // pseudo-random token sample both engines spell identically — then
+    // compute presence counts, pair counts, and lift INSIDE the capped
+    // universe (the estimator's sample space; exact over the sample,
+    // not an approximation of tx15's numbers). The quadratic step's
+    // input is docs × CapK(CapK-1)/2 pairs — corpus-LINEAR with a
+    // constant fan-out, never doc-length-quadratic, so the pair sort
+    // working set that spills in tx15 at gen-sf100 is bounded by
+    // construction (records/QMETRICS_tx19_sf30sf100_96g_r16.jsonl).
+    //
+    // The cap itself is the bounded-heap TopKStrByHash AGGREGATION (the
+    // ds5 argument), not a row_number window: the window form was
+    // implemented first and measured at gen-sf100 — its corpus-wide
+    // (doc_id, h60, w) sort, re-computed for both pair-join sides and
+    // the count relation, sort-spilled ~99 GB (the same record). The
+    // aggregator's map-side partials cap every (doc × partition) slice
+    // at CapK before the shuffle, so nothing corpus-sized is ever
+    // sorted; the capped relation is then shared via [[Cached]] (the
+    // dedup family's pattern) so the self-join's two sides and the
+    // count relation read one persisted copy.
+    "tx19_capped_cooccurrence" -> ((s, dir) => {
+      import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+      import graft.functions.{KeyedStr, TopKStrByHash}
+      val capped = Cached.of(s, s"tx:capped$CapK:$dir") {
+        val tk = udaf(new TopKStrByHash(CapK), ExpressionEncoder[KeyedStr]())
+        tokens(s, dir).select("doc_id", "w").distinct()
+          .select(col("doc_id"),
+            DedupOps.h60("tx19:", col("w")).as("ord"), col("w").as("id"))
+          .groupBy("doc_id").agg(tk(col("ord"), col("id")).as("ws"))
+          .select(col("doc_id"), explode(col("ws")).as("w"))
+      }
+      val wc = capped.groupBy("w").agg(count(lit(1)).as("c"))
+      val ndocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      capped.as("a").join(capped.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+        .groupBy(col("a.w").as("wa"), col("b.w").as("wb"))
+        .agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 50)
+        .join(broadcast(wc.select(col("w").as("wa"), col("c").as("c_a"))), Seq("wa"))
+        .join(broadcast(wc.select(col("w").as("wb"), col("c").as("c_b"))), Seq("wb"))
+        .crossJoin(broadcast(ndocs))
+        .select(col("wa"), col("wb"), col("c_ab"),
+          round(col("n_docs") * col("c_ab") / (col("c_a") * col("c_b")), 6)
+            .as("lift"))
+    }),
+
     // TX17 (extension) — ONE BPE MERGE STEP: the counting core of BPE
     // tokenizer training — count every adjacent character pair inside
     // the BPE pre-tokens (tx7's GPT-2-style segmentation, spaces
@@ -678,6 +741,27 @@ object TextOps extends OpModule {
       """pairs AS (
         |  SELECT a.w AS wa, b.w AS wb, COUNT(*) AS c_ab
         |  FROM pres a JOIN pres b ON a.doc_id = b.doc_id AND a.w < b.w
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 50)""".stripMargin)(
+      """SELECT p.wa, p.wb, p.c_ab,
+        |       ROUND(nd.n_docs * p.c_ab / (ca.c * cb.c), 6) AS lift
+        |FROM pairs p
+        |JOIN wc ca ON ca.w = p.wa
+        |JOIN wc cb ON cb.w = p.wb, nd""".stripMargin),
+
+    "tx19_capped_cooccurrence" -> Sql.query(tokensSql,
+      "pres AS (SELECT DISTINCT doc_id, w FROM tokens)",
+      s"""capped AS MATERIALIZED (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, w, ROW_NUMBER() OVER (
+        |      PARTITION BY doc_id
+        |      ORDER BY ${DedupOps.h60Sql("tx19:", "w")}, w) AS rk
+        |    FROM pres) t
+        |  WHERE rk <= $CapK)""".stripMargin,
+      "wc AS (SELECT w, COUNT(*) AS c FROM capped GROUP BY w)",
+      "nd AS (SELECT COUNT(*) AS n_docs FROM documents)",
+      """pairs AS (
+        |  SELECT a.w AS wa, b.w AS wb, COUNT(*) AS c_ab
+        |  FROM capped a JOIN capped b ON a.doc_id = b.doc_id AND a.w < b.w
         |  GROUP BY 1, 2 HAVING COUNT(*) >= 50)""".stripMargin)(
       """SELECT p.wa, p.wb, p.c_ab,
         |       ROUND(nd.n_docs * p.c_ab / (ca.c * cb.c), 6) AS lift

@@ -75,11 +75,18 @@ class PlansDriftSpec extends AnyFunSuite {
     * rows (|lists|·|dims|). nn13 (round 16) collects the PQ codebook
     * into per-subspace arrays for the PqArgmin expression — 64 input
     * rows into 4 groups, corpus-independent by construction (the
-    * codebook is the 16 lowest-vec_id anchors' slices). Any OTHER
-    * section growing one must be re-justified here or re-planned.
+    * codebook is the 16 lowest-vec_id anchors' slices). tx19 (round 16)
+    * is the TopKStrByHash bounded-heap UDAF: a typed Aggregator always
+    * plans as ObjectHashAggregate, but its BUFFER is capped at CapK=16
+    * elements by construction — bounded per group, which is the
+    * property this gate actually protects (dd14's killer was per-group
+    * buffers that grow with the corpus) — and it measured zero spill at
+    * gen-sf100 (records/QMETRICS_tx19_sf30sf100_96g_r16.jsonl). Any
+    * OTHER section growing one must be re-justified here or re-planned.
     */
   private val boundedObjHashAllowlist =
-    Set("pp3_embed_pipeline", "nn15_partitioned_ivf_probe", "nn13_pq_adc")
+    Set("pp3_embed_pipeline", "nn15_partitioned_ivf_probe", "nn13_pq_adc",
+      "tx19_capped_cooccurrence")
 
   test("ObjectHashAggregate appears only in the bounded-input allowlist") {
     val offenders = sections.collect {

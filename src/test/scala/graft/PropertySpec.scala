@@ -94,6 +94,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("TopKStrByHash merge is assoc/comm with identity and equals sort-take") {
+    import graft.functions.{KeyedStr, TopKStrByHash}
+    import org.apache.spark.unsafe.types.UTF8String
+    val agg = new TopKStrByHash(3)
+    // non-ASCII payloads included on purpose: the tie-break must follow
+    // UTF-8 binary order (Spark StringType / DuckDB collation), which
+    // diverges from String.compareTo beyond the BMP — '😀' is
+    // such a case against 'é'/'￿'
+    val genIds = Gen.listOfN(8, for {
+      o <- Gen.choose(-5L, 5L) // narrow so ties actually occur
+      s <- Gen.oneOf("a", "b", "zz", "é", "￿", "😀", "0", "")
+    } yield KeyedStr(o, s))
+    val ord = Ordering.by[KeyedStr, (Long, UTF8String)](e =>
+      (e.ord, UTF8String.fromString(e.id)))
+    forAll(genIds, genIds, genIds) { (a0, b0, c0) =>
+      val fold = (xs: Seq[KeyedStr]) => xs.foldLeft(agg.zero)(agg.reduce)
+      val (a, b, c) = (fold(a0), fold(b0), fold(c0))
+      assert(agg.merge(a, agg.merge(b, c)) == agg.merge(agg.merge(a, b), c))
+      assert(agg.merge(a, b) == agg.merge(b, a))
+      assert(agg.merge(a, agg.zero) == a)
+      assert(agg.finish(agg.merge(a, b)) ==
+        (a ++ b).sorted(ord).take(3).map(_.id))
+    }
+  }
+
   test("w7 binning lemma: cell equi-join + residual equals the direct range join on µs-jittered times") {
     // the claim doing the work at scale: a window starting at ANY
     // fractional second still only reaches its start cell and the next
