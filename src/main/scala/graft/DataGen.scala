@@ -50,6 +50,26 @@ object DataGen {
   private def uexp(tag: String, id: Column, mean: Double): Column =
     -lit(mean) * log(lit(1.0) - u01(tag, id))
 
+  /** Zipf(s)-distributed integer rank in [0, n) for s > 1, from a
+    * position-indexed hash (one draw per token, not per row): inverse
+    * CDF of the continuous power-law density f(x) ∝ x^(−s) on [1, n+1],
+    * F(x) = (x^(1−s) − 1) / ((n+1)^(1−s) − 1), so
+    * x = (1 + u·((n+1)^(1−s) − 1))^(1/(1−s)) and rank = ⌊x⌋ − 1.
+    * One codegen'd expression; no rank table, no driver state. Unlike
+    * [[zipfInt]] (s = 1, bounded head for KEY skew), s > 1 over a huge
+    * rank space gives an OPEN vocabulary: the realized type count grows
+    * as a power of the token count (Heaps' law emerges from sampling —
+    * V(N) ~ N^(1/s)) and the unsampled tail is effectively infinite. */
+  private def zipfSInt(tag: String, id: Column, pos: Column, n: Int,
+      s: Double): Column = {
+    val u = (pmod(xxhash64(lit(tag), id, pos), lit(1 << 24))
+      .cast("double") + 0.5) / (1 << 24)
+    val span = math.pow(n + 1.0, 1.0 - s) - 1.0
+    least(greatest(
+      (floor(pow(lit(1.0) + u * span, 1.0 / (1.0 - s))) - 1).cast("int"),
+      lit(0)), lit(n - 1))
+  }
+
   /** Inverse-CDF lookup against precomputed breakpoints (Poisson etc). */
   private def inverseCdf(u: Column, cdf: Seq[Double]): Column =
     cdf.zipWithIndex.foldRight(lit(cdf.length): Column) {
@@ -101,6 +121,24 @@ object DataGen {
     else math.max(Vocab.length,
       math.round(Vocab.length * math.sqrt(nDoc / 5000.0)).toInt)
 
+  /** Open-vocabulary mode's rank space and exponent. Both `--heaps`
+    * vocab regimes above are CLOSED: words draw UNIFORMLY from a fixed
+    * (if growing) array, so every type's document frequency is enormous
+    * and the df<50 tail that every frequency-threshold operator (tx15's
+    * pushdown, dd7's MaxDf, tx19's cap binding) exists for is EMPTY by
+    * construction (SCALE.md "Round-16: tx15"). Real corpora are Zipf
+    * over an open rank space: `--openvocab` draws each token's rank
+    * Zipf(s = 1.15) from a 16M-rank space, so realized types grow
+    * ~N^(1/s) with the corpus (emergent Heaps' law, β ≈ 0.87 nominal —
+    * the measured β is recorded in SCALE.md), the df<50 tail is MOST of
+    * the realized vocabulary, and its presence-row mass is a material
+    * single-digit-to-tens percent — the regime the df-threshold
+    * cross-over argument is about. Ranks 0..30 map to the original
+    * 31-word vocabulary (the high-frequency head), rank k ≥ 31 to
+    * "w<k>". */
+  val OpenVocabRanks = 16 * 1000 * 1000
+  val OpenVocabS = 1.15
+
   /** With `zipfKeys = true`, the RELATIONSHIP keys — o_custkey,
     * l_suppkey, l_partkey, events.user_id, and the near-dup base-doc
     * pick — draw from [[zipfInt]] instead of uniform, so the derived
@@ -113,7 +151,8 @@ object DataGen {
     * generates that shape deterministically. Value domains, schemas,
     * and row counts are identical to the default mode. */
   def generate(s: SparkSession, sf: Double, out: String,
-      heapsVocab: Boolean = false, zipfKeys: Boolean = false): Unit = {
+      heapsVocab: Boolean = false, zipfKeys: Boolean = false,
+      openVocab: Boolean = false): Unit = {
     import s.implicits._
     // relationship-key draw: uniform (fixture parity) or Zipf (skew mode)
     def rkey(tag: String, id: Column, n: Int): Column =
@@ -242,12 +281,23 @@ object DataGen {
     val nVocab = vocabFor(nDoc, heapsVocab)
     val vocabArr = array(
       (Vocab ++ (Vocab.length until nVocab).map(k => s"w$k")).map(lit): _*)
+    val headArr = array(Vocab.map(lit): _*)
+    // per-token word draw: uniform over the closed vocab (fixture
+    // parity), or Zipf(s) rank over the open 16M-rank space — see
+    // [[OpenVocabRanks]] for why the closed regimes can't exercise
+    // df-threshold operators
+    def word(docId: Column, i: Column): Column =
+      if (openVocab) {
+        val rank = zipfSInt("dword", docId, i, OpenVocabRanks, OpenVocabS)
+        when(rank < Vocab.length, element_at(headArr, rank + 1))
+          .otherwise(concat(lit("w"), rank))
+      } else element_at(vocabArr,
+        pmod(xxhash64(lit("dword"), docId, i), lit(nVocab)).cast("int") + 1)
     val baseText = s.range(nDoc).select(
       col("id").as("doc_id"),
       concat_ws(" ", transform(
         sequence(lit(1), lit(10) + uint("dlen", col("id"), 91)),
-        i => element_at(vocabArr,
-          pmod(xxhash64(lit("dword"), col("id"), i), lit(nVocab)).cast("int") + 1)))
+        i => word(col("id"), i)))
         .as("base_text"))
     val isDup = u01("ddup", col("doc_id")) < 0.047
     val withBase = baseText.select(col("doc_id"), col("base_text"),
@@ -289,12 +339,14 @@ object DataGen {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2 && args.length <= 4 &&
-      args.drop(2).forall(Set("--heaps", "--zipf")),
-      "usage: DataGen <sf> <outDir> [--heaps] [--zipf]")
+    require(args.length >= 2 && args.length <= 5 &&
+      args.drop(2).forall(Set("--heaps", "--zipf", "--openvocab")),
+      "usage: DataGen <sf> <outDir> [--heaps] [--zipf] [--openvocab]")
     val sf = args(0).toDouble
     val heaps = args.contains("--heaps")
     val zipf = args.contains("--zipf")
+    val open = args.contains("--openvocab")
+    require(!(heaps && open), "--heaps and --openvocab are exclusive vocab regimes")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
       .appName(s"graft-datagen-sf$sf")
@@ -302,6 +354,6 @@ object DataGen {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
-    try generate(spark, sf, args(1), heaps, zipf) finally spark.stop()
+    try generate(spark, sf, args(1), heaps, zipf, open) finally spark.stop()
   }
 }

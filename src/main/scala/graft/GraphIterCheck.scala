@@ -36,19 +36,40 @@ import graft.sources.Tables
   * same convention as MetricsCheck's rep 1 vs rep 2). Read build costs
   * from rep 1, never min-of-reps.
   *
-  * Usage: runMain graft.GraphIterCheck <sfDir> [reps=2]
+  * `--g4bucketed` runs ONLY the g4 BFS envelope, restaged for the box's
+  * scratch-disk budget (the r16 full audit died on disk in round 3 of 4
+  * at gen-sf100 — records/GRAPHITER_gensf100_96g_r16.jsonl): the
+  * frontier join reads edges from g6's persisted BUCKETED layout
+  * instead of a second 19 GB Cached copy (the [[Cached]] persist made
+  * during the layout build is released before the rounds), and stale
+  * round shuffles are swept between iterations (each round's
+  * localCheckpoint cuts lineage, so dropping the previous frontier and
+  * forcing a GC lets ContextCleaner delete its shuffle files — plus
+  * spark.cleaner.periodicGC as a backstop). Same BFS recurrence, same
+  * per-round lines; parity vs the registered g4 is gated by
+  * SPARK_GRAFT_G4_PARITY=1 (run it at a fixture SF, not at gen scale
+  * where the registered query would double the measured work).
+  *
+  * Usage: runMain graft.GraphIterCheck <sfDir> [reps=2] [--g4bucketed]
   */
 object GraphIterCheck {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val reps = args.lift(1).map(_.toInt).getOrElse(2)
+    val g4Only = args.contains("--g4bucketed")
+    val reps = args.drop(1).filterNot(_.startsWith("--"))
+      .headOption.map(_.toInt).getOrElse(2)
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-graph-iter")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // backstop sweeper for --g4bucketed (explicit per-round GC is the
+      // primary mechanism); default 30min never fires inside a run
+      .config("spark.cleaner.periodicGC.interval",
+        if (g4Only) "60s" else "30min")
+      .config("spark.sql.shuffle.partitions", shufParts)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
@@ -87,6 +108,57 @@ object GraphIterCheck {
 
     // warmup: codegen/JIT + fs metadata outside the measurements
     spark.range(1000000L).selectExpr("sum(id)").collect()
+
+    if (g4Only) {
+      // layout build first (rep-1 "bucketed_build" convention), then
+      // release the Cached edge relation the build materialized — the
+      // BFS rounds must read the ONE on-disk bucketed copy, not keep a
+      // second 19 GB persisted relation alive on the same scratch disk
+      mark("g4_bfs_hops", "bucketed_build", 1) {
+        GraphOps.bucketedTradeEdges(spark, sfDir).count()
+      }
+      graft.sources.Cached.releaseAll()
+      for (rep <- 1 to reps) {
+        val edges = GraphOps.bucketedTradeEdges(spark, sfDir)
+          .select("src", "dst")
+        var dist = Tables.supplier(spark, sfDir)
+          .filter(col("s_suppkey") % 10 === 0)
+          .select((col("s_suppkey") * 2 + 1).as("node"), lit(0).as("d"))
+          .localCheckpoint()
+        for (i <- 1 to 4) {
+          mark("g4_bfs_hops", s"round_$i", rep) {
+            dist = dist.unionByName(
+                edges.join(dist.withColumnRenamed("node", "src"), Seq("src"))
+                  .select(col("dst").as("node"), (col("d") + 1).as("d")))
+              .groupBy("node").agg(min("d").as("d"))
+              .localCheckpoint()
+            dist.count()
+          }
+          // sweep the round's now-unreachable shuffles + the previous
+          // frontier's checkpoint blocks before the next round starts:
+          // lineage is cut at each localCheckpoint, so a GC is enough
+          // for ContextCleaner to delete them from local disk
+          System.gc()
+          Thread.sleep(3000)
+        }
+        mark("g4_bfs_hops", "histogram", rep) {
+          dist.groupBy("d").agg(count(lit(1)).as("n_nodes")).orderBy("d").count()
+        }
+        if (rep == 1 && sys.env.contains("SPARK_GRAFT_G4_PARITY")) {
+          val g4Audit = dist.groupBy("d").agg(count(lit(1)).as("n_nodes"))
+            .orderBy("d").collect().map(_.toSeq).toSeq
+          val g4Reg = SparkEntry.queries("g4_bfs_hops")(spark, sfDir)
+            .collect().map(_.toSeq).toSeq
+          require(g4Audit == g4Reg,
+            s"g4 bucketed audit drifted from the registered operator:\n" +
+              s"audit=$g4Audit\nregistered=$g4Reg")
+          System.err.println("[graphiter] parity lock: g4 bucketed-layout " +
+            "BFS matches the registered operator")
+        }
+      }
+      spark.stop()
+      return
+    }
 
     for (rep <- 1 to reps) {
       // ---- g1: edge build, then the bench-shaped fused 3-step job ----

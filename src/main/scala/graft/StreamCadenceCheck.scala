@@ -160,10 +160,21 @@ object StreamCadenceCheck {
         }.start()
       try q.processAllAvailable() finally q.stop()
       report("st7_foreachbatch_parquet", q.recentProgress.toSeq)
+      // census over the SAME file set for both metrics: count and sum
+      // only the *.parquet data files (sizeOfDirectory would also count
+      // _SUCCESS and .crc checksum files, mixing denominators). Caveat
+      // for readers of the record: the append-mode foreachBatch write is
+      // not idempotent under micro-batch REPLAY — a batch retried after
+      // a crash lands twice and double-counts here. Fine for a cadence
+      // audit (no induced failures); a production form would write
+      // batch-id-scoped paths (overwrite-by-batchId is idempotent) or a
+      // txn-logged table format.
       val dir = new java.io.File(landing)
-      val parts = org.apache.commons.io.FileUtils
-        .listFiles(dir, Array("parquet"), true).size()
-      val bytes = org.apache.commons.io.FileUtils.sizeOfDirectory(dir)
+      import scala.jdk.CollectionConverters._
+      val partFiles = org.apache.commons.io.FileUtils
+        .listFiles(dir, Array("parquet"), true).asScala.toSeq
+      val parts = partFiles.size
+      val bytes = partFiles.map(_.length()).sum
       val batches = q.recentProgress.count(_.numInputRows > 0)
       println(s"""{"metric":"stream_cadence_sink","query":"st7_foreachbatch_parquet",""" +
         s""""sf":${Json.str(sfDir)},"batches":$batches,"landed_files":$parts,""" +

@@ -44,8 +44,7 @@ object Hash60 {
     * SQL front door to the portable content hash, so pasted-SQL dedup
     * text binds the same codegen'd Expression the Column API uses. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "h60", exprs => Hash60(exprs.head), "scala_udf")
+    FnReg.ifAbsent(spark, "h60", exprs => Hash60(exprs.head))
 
   private val md5 = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =

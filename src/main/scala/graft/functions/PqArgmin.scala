@@ -34,8 +34,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, St
   * and therefore the argmin under the (d2, cid) tie-break — is
   * bit-identical to the relational oracle replay. `dot(v,v)` is
   * loop-invariant and hoisted above the candidate scan. Null semantics
-  * mirror `array_min(transform(...))`: null inputs yield null, null
-  * codebook entries are skipped, an empty/all-null codebook yields null.
+  * (identical in eval and codegen, pinned by InterpSpec): null inputs
+  * yield null, a null ELEMENT inside `v` yields null (the row has no
+  * well-defined distance to anything), null codebook entries and
+  * candidates whose `cvec` contains a null element are skipped, an
+  * empty/all-skipped codebook yields null. A candidate whose `cvec`
+  * LENGTH differs from `v` raises (the [[graft.operators.PolyOps]]
+  * `fixedPointEdges` precedent: malformed reference data is an error,
+  * not a silently biased distance — truncating the v·c term while
+  * summing all of c·c would corrupt the argmin without a trace).
   */
 case class PqArgmin(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -70,8 +77,13 @@ case class PqArgmin(left: Expression, right: Expression)
     val cs = b.asInstanceOf[ArrayData]
     val nv = v.numElements()
     var vv = 0.0
+    var vNull = false
     var i = 0
-    while (i < nv) { vv += v.getDouble(i) * v.getDouble(i); i += 1 }
+    while (i < nv && !vNull) {
+      if (v.isNullAt(i)) vNull = true
+      else { vv += v.getDouble(i) * v.getDouble(i); i += 1 }
+    }
+    if (vNull) return null
     var best = Double.PositiveInfinity
     var bestCid = Long.MaxValue
     var found = false
@@ -82,17 +94,26 @@ case class PqArgmin(left: Expression, right: Expression)
         val c = cs.getStruct(k, 2)
         val cid = c.getLong(0)
         val cv = c.getArray(1)
-        val n = math.min(nv, cv.numElements())
-        var vc = 0.0
-        var j = 0
-        while (j < n) { vc += v.getDouble(j) * cv.getDouble(j); j += 1 }
-        var cc = 0.0
-        j = 0
         val ncv = cv.numElements()
-        while (j < ncv) { cc += cv.getDouble(j) * cv.getDouble(j); j += 1 }
-        val d2 = vv - 2.0 * vc + cc
-        if (!found || d2 < best || (d2 == best && cid < bestCid)) {
-          best = d2; bestCid = cid; found = true
+        if (ncv != nv) throw new IllegalArgumentException(
+          s"pq_argmin: codeword $cid has ${ncv} dims, vector has ${nv}")
+        var cvNull = false
+        var vc = 0.0
+        var cc = 0.0
+        var j = 0
+        while (j < ncv && !cvNull) {
+          if (cv.isNullAt(j)) cvNull = true
+          else { vc += v.getDouble(j) * cv.getDouble(j); j += 1 }
+        }
+        j = 0
+        while (j < ncv && !cvNull) {
+          cc += cv.getDouble(j) * cv.getDouble(j); j += 1
+        }
+        if (!cvNull) {
+          val d2 = vv - 2.0 * vc + cc
+          if (!found || d2 < best || (d2 == best && cid < bestCid)) {
+            best = d2; bestCid = cid; found = true
+          }
         }
       }
       k += 1
@@ -107,7 +128,6 @@ case class PqArgmin(left: Expression, right: Expression)
       val k = ctx.freshName("k")
       val nv = ctx.freshName("nv")
       val nc = ctx.freshName("nc")
-      val n = ctx.freshName("n")
       val ncv = ctx.freshName("ncv")
       val vv = ctx.freshName("vv")
       val vc = ctx.freshName("vc")
@@ -119,41 +139,57 @@ case class PqArgmin(left: Expression, right: Expression)
       val c = ctx.freshName("c")
       val cid = ctx.freshName("cid")
       val cv = ctx.freshName("cv")
+      val vNull = ctx.freshName("vNull")
+      val cvNull = ctx.freshName("cvNull")
       s"""
          |int $nv = $a.numElements();
          |double $vv = 0.0;
-         |for (int $i = 0; $i < $nv; $i++) {
-         |  $vv += $a.getDouble($i) * $a.getDouble($i);
+         |boolean $vNull = false;
+         |for (int $i = 0; $i < $nv && !$vNull; $i++) {
+         |  if ($a.isNullAt($i)) { $vNull = true; }
+         |  else { $vv += $a.getDouble($i) * $a.getDouble($i); }
          |}
-         |double $best = Double.POSITIVE_INFINITY;
-         |long $bestCid = Long.MAX_VALUE;
-         |boolean $found = false;
-         |int $nc = $b.numElements();
-         |for (int $k = 0; $k < $nc; $k++) {
-         |  if (!$b.isNullAt($k)) {
-         |    org.apache.spark.sql.catalyst.InternalRow $c = $b.getStruct($k, 2);
-         |    long $cid = $c.getLong(0);
-         |    org.apache.spark.sql.catalyst.util.ArrayData $cv = $c.getArray(1);
-         |    int $n = java.lang.Math.min($nv, $cv.numElements());
-         |    double $vc = 0.0;
-         |    for (int $j = 0; $j < $n; $j++) {
-         |      $vc += $a.getDouble($j) * $cv.getDouble($j);
-         |    }
-         |    double $cc = 0.0;
-         |    int $ncv = $cv.numElements();
-         |    for (int $j = 0; $j < $ncv; $j++) {
-         |      $cc += $cv.getDouble($j) * $cv.getDouble($j);
-         |    }
-         |    double $d2 = $vv - 2.0 * $vc + $cc;
-         |    if (!$found || $d2 < $best || ($d2 == $best && $cid < $bestCid)) {
-         |      $best = $d2; $bestCid = $cid; $found = true;
+         |if ($vNull) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $best = Double.POSITIVE_INFINITY;
+         |  long $bestCid = Long.MAX_VALUE;
+         |  boolean $found = false;
+         |  int $nc = $b.numElements();
+         |  for (int $k = 0; $k < $nc; $k++) {
+         |    if (!$b.isNullAt($k)) {
+         |      org.apache.spark.sql.catalyst.InternalRow $c = $b.getStruct($k, 2);
+         |      long $cid = $c.getLong(0);
+         |      org.apache.spark.sql.catalyst.util.ArrayData $cv = $c.getArray(1);
+         |      int $ncv = $cv.numElements();
+         |      if ($ncv != $nv) {
+         |        throw new IllegalArgumentException(
+         |          "pq_argmin: codeword " + $cid + " has " + $ncv +
+         |          " dims, vector has " + $nv);
+         |      }
+         |      boolean $cvNull = false;
+         |      double $vc = 0.0;
+         |      double $cc = 0.0;
+         |      for (int $j = 0; $j < $ncv && !$cvNull; $j++) {
+         |        if ($cv.isNullAt($j)) { $cvNull = true; }
+         |        else { $vc += $a.getDouble($j) * $cv.getDouble($j); }
+         |      }
+         |      for (int $j = 0; $j < $ncv && !$cvNull; $j++) {
+         |        $cc += $cv.getDouble($j) * $cv.getDouble($j);
+         |      }
+         |      if (!$cvNull) {
+         |        double $d2 = $vv - 2.0 * $vc + $cc;
+         |        if (!$found || $d2 < $best || ($d2 == $best && $cid < $bestCid)) {
+         |          $best = $d2; $bestCid = $cid; $found = true;
+         |        }
+         |      }
          |    }
          |  }
-         |}
-         |if ($found) {
-         |  ${ev.value} = $bestCid;
-         |} else {
-         |  ${ev.isNull} = true;
+         |  if ($found) {
+         |    ${ev.value} = $bestCid;
+         |  } else {
+         |    ${ev.isNull} = true;
+         |  }
          |}
        """.stripMargin
     })

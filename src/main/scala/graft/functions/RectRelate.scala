@@ -202,10 +202,10 @@ object RectRelate {
   }
 
   /** Runtime registration fallback (same pattern as VectorDot.register);
-    * the GraftExtensions path binds the identical builders. */
+    * the GraftExtensions path binds the identical builders. Idempotent
+    * ([[FnReg.ifAbsent]]) — called per query build. */
   def register(spark: SparkSession): Unit =
     sqlFunctions.foreach { case (name, builder) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, builder, "scala_udf")
+      FnReg.ifAbsent(spark, name, builder)
     }
 }

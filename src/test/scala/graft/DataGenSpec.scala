@@ -82,4 +82,38 @@ class DataGenSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir2))
   }
+
+  test("open-vocab mode: Zipf ranks give a realized df<50 tail that IS most of the vocabulary") {
+    // the property every closed regime lacks (SCALE.md "Round-16: tx15"):
+    // a rare tail with df below any plausible frequency threshold, so the
+    // df-threshold operators (tx15 pushdown, dd7 MaxDf, tx19 cap) have a
+    // non-degenerate input even at spec scale
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_datagen_open").toString
+    DataGen.generate(spark, 0.001, dir2, openVocab = true)
+    val docs = spark.read.parquet(s"$dir2/documents.parquet")
+    // schema parity with the fixture regime
+    assert(docs.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      spark.read.parquet(s"$genDir/documents.parquet").schema.fields
+        .map(f => (f.name, f.dataType)).toSeq)
+    val df = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      .distinct().groupBy("w").agg(count(lit(1)).as("df"))
+    val types = df.count()
+    val rare = df.filter(col("df") < 50).count()
+    assert(types > 500, s"realized vocabulary $types — not open")
+    assert(rare.toDouble / types > 0.5,
+      s"df<50 tail is $rare/$types — not a rare-tail regime")
+    // the head is the original vocabulary: its words are the most frequent
+    val topW = df.orderBy(col("df").desc).limit(5)
+      .collect().map(_.getString(0)).toSet
+    assert(topW.forall(w => !w.startsWith("w") || w == "window"),
+      s"head words $topW should come from the 31-word base vocab")
+    // deterministic: a second run is row-identical
+    val dir3 = java.nio.file.Files.createTempDirectory("graft_datagen_open2").toString
+    DataGen.generate(spark, 0.001, dir3, openVocab = true)
+    val b2 = spark.read.parquet(s"$dir3/documents.parquet")
+    assert(docs.exceptAll(b2).isEmpty && b2.exceptAll(docs).isEmpty)
+    Seq(dir2, dir3).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+  }
 }

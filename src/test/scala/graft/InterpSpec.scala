@@ -105,7 +105,21 @@ class InterpSpec extends AnyFunSuite {
       (vec(1.0), cands(null), null),
       // null inputs -> null
       (null, cands(entry(1L, Seq(0.0))), null),
-      (vec(1.0), null, null))
+      (vec(1.0), null, null),
+      // null ELEMENT in v -> null (no well-defined distance; round-17
+      // guard — previously read garbage from UnsafeArrayData)
+      (new GenericArrayData(Array[Any](1.0, null)),
+        cands(entry(0L, Seq(0.0, 0.0))), null),
+      // null element in a candidate's cvec -> that candidate is skipped
+      (vec(1.0, 0.0),
+        cands(
+          new GenericInternalRow(Array[Any](0L,
+            new GenericArrayData(Array[Any](1.0, null)))),
+          entry(9L, Seq(0.0, 0.0))), 9L),
+      // all candidates skipped (null cvec elements) -> null
+      (vec(1.0),
+        cands(new GenericInternalRow(Array[Any](0L,
+          new GenericArrayData(Array[Any](null))))), null))
 
     for ((v, cs, expected) <- cases) {
       val row = InternalRow(v, cs)
@@ -116,5 +130,14 @@ class InterpSpec extends AnyFunSuite {
       else assert(!gen.isNullAt(0) && gen.getLong(0) == expected,
         s"codegen: got ${if (gen.isNullAt(0)) null else gen.getLong(0)}, want $expected")
     }
+
+    // dimension mismatch RAISES — identically in both paths (round-17
+    // guard, the fixedPointEdges precedent: a malformed codebook is an
+    // error, not a silently truncated v·c against a full c·c)
+    val badRow = InternalRow(vec(1.0, 0.0), cands(entry(4L, Seq(1.0))))
+    val ie = intercept[IllegalArgumentException](e.eval(badRow))
+    assert(ie.getMessage.contains("pq_argmin") && ie.getMessage.contains("dims"))
+    val ge = intercept[IllegalArgumentException](codegen(badRow))
+    assert(ge.getMessage.contains("pq_argmin") && ge.getMessage.contains("dims"))
   }
 }
