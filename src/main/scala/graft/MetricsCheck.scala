@@ -55,12 +55,28 @@ object MetricsCheck {
         s"/tmp/graft_warehouse_mx_${ProcessHandle.current.pid}")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // SPARK_GRAFT_CONF: semicolon-separated k=v session-conf overrides,
+    // for A/B arms that need a runtime knob (e.g. lowering the AQE
+    // skew-split thresholds so a toy-box shuffle exercises the code
+    // path a 100 TB partition would hit naturally). Runtime-settable
+    // confs only — applied after getOrCreate.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
     spark.sparkContext.setLogLevel("ERROR")
 
     val spill = new java.util.concurrent.atomic.AtomicLong(0L)
     val shufW = new java.util.concurrent.atomic.AtomicLong(0L)
     val shufR = new java.util.concurrent.atomic.AtomicLong(0L)
     val peak = new java.util.concurrent.atomic.AtomicLong(0L)
+    // SPARK_GRAFT_TASKSTATS: per-(stage, task) shuffle-read sizes, for
+    // the skew audit — the question "did one reducer carry the hub key"
+    // is a MAX/MEDIAN-per-stage question that the process-wide sums
+    // above cannot answer. Gated so default record lines stay identical.
+    val taskStats = sys.env.contains("SPARK_GRAFT_TASKSTATS")
+    val stageReads = new java.util.concurrent.ConcurrentHashMap[
+      Int, java.util.concurrent.ConcurrentLinkedQueue[Long]]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         val m = t.taskMetrics
@@ -69,9 +85,32 @@ object MetricsCheck {
           shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
           shufR.addAndGet(m.shuffleReadMetrics.totalBytesRead)
           peak.getAndAccumulate(m.peakExecutionMemory, Math.max(_, _))
+          if (taskStats)
+            stageReads.computeIfAbsent(t.stageId,
+              _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
+              .add(m.shuffleReadMetrics.totalBytesRead)
         }
       }
     })
+
+    // The FINAL (post-AQE) plan of what actually ran: df.count() plans
+    // its own QueryExecution, so df.queryExecution.executedPlan stays
+    // isFinalPlan=false — grepping IT for skew marks (or printing it as
+    // "the" plan) reads a plan that never executed. A
+    // QueryExecutionListener hands us the count()'s own execution after
+    // it finishes; the 400 ms post-run drain already covers the async
+    // listener bus.
+    @volatile var lastPlanStr = ""
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          lastPlanStr = qe.executedPlan.toString
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
 
     // warmup: codegen/JIT + fs metadata outside the measurements
     spark.range(1000000L).selectExpr("sum(id)").collect()
@@ -90,18 +129,54 @@ object MetricsCheck {
       lastDir = sfDir
       Thread.sleep(400) // drain listener from the previous measurement
       spill.set(0); shufW.set(0); shufR.set(0); peak.set(0)
+      stageReads.clear()
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
       val rows = df.count()
       val sec = (System.nanoTime() - t0) / 1e9
-      if (explain) // post-execution: AQE's FINAL plan, ReusedExchange visible
+      if (explain) // the executed count()'s FINAL plan (AQE resolved)
         System.err.println(s"== $name rep $rep ==\n" +
-          df.queryExecution.executedPlan.toString.take(30000))
+          lastPlanStr.take(30000))
+      // SPARK_GRAFT_ROWS: also emit the result rows (bounded queries
+      // only — capped at 64) as their own record line, for measurements
+      // whose RESULT is the record (nn11's recall@k values, not just its
+      // wall/shuffle). Values rendered as strings: these lines are read
+      // by humans and jq, not re-joined numerically.
+      if (sys.env.contains("SPARK_GRAFT_ROWS") && rep == 1) {
+        val cols = df.columns
+        val shown = df.limit(64).collect().map(r =>
+          Json.obj(cols.zipWithIndex.map { case (c, i) =>
+            c -> String.valueOf(r.get(i)) }))
+        println(s"""{"metric":"qrows","query":${Json.str(name)},""" +
+          s""""sf":${Json.str(sfDir)},"rows":[${shown.mkString(",")}]}""")
+      }
       Thread.sleep(400) // let this measurement's TaskEnd events land
+      // skew fields: the hottest shuffle-read STAGE's task-size spread
+      // (max/median/task-count) plus the AQE plan's skew-split marks —
+      // together they answer "was the hub key split, and how unbalanced
+      // did the reducers actually run"
+      val skewExtra = if (!taskStats) "" else {
+        import scala.jdk.CollectionConverters._
+        val stages = stageReads.asScala.map { case (sid, q) =>
+          (sid, q.asScala.toSeq.sorted) }.filter(_._2.sum > 0)
+        // "skew=true" = SortMergeJoin/ShuffledHashJoin skew-join nodes;
+        // "skewed" = AQEShuffleRead readers that split a skewed partition
+        // — counted on the plan that actually RAN (listener above)
+        val marks = "skew=true|skewed".r.findAllIn(lastPlanStr).length
+        if (stages.isEmpty) s""","skew_plan_marks":$marks"""
+        else {
+          val (sid, reads) = stages.maxBy(_._2.sum)
+          val med = reads(reads.length / 2)
+          s""","skew_plan_marks":$marks,"hot_stage":$sid,""" +
+            s""""hot_stage_tasks":${reads.length},""" +
+            s""""hot_stage_max_read":${reads.last},""" +
+            s""""hot_stage_median_read":$med"""
+        }
+      }
       println(s"""{"metric":"qmetrics","query":${Json.str(name)},"rep":$rep,""" +
         s""""sec":${f(sec)},"rows":$rows,"spill_bytes":${spill.get},""" +
         s""""shuffle_write_bytes":${shufW.get},"shuffle_read_bytes":${shufR.get},""" +
-        s""""peak_task_mem":${peak.get},"sf":${Json.str(sfDir)}}""")
+        s""""peak_task_mem":${peak.get}$skewExtra,"sf":${Json.str(sfDir)}}""")
     }
     spark.stop()
   }

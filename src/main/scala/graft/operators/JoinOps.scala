@@ -263,7 +263,12 @@ object JoinOps extends OpModule {
       val ev = Tables.events(s, dir)
         .select("user_id", "event_type", "ts")
       val firstTs = ev.groupBy("user_id").agg(min("ts").as("first_ts"))
-      SkewJoin.saltedJoin(ev, firstTs, "user_id", 8)
+      // salt width env-overridable for the skew A/B (n=1 IS the unsalted
+      // arm: one salt value, same join, hub key on one reducer) — the
+      // result is salt-invariant by construction, which is what the
+      // oracle (the plain unsalted join) proves for every arm
+      val saltN = sys.env.get("SPARK_GRAFT_J13_SALT").map(_.toInt).getOrElse(8)
+      SkewJoin.saltedJoin(ev, firstTs, "user_id", saltN)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
           countDistinct("user_id").as("n_users"),

@@ -43,8 +43,13 @@ object TextOps extends OpModule {
     * pairs per doc. 16 is small enough to bind on the sf ≥ 0.01
     * fixtures (per-doc distinct tokens run into the twenties), which
     * keeps the cap path itself inside the oracle gate rather than a
-    * dead branch that only wakes at gen scale. */
-  private[operators] val CapK = 16
+    * dead branch that only wakes at gen scale. Env-overridable
+    * (SPARK_GRAFT_TX19_CAPK) for the cost-model sensitivity A/B — the
+    * override flows through BOTH the Spark plan and the generated
+    * oracle SQL (and the [[Cached]] key), so an off-default arm is
+    * still oracle-comparable; the registered default stays 16. */
+  private[operators] val CapK =
+    sys.env.get("SPARK_GRAFT_TX19_CAPK").map(_.toInt).getOrElse(16)
 
   /** Exploded non-empty whitespace tokens per doc — shared persisted
     * relation ([[Cached]]): tx1/tx2/tx3 and PipelineOps.pp1 all aggregate
