@@ -55,10 +55,12 @@ import graft.sources.Tables
 object GraphIterCheck {
 
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // flags never occupy a positional slot: `--g4bucketed` as the only
+    // argument must not become the sfDir
+    val positional = args.filterNot(_.startsWith("--"))
+    val sfDir = positional.headOption.getOrElse("/root/testdata/sf0.1")
     val g4Only = args.contains("--g4bucketed")
-    val reps = args.drop(1).filterNot(_.startsWith("--"))
-      .headOption.map(_.toInt).getOrElse(2)
+    val reps = positional.drop(1).headOption.map(_.toInt).getOrElse(2)
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)

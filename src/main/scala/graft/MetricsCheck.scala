@@ -134,23 +134,20 @@ object MetricsCheck {
       val df = SparkEntry.queries(name)(spark, sfDir)
       val rows = df.count()
       val sec = (System.nanoTime() - t0) / 1e9
-      if (explain) // the executed count()'s FINAL plan (AQE resolved)
-        System.err.println(s"== $name rep $rep ==\n" +
-          lastPlanStr.take(30000))
-      // SPARK_GRAFT_ROWS: also emit the result rows (bounded queries
-      // only — capped at 64) as their own record line, for measurements
-      // whose RESULT is the record (nn11's recall@k values, not just its
-      // wall/shuffle). Values rendered as strings: these lines are read
-      // by humans and jq, not re-joined numerically.
-      if (sys.env.contains("SPARK_GRAFT_ROWS") && rep == 1) {
-        val cols = df.columns
-        val shown = df.limit(64).collect().map(r =>
-          Json.obj(cols.zipWithIndex.map { case (c, i) =>
-            c -> String.valueOf(r.get(i)) }))
-        println(s"""{"metric":"qrows","query":${Json.str(name)},""" +
-          s""""sf":${Json.str(sfDir)},"rows":[${shown.mkString(",")}]}""")
-      }
       Thread.sleep(400) // let this measurement's TaskEnd events land
+      // SNAPSHOT everything the record line reads, post-drain and
+      // BEFORE any auxiliary job: the optional rows-emission job below
+      // runs its own QueryExecution, whose TaskEnd events and onSuccess
+      // callback would otherwise contaminate rep-1 task metrics and
+      // replace the measured count()'s final plan with the limit(64)'s.
+      // (The explain print reads the snapshot too: the listener bus is
+      // async, so reading lastPlanStr before the drain could show the
+      // PREVIOUS query's plan.)
+      val planStr = lastPlanStr
+      val mSpill = spill.get; val mShufW = shufW.get
+      val mShufR = shufR.get; val mPeak = peak.get
+      if (explain) // the executed count()'s FINAL plan (AQE resolved)
+        System.err.println(s"== $name rep $rep ==\n" + planStr.take(30000))
       // skew fields: the hottest shuffle-read STAGE's task-size spread
       // (max/median/task-count) plus the AQE plan's skew-split marks —
       // together they answer "was the hub key split, and how unbalanced
@@ -162,7 +159,7 @@ object MetricsCheck {
         // "skew=true" = SortMergeJoin/ShuffledHashJoin skew-join nodes;
         // "skewed" = AQEShuffleRead readers that split a skewed partition
         // — counted on the plan that actually RAN (listener above)
-        val marks = "skew=true|skewed".r.findAllIn(lastPlanStr).length
+        val marks = "skew=true|skewed".r.findAllIn(planStr).length
         if (stages.isEmpty) s""","skew_plan_marks":$marks"""
         else {
           val (sid, reads) = stages.maxBy(_._2.sum)
@@ -174,9 +171,25 @@ object MetricsCheck {
         }
       }
       println(s"""{"metric":"qmetrics","query":${Json.str(name)},"rep":$rep,""" +
-        s""""sec":${f(sec)},"rows":$rows,"spill_bytes":${spill.get},""" +
-        s""""shuffle_write_bytes":${shufW.get},"shuffle_read_bytes":${shufR.get},""" +
-        s""""peak_task_mem":${peak.get}$skewExtra,"sf":${Json.str(sfDir)}}""")
+        s""""sec":${f(sec)},"rows":$rows,"spill_bytes":$mSpill,""" +
+        s""""shuffle_write_bytes":$mShufW,"shuffle_read_bytes":$mShufR,""" +
+        s""""peak_task_mem":$mPeak$skewExtra,"sf":${Json.str(sfDir)}}""")
+      // SPARK_GRAFT_ROWS: also emit the result rows (bounded queries
+      // only — capped at 64) as their own record line, for measurements
+      // whose RESULT is the record (nn11's recall@k values, not just its
+      // wall/shuffle). Values rendered as strings: these lines are read
+      // by humans and jq, not re-joined numerically. Runs AFTER the
+      // qmetrics line is printed from snapshots — its job is invisible
+      // to this rep's record, and the next iteration's top-of-loop
+      // drain + reset clears whatever it adds.
+      if (sys.env.contains("SPARK_GRAFT_ROWS") && rep == 1) {
+        val cols = df.columns
+        val shown = df.limit(64).collect().map(r =>
+          Json.obj(cols.zipWithIndex.map { case (c, i) =>
+            c -> String.valueOf(r.get(i)) }))
+        println(s"""{"metric":"qrows","query":${Json.str(name)},""" +
+          s""""sf":${Json.str(sfDir)},"rows":[${shown.mkString(",")}]}""")
+      }
     }
     spark.stop()
   }

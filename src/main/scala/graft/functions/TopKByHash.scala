@@ -84,7 +84,15 @@ final class TopKStrByHash(k: Int)
     * row in the map-side `reduce` hot path; the previous
     * `UTF8String.fromString` spelling allocated two byte arrays per
     * comparison (pinned against UTF8String order in PropertySpec, which
-    * exercises the '😀' vs '￿' divergence on purpose). */
+    * exercises the '😀' vs '￿' divergence on purpose).
+    *
+    * Precondition: WELL-FORMED UTF-16 input. For a string containing an
+    * UNPAIRED surrogate unit the two orders genuinely diverge — Java's
+    * UTF-8 encoder replaces the lone surrogate with '?' (0x3F) on the
+    * UTF8String side, while this comparison remaps it above the BMP —
+    * but no such string can reach here: every input flows from Spark
+    * UTF8String values (parquet/JSON decoders already sanitize), and the
+    * generated corpora are ASCII. */
   private def binCmp(a: String, b: String): Int = {
     val n = math.min(a.length, b.length)
     var i = 0

@@ -24,17 +24,8 @@ object Layout {
     * zero, negative) FAILS rather than falling back: the knob exists
     * precisely to prevent silently baking a narrow layout, so a typo'd
     * value reverting to the time-varying default would defeat it without
-    * a trace in a write-once artifact. */
+    * a trace in a write-once artifact (validation shared via [[Knob]]). */
   def buckets(s: SparkSession,
       env: String => Option[String] = sys.env.get): Int =
-    env(EnvKnob) match {
-      case None => s.sparkContext.defaultParallelism
-      case Some(raw) =>
-        val n = try raw.trim.toInt catch {
-          case _: NumberFormatException => throw new IllegalArgumentException(
-            s"$EnvKnob must be a positive integer, got '$raw'")
-        }
-        require(n > 0, s"$EnvKnob must be a positive integer, got '$raw'")
-        n
-    }
+    Knob.posInt(EnvKnob, s.sparkContext.defaultParallelism, env)
 }

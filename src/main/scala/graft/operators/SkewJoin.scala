@@ -19,11 +19,18 @@ object SkewJoin {
 
   /** Inner equi-join of `big` ⋈ `small` on `key`, salted `n` ways.
     * Result is identical to `big.join(small, Seq(key))` for any salt
-    * assignment; the salt only changes the shuffle layout. */
+    * assignment; the salt only changes the shuffle layout. `n = 1` IS
+    * the unsalted arm and short-circuits to the plain join — the
+    * degenerate salt column would only add a dead projection and a
+    * 1-row explode to the plan a reader copies. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, n: Int): DataFrame = {
-    val salted = big.withColumn("_salt", (rand(42) * n).cast("int"))
-    val replicated = small.withColumn("_salt",
-      explode(sequence(lit(0), lit(n - 1))))
-    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+    require(n >= 1, s"salt width must be >= 1, got $n")
+    if (n == 1) big.join(small, Seq(key))
+    else {
+      val salted = big.withColumn("_salt", (rand(42) * n).cast("int"))
+      val replicated = small.withColumn("_salt",
+        explode(sequence(lit(0), lit(n - 1))))
+      salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+    }
   }
 }

@@ -47,9 +47,69 @@ object TextOps extends OpModule {
     * (SPARK_GRAFT_TX19_CAPK) for the cost-model sensitivity A/B — the
     * override flows through BOTH the Spark plan and the generated
     * oracle SQL (and the [[Cached]] key), so an off-default arm is
-    * still oracle-comparable; the registered default stays 16. */
+    * still oracle-comparable; the registered default stays 16.
+    *
+    * Binding is OBJECT-INIT-TIME (a `val`): the knob is read once when
+    * TextOps first loads, so it must be set before the first query
+    * registration in the JVM — a later env change cannot rebind it.
+    * That is deliberate: one JVM = one CapK keeps every query build,
+    * its oracle SQL, and the [[Cached]] key mutually consistent for
+    * the whole process. Parsing is validated ([[graft.model.Knob]]):
+    * a typo or a degenerate value (0 would silently empty the capped
+    * relation) fails loudly instead of falling back. */
   private[operators] val CapK =
-    sys.env.get("SPARK_GRAFT_TX19_CAPK").map(_.toInt).getOrElse(16)
+    graft.model.Knob.posInt("SPARK_GRAFT_TX19_CAPK", 16)
+
+  /** tx15 regime threshold: the pushdown arm is chosen when at least
+    * this fraction of presence rows (doc, word pairs) belongs to words
+    * with df < 50 — "rare-df presence mass". Measured anchors: every
+    * closed-vocabulary corpus sits at exactly 0.0 (min df ≫ 50, the
+    * regime where the pushdown lost ×1.40); the open-vocabulary corpora
+    * where it won ×2.25 sit at 0.16–0.31. 0.05 is half an order of
+    * magnitude below the measured winning regime and strictly above the
+    * losing one — and near the boundary both arms are within noise of
+    * each other (the pushdown's cost is one vocab-sized broadcast build
+    * off the already-persisted wc), so the threshold's exact position
+    * is not load-bearing. */
+  private[operators] val Tx15RareMassMin = 0.05
+
+  /** Chosen tx15 arm per (session, corpus), memoized so the statistic
+    * job runs once and the decision is logged once. Stopped sessions are
+    * purged on the way in (the [[Cached]] rule). */
+  private val tx15Arm =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Boolean]
+
+  /** Decide tx15's pair-join input arm for this corpus: explicit env
+    * override first (validated — only "1"/"0" parse), otherwise the
+    * rare-df presence-mass statistic computed from the cached wc
+    * relation (one vocab-sized aggregate; at 100 TB nobody hand-sets a
+    * per-corpus env var, so the plan choice must come from the data —
+    * the reference derives behavior from data the same way,
+    * tileconfig.py:443-497). */
+  private def tx15Pushdown(s: SparkSession, dir: String,
+      wc: DataFrame): Boolean =
+    sys.env.get("SPARK_GRAFT_TX15_PUSHDOWN") match {
+      case Some("1") => true
+      case Some("0") => false
+      case Some(other) => throw new IllegalArgumentException(
+        s"SPARK_GRAFT_TX15_PUSHDOWN must be 1 or 0, got '$other'")
+      case None =>
+        tx15Arm.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+        tx15Arm.getOrElseUpdate((s, dir), {
+          val row = wc.agg(
+            (sum(when(col("c") < 50, col("c")).otherwise(lit(0L)))
+              / sum(col("c"))).as("rare_mass")).collect()(0)
+          val mass = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+          val pick = mass >= Tx15RareMassMin
+          System.err.println(String.format(java.util.Locale.ROOT,
+            "[graft] tx15 regime for %s: rare-df presence mass %.4f %s " +
+              "%.2f -> %s arm (override via SPARK_GRAFT_TX15_PUSHDOWN)",
+            dir, Double.box(mass), if (pick) ">=" else "<",
+            Double.box(Tx15RareMassMin),
+            if (pick) "pushdown" else "direct"))
+          pick
+        })
+    }
 
   /** Exploded non-empty whitespace tokens per doc — shared persisted
     * relation ([[Cached]]): tx1/tx2/tx3 and PipelineOps.pp1 all aggregate
@@ -349,32 +409,39 @@ object TextOps extends OpModule {
     // bounded, never corpus-sized.
     "tx15_cooccurrence_lift" -> ((s, dir) => {
       val pres = tokens(s, dir).select("doc_id", "w").distinct()
-      val wc = pres.groupBy("w").agg(count(lit(1)).as("c"))
+      // wc is vocabulary-sized and feeds FOUR consumers (the two lift
+      // denominators, the pushdown's `frequent` set, and the regime
+      // statistic below), so it is built once per (session, corpus) and
+      // persisted — which also retires the round-16 finding that the
+      // `frequent` broadcast re-materialized the pres subtree as an
+      // extra job.
+      val wc = Cached.of(s, s"tx:tx15wc:$dir")(
+        pres.groupBy("w").agg(count(lit(1)).as("c")))
       val ndocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
       // A frequency bound IS pushable below the pair join — `c_ab >= 50`
       // implies df(wa) >= 50 AND df(wb) >= 50, so semi-joining `pres`
       // against wc.filter(c >= 50) before the self-join is semantics-
-      // preserving (lift still divides by the FULL c_a/c_b) — and round
-      // 16 implemented and MEASURED it at gen-sf30 + gen-sf100
-      // (records/QMETRICS_tx15_pushdown_96g_r16.jsonl): strictly worse at
-      // both scales (sf30 steady 157→221 s, sf100 476→719 s, shuffle
-      // +47%, spill 44→51 GB). Cause, verified in DuckDB: the gen corpus
-      // vocabulary is CLOSED (537 words, min df far above 50), so the
-      // bound prunes ZERO of the 77.7M presence rows while the `frequent`
-      // broadcast's build re-materializes the pres subtree as an extra
-      // job. The pushdown is the right move only on an open-vocabulary
-      // (Heaps-law) corpus where the df<50 tail is a real per-doc
-      // fraction — round 17 generated that corpus (DataGen --openvocab:
-      // measured Heaps β ≈ 0.45, df<50 tail = 96-99% of types / 16-31%
-      // of presence rows) and re-ran the A/B on it; see SCALE.md
-      // "Round-17: the df-threshold cross-over, measured" for where each
-      // plan wins. The env knob selects the pushdown arm — a per-corpus
-      // REGIME switch (set it when the corpus has a real rare tail),
-      // kept explicit because the decision statistic (rare-df presence
-      // mass, from the wc relation) varies per corpus while a query's
-      // plan must stay deterministic for the oracle gate.
+      // preserving (lift still divides by the FULL c_a/c_b). Whether it
+      // PAYS is a property of the corpus, measured from both sides:
+      //  - closed vocabulary (gen-sf30/sf100, records/
+      //    QMETRICS_tx15_pushdown_96g_r16.jsonl): strictly worse (sf30
+      //    steady 157→221 s, shuffle +47%) — min df is far above 50, the
+      //    bound prunes ZERO presence rows, and vocab²-bounded pair
+      //    groups mean partial aggregation absorbs the fan-out anyway;
+      //  - open vocabulary (open-sf30, records/
+      //    QMETRICS_tx15_pushdown_open30_96g_r17.jsonl): ×2.25 FASTER
+      //    and kills a 99.9 GB spill — rare pairs are unique, nothing
+      //    collapses map-side, and the df≥50 semi-join removes exactly
+      //    the spilling working set.
+      // The engine therefore picks the arm from the corpus itself
+      // ([[tx15Pushdown]]): the decision statistic is the rare-df
+      // presence mass from the cached wc relation — a pure function of
+      // the data, so the chosen plan is deterministic per corpus and the
+      // oracle gate stays stable (both arms are result-identical by
+      // construction). SPARK_GRAFT_TX15_PUSHDOWN=1/0 remains an explicit
+      // override for operators who have already measured their corpus.
       val pairIn =
-        if (sys.env.get("SPARK_GRAFT_TX15_PUSHDOWN").contains("1")) {
+        if (tx15Pushdown(s, dir, wc)) {
           val frequent = broadcast(wc.filter(col("c") >= 50).select("w"))
           pres.join(frequent, Seq("w"), "left_semi")
         } else pres
