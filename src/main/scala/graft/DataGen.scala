@@ -152,7 +152,7 @@ object DataGen {
     * and row counts are identical to the default mode. */
   def generate(s: SparkSession, sf: Double, out: String,
       heapsVocab: Boolean = false, zipfKeys: Boolean = false,
-      openVocab: Boolean = false): Unit = {
+      openVocab: Boolean = false, clustered: Boolean = false): Unit = {
     import s.implicits._
     // relationship-key draw: uniform (fixture parity) or Zipf (skew mode)
     def rkey(tag: String, id: Column, n: Int): Column =
@@ -321,14 +321,30 @@ object DataGen {
       length(col("text")).cast("bigint").as("n_chars")), "documents")
 
     // embeddings: 64-d unit vectors (Box-Muller normals, normalized),
-    // labels uniform 0..9 — the fixtures show NO label-cluster structure
-    val gauss = transform(sequence(lit(0), lit(63)), d => {
-      val u1 = (pmod(xxhash64(lit("e1"), col("id"), d), lit(1 << 24))
+    // labels uniform 0..9 — the fixtures show NO label-cluster structure,
+    // which is the ADVERSARIAL case for every locality structure (LSH
+    // buckets, IVF lists): measured single-probe recall@10 is 0.1375 at
+    // gen-sf10 (SCALE.md round-17). Real embedding spaces cluster, so
+    // `--clustered` plants 10 Gaussian clusters WITH the label column as
+    // the cluster id: per dimension, emb_d = √α·c(label,d) + √(1−α)·n(id,d)
+    // with both terms standard normals from the same hash machinery —
+    // the marginal stays standard normal (same norms, same per-dim
+    // distribution as the isotropic mode; only the within-label
+    // correlation changes), expected intra-cluster cosine ≈ α = 0.75.
+    // That makes IVF-on-label a REAL coarse quantizer and gives the
+    // recall-vs-candidates curve the shape deployed corpora show.
+    def bm(t1: String, t2: String, k: Column, d: Column) = {
+      val u1 = (pmod(xxhash64(lit(t1), k, d), lit(1 << 24))
         .cast("double") + 0.5) / (1 << 24)
-      val u2 = pmod(xxhash64(lit("e2"), col("id"), d), lit(1 << 24))
+      val u2 = pmod(xxhash64(lit(t2), k, d), lit(1 << 24))
         .cast("double") / (1 << 24)
       sqrt(lit(-2.0) * log(u1)) * cos(lit(2.0 * math.Pi) * u2)
-    })
+    }
+    val eLabel = uint("elabel", col("id"), 10)
+    val gauss = transform(sequence(lit(0), lit(63)), d =>
+      if (!clustered) bm("e1", "e2", col("id"), d)
+      else bm("cc1", "cc2", eLabel.cast("bigint"), d) * math.sqrt(0.75) +
+        bm("e1", "e2", col("id"), d) * math.sqrt(0.25))
     write(s.range(nEmb).select(col("id").as("vec_id"), gauss.as("g"))
       .select(col("vec_id"),
         aggregate(col("g"), lit(0.0), (a, x) => a + x * x).as("ss"), col("g"))
@@ -339,13 +355,15 @@ object DataGen {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2 && args.length <= 5 &&
-      args.drop(2).forall(Set("--heaps", "--zipf", "--openvocab")),
-      "usage: DataGen <sf> <outDir> [--heaps] [--zipf] [--openvocab]")
+    require(args.length >= 2 && args.length <= 6 &&
+      args.drop(2).forall(
+        Set("--heaps", "--zipf", "--openvocab", "--clustered")),
+      "usage: DataGen <sf> <outDir> [--heaps] [--zipf] [--openvocab] [--clustered]")
     val sf = args(0).toDouble
     val heaps = args.contains("--heaps")
     val zipf = args.contains("--zipf")
     val open = args.contains("--openvocab")
+    val clustered = args.contains("--clustered")
     require(!(heaps && open), "--heaps and --openvocab are exclusive vocab regimes")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
@@ -354,6 +372,7 @@ object DataGen {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
-    try generate(spark, sf, args(1), heaps, zipf, open) finally spark.stop()
+    try generate(spark, sf, args(1), heaps, zipf, open, clustered)
+    finally spark.stop()
   }
 }

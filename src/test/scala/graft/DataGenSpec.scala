@@ -116,4 +116,41 @@ class DataGenSpec extends SparkSpec {
     Seq(dir2, dir3).foreach(d =>
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
   }
+
+  test("clustered embeddings: label IS a planted cluster; isotropic mode has none") {
+    // the --clustered contract: intra-label cosine ≈ α = 0.75, inter ≈ 0,
+    // norms still unit (the marginal stays standard normal per dim) —
+    // while the default isotropic mode shows NO label structure. Both
+    // properties are what AnnRecallCheck's two-regime curve leans on.
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_datagen_clu").toString
+    DataGen.generate(spark, 0.001, dir2, clustered = true)
+    def meanCos(path: String): (Double, Double) = {
+      val e = spark.read.parquet(s"$path/embeddings.parquet")
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> cast(x as double))").as("emb"))
+        .limit(400)
+      val pairs = e.as("a").crossJoin(e.as("b"))
+        .filter(col("a.vec_id") < col("b.vec_id"))
+        .select((col("a.label") === col("b.label")).as("same"),
+          expr("aggregate(zip_with(a.emb, b.emb, (x, y) -> x * y), " +
+            "0D, (acc, v) -> acc + v)").as("dp"))
+        .groupBy("same").agg(avg("dp").as("m"))
+        .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+      (pairs(true), pairs(false))
+    }
+    val (cluIntra, cluInter) = meanCos(dir2)
+    assert(cluIntra > 0.6 && cluIntra < 0.9,
+      s"intra-cluster cosine $cluIntra, expected ~0.75")
+    assert(math.abs(cluInter) < 0.1, s"inter-cluster cosine $cluInter")
+    val (isoIntra, isoInter) = meanCos(genDir)
+    assert(math.abs(isoIntra) < 0.1 && math.abs(isoInter) < 0.1,
+      s"isotropic mode shows label structure: $isoIntra / $isoInter")
+    // unit norms hold in clustered mode too
+    val bad = spark.read.parquet(s"$dir2/embeddings.parquet")
+      .select(aggregate(col("embedding"), lit(0.0),
+        (a, x) => a + x * x).as("ss"))
+      .filter(abs(col("ss") - 1.0) > 0.001).count()
+    assert(bad == 0, s"$bad non-unit-norm clustered embeddings")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir2))
+  }
 }
