@@ -127,6 +127,14 @@ object MetricsCheck {
         graft.sources.Cached.releaseAll()
       }
       lastDir = sfDir
+      // ContextCleaner deletes a finished query's shuffle files only
+      // after its ShuffleDependencies are GC'd on the driver; between
+      // back-to-back gen-scale measurements that lag can stack two
+      // measurements' shuffle footprints on one scratch-disk budget
+      // (the g4 restage lesson — GraphIterCheck sweeps the same way).
+      // Forced here, OUTSIDE the timed region, so each measurement
+      // starts from a swept scratch dir.
+      System.gc()
       Thread.sleep(400) // drain listener from the previous measurement
       spill.set(0); shufW.set(0); shufR.set(0); peak.set(0)
       stageReads.clear()

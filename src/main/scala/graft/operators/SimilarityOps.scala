@@ -86,7 +86,7 @@ object SimilarityOps extends OpModule {
     * (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at execution — hit by nn12).
     * The unrolled form reports its references correctly, and is also
     * whole-stage-codegen-friendlier (no per-row lambda dispatch). */
-  private val bucketExpr =
+  private[graft] val bucketExpr =
     expr((0 to 7).map(i =>
       s"(CASE WHEN emb[$i] > 0D THEN ${1 << i} ELSE 0 END)").mkString(" + "))
 
@@ -485,7 +485,7 @@ object SimilarityOps extends OpModule {
 
   /** Cut a 64-d vector frame into PQ subvectors: one row per (id, sub ∈
     * 0..3) with the 16-d slice. Shared by nn13/nn14. */
-  private def pqSlices(df: DataFrame, idAs: String, vecAs: String): DataFrame =
+  private[graft] def pqSlices(df: DataFrame, idAs: String, vecAs: String): DataFrame =
     df.select(col("vec_id").as(idAs), explode(expr(
       "transform(sequence(0, 3), j -> struct(j AS sub, slice(emb, j*16+1, 16) AS v))"))
       .as("e"))
@@ -494,7 +494,7 @@ object SimilarityOps extends OpModule {
   /** PQ codebook: the subvectors of the 16 lowest-vec_id anchors (a
     * deterministic stand-in for a k-means codebook — the
     * assignment/search algebra is identical). */
-  private def pqCodebook(e: DataFrame): DataFrame =
+  private[graft] def pqCodebook(e: DataFrame): DataFrame =
     pqSlices(e.filter(col("vec_id") < 16), "cid", "cvec")
 
   /** PQ encoding of the whole corpus: nearest-centroid id per (vector,
@@ -515,7 +515,7 @@ object SimilarityOps extends OpModule {
     * form's shape — |corpus| × m rows in, one long out per row, no
     * intermediate relation — inside whole-stage codegen
     * (records/QMETRICS_nn_sf10sf30sf100_r16.jsonl). */
-  private def pqCodes(e: DataFrame): DataFrame = {
+  private[graft] def pqCodes(e: DataFrame): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{column, expression}
     val cbArr = pqCodebook(e).groupBy("sub")
       .agg(collect_list(struct(col("cid"), col("cvec"))).as("cands"))
