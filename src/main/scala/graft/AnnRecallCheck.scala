@@ -25,7 +25,15 @@ import graft.operators.SimilarityOps
   *    list-pruning loss;
   *  - `ivfpq_nprobeP`: the same candidate lists scored by nn13/nn14's
   *    PQ asymmetric distance — adds quantization loss, i.e. the
-  *    full nn14 serving path's quality.
+  *    full nn14 serving path's quality;
+  *  - `ivfpq256_nprobeP`: the same ADC scoring with a 256-anchor
+  *    codebook — the codebook-RESOLUTION axis. The registered 16-entry
+  *    stand-in has fewer codes than the clustered corpus has planted
+  *    clusters x useful within-cluster directions, so every member of
+  *    a cluster quantizes to one code and ADC cannot rank within it
+  *    (recall collapses to the 1/K self-hit); 256 anchors restore
+  *    within-cluster resolution at identical plan shape and 16x the
+  *    (still KB-scale, broadcast) codebook.
   *
   * Every method emits per-qid lines plus a mean line with the cost axis
   * (candidates scanned, absolute and as a corpus fraction). Run on BOTH
@@ -42,16 +50,16 @@ object AnnRecallCheck {
   private val K = 10
   private val NQ = 8 // the registered probe set: vec_id < 8 (nn11)
 
-  /** Two-phase top-K per qid by (score desc, vec_id): phase 1 ranks
-    * within (qid, input partition) and keeps <= K, so the final per-qid
-    * rank sees <= K x numPartitions rows, never the corpus. */
-  private def topK(df: DataFrame, score: String): DataFrame = {
+  /** Two-phase top-k per qid by (score desc, vec_id): phase 1 ranks
+    * within (qid, input partition) and keeps <= k, so the final per-qid
+    * rank sees <= k x numPartitions rows, never the corpus. */
+  private def topK(df: DataFrame, score: String, k: Int = K): DataFrame = {
     val order = Seq(col(score).desc, col("vec_id"))
     val pre = Window.partitionBy(col("qid"), spark_partition_id())
       .orderBy(order: _*)
     val fin = Window.partitionBy("qid").orderBy(order: _*)
-    df.withColumn("prn", row_number().over(pre)).filter(col("prn") <= K)
-      .withColumn("rn", row_number().over(fin)).filter(col("rn") <= K)
+    df.withColumn("prn", row_number().over(pre)).filter(col("prn") <= k)
+      .withColumn("rn", row_number().over(fin)).filter(col("rn") <= k)
       .select("qid", "vec_id")
   }
 
@@ -155,9 +163,14 @@ object AnnRecallCheck {
         .select("qid", "label", "crk")
         .persist()
       ranked.count()
-      val codes = SimilarityOps.pqCodes(e).persist()
-      codes.count()
-      val cb = SimilarityOps.pqCodebook(e)
+      val codeArms = Seq(
+        "ivfpq" -> 16,   // the registered nn13/nn14 codebook
+        "ivfpq256" -> 256) // the codebook-resolution arm
+        .map { case (tag, anchors) =>
+          val codes = SimilarityOps.pqCodes(e, anchors).persist()
+          codes.count()
+          (tag, codes, SimilarityOps.pqCodebook(e, anchors))
+        }
       val qsl = SimilarityOps.pqSlices(e.filter(col("vec_id") < NQ), "qid", "qv")
       for (p <- Seq(1, 2, 4, 8)) {
         val lists = ranked.filter(col("crk") <= p).select("qid", "label")
@@ -173,18 +186,31 @@ object AnnRecallCheck {
         report(s"ivf_nprobe$p", exact)
         // PQ asymmetric-distance scoring (the nn14 serving path):
         // rank ascending adc == descending -adc for unit vectors
-        val adc = codes.join(broadcast(cands), Seq("vec_id"))
-          .join(broadcast(cb), Seq("sub", "cid"))
-          .join(broadcast(qsl), Seq("qid", "sub"))
-          .withColumn("d2",
-            SimilarityOps.dot("qv", "qv")
-              - lit(2) * SimilarityOps.dot("qv", "cvec")
-              + SimilarityOps.dot("cvec", "cvec"))
-          .groupBy("qid", "vec_id").agg(sum("d2").as("adcd"))
-          .select(col("qid"), col("vec_id"), (-col("adcd")).as("score"))
-        report(s"ivfpq_nprobe$p", adc)
+        for ((tag, codes, cb) <- codeArms) {
+          val adc = codes.join(broadcast(cands), Seq("vec_id"))
+            .join(broadcast(cb), Seq("sub", "cid"))
+            .join(broadcast(qsl), Seq("qid", "sub"))
+            .withColumn("d2",
+              SimilarityOps.dot("qv", "qv")
+                - lit(2) * SimilarityOps.dot("qv", "cvec")
+                + SimilarityOps.dot("cvec", "cvec"))
+            .groupBy("qid", "vec_id").agg(sum("d2").as("adcd"))
+            .select(col("qid"), col("vec_id"), (-col("adcd")).as("score"))
+          report(s"${tag}_nprobe$p", adc)
+          // the production serving path: ADC SHORTLIST (top-100) ->
+          // exact re-rank of the shortlist only. The ADC pass's scan
+          // cost is the `${tag}_nprobe$p` line above; this line's cand
+          // column is the 100 exact re-scores per query it adds.
+          val short = topK(adc.persist(), "score", 100)
+          val rerank = e.select(col("vec_id"), col("emb"))
+            .join(broadcast(short.join(q, Seq("qid"))), Seq("vec_id"))
+            .select(col("qid"), col("vec_id"), cos("emb", "qe").as("score"))
+          report(s"${tag}_rr100_nprobe$p", rerank)
+          adc.unpersist()
+        }
       }
-      ranked.unpersist(); codes.unpersist(); gt.unpersist(); e.unpersist()
+      ranked.unpersist(); codeArms.foreach(_._2.unpersist())
+      gt.unpersist(); e.unpersist()
     }
     spark.stop()
   }

@@ -491,11 +491,15 @@ object SimilarityOps extends OpModule {
       .as("e"))
       .select(col(idAs), col("e.sub").as("sub"), col("e.v").as(vecAs))
 
-  /** PQ codebook: the subvectors of the 16 lowest-vec_id anchors (a
-    * deterministic stand-in for a k-means codebook — the
-    * assignment/search algebra is identical). */
-  private[graft] def pqCodebook(e: DataFrame): DataFrame =
-    pqSlices(e.filter(col("vec_id") < 16), "cid", "cvec")
+  /** PQ codebook: the subvectors of the `anchors` lowest-vec_id anchors
+    * (a deterministic stand-in for a k-means codebook — the
+    * assignment/search algebra is identical). The registered nn13/nn14
+    * queries use the default 16; AnnRecallCheck's quantization-loss
+    * axis also measures 256 (the codebook-resolution arm — a 16-entry
+    * codebook cannot rank within a planted cluster, see
+    * records/QMETRICS_nn_recall_curve_r18.jsonl). */
+  private[graft] def pqCodebook(e: DataFrame, anchors: Int = 16): DataFrame =
+    pqSlices(e.filter(col("vec_id") < anchors), "cid", "cvec")
 
   /** PQ encoding of the whole corpus: nearest-centroid id per (vector,
     * subspace), argmin with deterministic (min distance, then min cid)
@@ -515,9 +519,9 @@ object SimilarityOps extends OpModule {
     * form's shape — |corpus| × m rows in, one long out per row, no
     * intermediate relation — inside whole-stage codegen
     * (records/QMETRICS_nn_sf10sf30sf100_r16.jsonl). */
-  private[graft] def pqCodes(e: DataFrame): DataFrame = {
+  private[graft] def pqCodes(e: DataFrame, anchors: Int = 16): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{column, expression}
-    val cbArr = pqCodebook(e).groupBy("sub")
+    val cbArr = pqCodebook(e, anchors).groupBy("sub")
       .agg(collect_list(struct(col("cid"), col("cvec"))).as("cands"))
     pqSlices(e, "vec_id", "v")
       .join(broadcast(cbArr), Seq("sub"))
