@@ -316,28 +316,40 @@ object SampleOps extends OpModule {
     // join; docs too short to gram (< 5 tokens) pass through clean.
     "ds14_exact_decontam" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val spl = docs
-        .withColumn("b", h60("spl:", col("text")) % 100)
-        .withColumn("split",
-          when(col("b") < 80, "train")
-            .when(col("b") < 90, "val").otherwise("test"))
-        .select("doc_id", "split")
+      // The split is a pure per-row function of text, so it rides the
+      // SAME scan that feeds the gram explode instead of being computed
+      // as a second relation and equi-joined back on doc_id (r18
+      // optimization: that join shuffled the ENTIRE gram relation by
+      // doc_id — removing it removes the widest shuffle in the query,
+      // guide §2.4 "remove shuffles outright"). Two more consequences:
+      //  - val-split docs (10%) never gram at all — only train grams
+      //    (probe side) and test grams (contamination side) are used;
+      //  - the gram is hashed BEFORE the per-doc distinct, so the
+      //    distinct's shuffle carries 8 bytes per gram instead of the
+      //    ~30-byte string (§2.3 "narrower types"). Collapsing two
+      //    same-doc grams that collide on h60 is result-invariant: both
+      //    downstream consumers (distinct test-gram set, distinct dirty
+      //    doc set) are insensitive to per-(doc, gh) multiplicity.
       val grams = docs
-        .select(col("doc_id"), split(col("text"), " ").as("arr"))
+        .withColumn("b", h60("spl:", col("text")) % 100)
+        .filter(col("b") < 80 || col("b") >= 90)
+        .select(col("doc_id"), (col("b") < 80).as("is_train"),
+          split(col("text"), " ").as("arr"))
         .filter(size(col("arr")) >= 5)
-        .select(col("doc_id"), explode(expr(
+        .select(col("doc_id"), col("is_train"), explode(expr(
           "transform(sequence(0, size(arr)-5), i -> array_join(slice(arr, i+1, 5), ' '))"))
           .as("g"))
+        .select(col("doc_id"), col("is_train"), h60("ng:", col("g")).as("gh"))
         .distinct()
-        .select(col("doc_id"), h60("ng:", col("g")).as("gh"))
-      val tagged = grams.join(spl, Seq("doc_id"))
-      val testG = tagged.filter(col("split") === "test").select("gh").distinct()
-      val dirty = tagged.filter(col("split") === "train")
+      val testG = grams.filter(!col("is_train")).select("gh").distinct()
+      val dirty = grams.filter(col("is_train"))
         .join(testG, Seq("gh"), "left_semi")
         .select("doc_id").distinct()
-      spl.filter(col("split") === "train")
-        .join(dirty, Seq("doc_id"), "left_anti")
+      docs
+        .withColumn("b", h60("spl:", col("text")) % 100)
+        .filter(col("b") < 80)
         .select("doc_id")
+        .join(dirty, Seq("doc_id"), "left_anti")
     }),
 
     // DS15 (extension) — DISTRIBUTION DRIFT: exact two-sample
