@@ -510,27 +510,9 @@ object DedupOps extends OpModule {
     // candidates, and the final anti-join is on a small drop set. The
     // bands and shingles come from the shared cache — nothing here is
     // rebuilt if dd2/dd3 already ran in this session.
-    "dd6_dedup_filter" -> ((s, dir) => {
-      val cands = candidatePairs(lshBands(s, dir))
-      val sh = shingles(s, dir)
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      // Jaccard verification restricted to LSH candidates: joining the
-      // candidate pairs with each side's shingles keeps the work
-      // candidate-proportional (never the global all-pairs-sharing-a-
-      // shingle relation — at 100 TB that relation is quadratic in the
-      // hot-shingle count, while candidates are bounded by band width).
-      val inter = cands
-        .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-      val drops = inter
-        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), Seq("doc_a"))
-        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), Seq("doc_b"))
-        .filter(round(col("inter") / (col("sza") + col("szb") - col("inter")), 6) >= 0.5)
-        .select(col("doc_b").as("doc_id")).distinct()
+    "dd6_dedup_filter" -> ((s, dir) =>
       Tables.documents(s, dir).select("doc_id")
-        .join(drops, Seq("doc_id"), "left_anti")
-    }),
+        .join(verifiedDrops(s, dir), Seq("doc_id"), "left_anti")),
 
     // cross-doc duplication profile: per doc, the fraction of its
     // distinct shingles shared with at least one other document — the
@@ -820,6 +802,34 @@ object DedupOps extends OpModule {
     edges.select(col("src").as("doc_id"), col("dst").as("component"))
       .unionByName(roots.select(col("doc_id"), col("doc_id").as("component")))
   }
+
+  /** The Jaccard-verified drop set (the higher doc_id of every LSH
+    * candidate pair whose verified Jaccard is >= 0.5), computed once per
+    * (session, dir) and shared by dd6 and pp1 ([[graft.sources.Cached]]
+    * — the same family pattern as [[components]], which dd9/pp4 share):
+    * it is the dedup family's keep/drop LEDGER, and the training
+    * pipeline consuming it must not re-run candidate generation +
+    * verification that the dedup pass already did. Jaccard verification
+    * is restricted to LSH candidates: joining the candidate pairs with
+    * each side's shingles keeps the work candidate-proportional (never
+    * the global all-pairs-sharing-a-shingle relation — at 100 TB that
+    * relation is quadratic in the hot-shingle count, while candidates
+    * are bounded by band width). */
+  private[operators] def verifiedDrops(s: SparkSession, dir: String): DataFrame =
+    Cached.of(s, s"dd:drops:$dir") {
+      val cands = candidatePairs(lshBands(s, dir))
+      val sh = shingles(s, dir)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = cands
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), Seq("doc_b"))
+        .filter(round(col("inter") / (col("sza") + col("szb") - col("inter")), 6) >= 0.5)
+        .select(col("doc_b").as("doc_id")).distinct()
+    }
 
   /** The corpus component relation, computed once per (session, dir) and
     * shared by dd9 and pp4 ([[graft.sources.Cached]]). Edges come from
