@@ -333,9 +333,18 @@ object GraphOps extends OpModule {
     * min_by over a ((-count), label) struct, the a21 trick. Exposed for
     * the synthetic-graph goldens in GraphSpec. */
   private[graft] def lpa(edges: DataFrame, rounds: Int): DataFrame = {
+    // LAZY localCheckpoint (r18 optimization): the round count is fixed —
+    // no per-round driver decision needs the materialization NOW — so the
+    // lineage cut still happens (LogicalRDD leaf, constant-size plans)
+    // but the blocks are saved when the next round's aggregation computes
+    // every partition anyway, collapsing `rounds` sequential jobs into
+    // one. Safe here because each generation's first consumer is a FULL
+    // materialization (groupBy over all partitions); loops that read a
+    // per-round scalar on the driver (g5's observe, componentsLoop's
+    // convergence probe) must keep the eager form.
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("lab", col("node"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     for (_ <- 1 to rounds) {
       labels = edges
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
@@ -344,7 +353,7 @@ object GraphOps extends OpModule {
         .groupBy("node")
         .agg(min_by(col("lab"),
           struct((-col("c")).as("nc"), col("lab"))).as("lab"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     labels
   }
@@ -381,8 +390,11 @@ object GraphOps extends OpModule {
     * iterate-to-fixpoint job must have at 100 TB (a separate
     * diff-relation action per round would double every iteration). */
   private[graft] def pagerankConverged(edgesDeg: DataFrame, cap: Int): DataFrame = {
+    // init checkpoint is LAZY (round 1's observe action materializes it
+    // fully); the PER-ROUND checkpoints below must stay eager — obs.get
+    // blocks on the materialization they trigger
     var pr = edgesDeg.select(col("src").as("node")).distinct()
-      .withColumn("pr", lit(Mass)).localCheckpoint()
+      .withColumn("pr", lit(Mass)).localCheckpoint(false)
     var iters = 0
     var delta = -1L
     while (iters < cap && delta != 0L) {
@@ -472,11 +484,14 @@ object GraphOps extends OpModule {
       rounds: Int): DataFrame = {
     var dist = seeds
     for (_ <- 1 to rounds) {
+      // lazy checkpoint — fixed round count, no per-round driver
+      // decision, every generation's first consumer materializes all
+      // partitions (see lpa); lineage truncation is unchanged
       dist = dist.unionByName(
           edges.join(dist.withColumnRenamed("node", "src"), Seq("src"))
             .select(col("dst").as("node"), (col("d") + 1).as("d")))
         .groupBy("node").agg(min("d").as("d"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     dist.groupBy("d").agg(count(lit(1)).as("n_nodes")).orderBy("d")
   }
