@@ -11,6 +11,20 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the ONE JSON line graft.Bench prints from a bounded
+// stdout tail. With the default LoggedOutput strategy sbt re-logs the
+// forked process's stdout as "[info] {...}" and stderr as "[error] ...",
+// and then appends its own "[success] Total time..." line — the wrapped
+// JSON has never been recovered by the driver's parser (PERF_r18.json:
+// prev/now_bench_ok false despite rc=0). StdoutOutput passes the child's
+// stdout/stderr through verbatim, and showSuccess drops the trailing
+// [success] line, so the JSON line Bench prints last IS the final stdout
+// line. (Bench also writes the identical line to BENCH_LINE.json.)
+run / outputStrategy := Some(StdoutOutput)
+showSuccess := false
+// showSuccess is consumed by sbt's command engine, not a task — the
+// unused-key lint doesn't see that
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -119,8 +119,20 @@ object Bench {
       w.println(s"""{"total":${r3(total)},"failed":$failedJson,"errors":$errJson,"queries":$fullQs,"sf":"$sfDir"}""")
       w.close()
     } catch { case _: Throwable => () }
-    println(line)
+    // The driver recovers the line from a bounded stdout TAIL, so it must
+    // be the LAST thing on stdout: release caches and stop Spark first
+    // (both log shutdown warnings), then print. The identical line also
+    // lands in a fixed sidecar so a clipped/interleaved tail can never
+    // lose the measurement. Measurement methodology (min-of-3 interleaved
+    // count() per query) is unchanged.
+    try if (only.isEmpty) {
+      val w = new java.io.PrintWriter("BENCH_LINE.json")
+      w.println(line)
+      w.close()
+    } catch { case _: Throwable => () }
     graft.sources.Cached.releaseAll()
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

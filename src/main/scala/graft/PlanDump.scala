@@ -17,10 +17,18 @@ object PlanDump {
   def main(args: Array[String]): Unit = {
     val flags = args.filter(_.startsWith("--")).toSet
     val pos = args.filterNot(_.startsWith("--"))
+    // Validate BEFORE building the session: a missing positional or a
+    // typo'd query name mid-list used to throw after minutes of session
+    // time, losing the earlier (partially written) outputs.
+    require(pos.length >= 4,
+      "usage: PlanDump <sfDir> <outDir> <suffix> [--exec] <query> [query ...]")
     val sfDir = pos(0)
     val outDir = pos(1)
     val suffix = pos(2)
     val names = pos.drop(3)
+    val unknownNames = names.filterNot(SparkEntry.queries.contains)
+    require(unknownNames.isEmpty,
+      s"unknown query name(s): ${unknownNames.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -28,4 +28,20 @@ object Layout {
   def buckets(s: SparkSession,
       env: String => Option[String] = sys.env.get): Int =
     Knob.posInt(EnvKnob, s.sparkContext.defaultParallelism, env)
+
+  /** Collision-free identifier component for a corpus directory, used in
+    * per-(process, corpus) layout table/dir names. Sanitizing alone is
+    * lossy — "/data/sf0.1" and "/data/sf0_1" both map to "_data_sf0_1",
+    * and BuildOnce's invalidUnless only checks table EXISTENCE, so the
+    * second corpus would silently join the first corpus's layout. The
+    * appended MD5 prefix of the RAW string keeps two distinct dirs on
+    * distinct layouts; deterministic across JVMs (unlike String.hashCode
+    * which is only *currently* stable, MD5 is specified). */
+  def dirKey(dir: String): String = {
+    val sanitized = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = md.take(4).map(b => f"$b%02x").mkString
+    s"${sanitized}_$hex"
+  }
 }

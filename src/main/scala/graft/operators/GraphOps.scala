@@ -287,7 +287,9 @@ object GraphOps extends OpModule {
     * catalog forgets tables across JVMs but warehouse directories
     * persist. */
   private[graft] def bucketedTradeEdges(s: SparkSession, dir: String): DataFrame = {
-    val t = "g6_edges_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    // Layout.dirKey: sanitized dir + hash of the raw dir, so two corpus
+    // dirs that sanitize identically never share a layout.
+    val t = "g6_edges_" + graft.model.Layout.dirKey(dir)
     // Build once per process (serving reality: build once, iterate
     // many — the bench measures ITERATION cost, not a rewrite per
     // call; keyed on the full sanitized dir so two corpora never share

@@ -155,9 +155,10 @@ object SimilarityOps extends OpModule {
     // warehouse rule).
     "nn15_partitioned_ivf_probe" -> ((s, dir) => {
       val e = emb(s, dir)
-      // Keyed on the full sanitized dir (not String.hashCode): two data
-      // dirs in one process must never collide onto one layout.
-      val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
+      // Keyed on Layout.dirKey (sanitized dir + hash of the raw dir, not
+      // String.hashCode): two data dirs in one process must never collide
+      // onto one layout, even when they sanitize identically.
+      val dirKey = graft.model.Layout.dirKey(dir)
       val out = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_nn15_${dirKey}_${ProcessHandle.current.pid}").getPath
       // build-once, marked done only AFTER the write succeeds — a

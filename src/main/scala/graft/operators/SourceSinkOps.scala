@@ -190,8 +190,11 @@ object SourceSinkOps extends OpModule {
       // exchange-free join. Table names carry the sanitized dir so two
       // corpora never share a layout; invalidUnless re-validates against
       // THIS session's catalog (the guard is process-wide, the catalog
-      // per-session — a fresh spec-local session rebuilds).
-      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      // per-session — a fresh spec-local session rebuilds). Layout.dirKey
+      // appends a hash of the RAW dir so sanitization collisions
+      // ("/d/sf0.1" vs "/d/sf0_1") cannot alias two corpora onto one
+      // layout.
+      val sfx = graft.model.Layout.dirKey(dir)
       val (tLi, tO) = (s"k15_li_$sfx", s"k15_o_$sfx")
       graft.model.BuildOnce.once(s"k15:$sfx",
         invalidUnless = s.catalog.tableExists(tLi) && s.catalog.tableExists(tO)) {

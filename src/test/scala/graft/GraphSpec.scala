@@ -57,6 +57,42 @@ class GraphSpec extends SparkSpec {
     assert(got == Seq((0, 1L), (1, 25L)))
   }
 
+  test("fixed-round loops stay lazy: construction must not materialize the checkpoint") {
+    // r18 made the FIXED-round loops' per-generation localCheckpoint lazy
+    // (the result-stage materialization rides the terminal action instead
+    // of running one blocking job per generation). That invariant was
+    // previously enforced only by comments: a future edit reverting to
+    // the eager form would silently serialize the rounds again. The
+    // precise observable: the generation's checkpoint RDD must NOT be
+    // materialized when the loop returns (AQE still runs shuffle map
+    // stages during planning either way — job counts can't pin this),
+    // and MUST be after the terminal action computes it.
+    import spark.implicits._
+    val e0 = (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst")
+    val edges = e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst")))
+    def ckptRdd(df: DataFrame): org.apache.spark.rdd.RDD[_] =
+      df.queryExecution.analyzed.collectLeaves().collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.getOrElse(fail("no LogicalRDD leaf — lineage cut disappeared"))
+    for ((name, df) <- Seq(
+        "lpa" -> GraphOps.lpa(edges, rounds = 2),
+        "bfsHistogram" -> GraphOps.bfsHistogram(edges,
+          Seq((0L, 0)).toDF("node", "d"), rounds = 4))) {
+      // the LogicalRDD leaf found above IS the lineage cut; what must stay
+      // lazy is its materialization state (isLocallyCheckpointed is
+      // private[spark], but isCheckpointed flips exactly at
+      // materialization for local checkpoints too)
+      val r = ckptRdd(df)
+      assert(!r.isCheckpointed,
+        s"$name: construction materialized the checkpoint — the loop went " +
+          "eager again, one blocking job per generation")
+      df.count()
+      assert(r.isCheckpointed,
+        s"$name: the terminal action must materialize the checkpoint")
+    }
+  }
+
   test("g5: integer mass is stationary on a regular graph — the early exit fires after one round") {
     import spark.implicits._
     // 12-cycle: every node has degree 2, so each round every node sends

@@ -26,4 +26,14 @@ class LayoutSpec extends SparkSpec {
       assert(e.getMessage.contains(Layout.EnvKnob), s"'$bad': ${e.getMessage}")
     }
   }
+
+  test("dirKey: dirs that sanitize identically get distinct keys") {
+    // the r18 advice case: sanitization alone maps both of these to
+    // "_data_sf0_1", and a shared key would silently alias two corpora
+    // onto one write-once layout
+    assert(Layout.dirKey("/data/sf0.1") != Layout.dirKey("/data/sf0_1"))
+    // deterministic (it names persistent tables) and identifier-safe
+    assert(Layout.dirKey("/data/sf0.1") == Layout.dirKey("/data/sf0.1"))
+    assert(Layout.dirKey("/data/sf0.1").matches("[A-Za-z0-9_]+"))
+  }
 }
