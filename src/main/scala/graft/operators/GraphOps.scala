@@ -328,13 +328,70 @@ object GraphOps extends OpModule {
     s.table(t)
   }
 
+  /** Initial reducer count for the iterative loops' per-round shuffles
+    * (guide §2.2): the rounds shuffle node/frontier-sized relations, not
+    * the corpus, so the reducer count derives from the (cached) edge
+    * relation's size at [[RoundPartitionBytes]] per partition instead of
+    * inheriting the corpus-sized session setting. The session setting is
+    * the CEILING — at scale (stats ≫ cores × target, or an unmaterialized
+    * cache whose join-chain estimate is huge) behavior is unchanged and
+    * AQE still coalesces. Measured at sf0.1/local[32] (MetricsCheck,
+    * r19): g5 steady 7.5-8.3 s at 32 initial partitions vs 4.4-4.6 s at
+    * 8, shuffle bytes 46.6 → 20.1 MB — the same graph-sized-rounds
+    * argument dd15's componentsOf makes with its fixed 8, made
+    * scale-adaptive. */
+  private val RoundPartitionBytes = BigInt(16L << 20)
+  private[graft] def roundPartitions(s: SparkSession, rel: DataFrame): Int = {
+    val sessionParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // For a MATERIALIZED cached relation, read the cache builder's size
+    // accumulator directly: plan-level stats are memoized per plan
+    // INSTANCE, so a Cached relation whose stats were first touched
+    // before materialization reports its join-chain ESTIMATE (terabytes
+    // for tradeEdgesDeg) forever. Unmaterialized (first call in a fresh
+    // session), the estimate path returns that huge value, the min()
+    // hits the session ceiling, and behavior is simply unchanged — the
+    // safe fallback.
+    val bytes: BigInt = rel.queryExecution.optimizedPlan.collectFirst {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation
+          if m.cacheBuilder.isCachedColumnBuffersLoaded =>
+        BigInt(m.cacheBuilder.sizeInBytesStats.value)
+    }.getOrElse(rel.queryExecution.optimizedPlan.stats.sizeInBytes)
+    val n = ((bytes + RoundPartitionBytes - 1) / RoundPartitionBytes)
+      .min(BigInt(sessionParts)).max(BigInt(1)).toInt
+    // one bounded stderr line per loop entry (the tx15 regime-print
+    // discipline): which sizing the rounds actually ran with
+    System.err.println(
+      s"[graft] graph rounds: $n of $sessionParts partitions (rel $bytes B)")
+    n
+  }
+
+  /** Run `body` with the per-round shuffle sizing of [[roundPartitions]];
+    * restores the session setting afterwards. Binding rule: this only
+    * affects shuffles whose plans are FINALIZED inside `body` — the
+    * eager/lazy localCheckpoint loops qualify (even a lazy checkpoint
+    * builds its RDD, fixing reducer counts, at construction); a fully
+    * lazy composition like g1/g6's step chain does not (its shuffles plan
+    * at the caller's terminal action, under the restored session conf). */
+  private def withRoundSizedShuffle[T](s: SparkSession, rel: DataFrame)(
+      body: => T): T = {
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      roundPartitions(s, rel).toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   /** Synchronous label propagation: `rounds` mode-label updates over a
     * symmetric (src, dst) edge relation. Each round every node adopts
     * the most frequent label among its NEIGHBORS (self excluded),
     * smallest label on ties — (count desc, label asc) realized as
     * min_by over a ((-count), label) struct, the a21 trick. Exposed for
     * the synthetic-graph goldens in GraphSpec. */
-  private[graft] def lpa(edges: DataFrame, rounds: Int): DataFrame = {
+  private[graft] def lpa(edges: DataFrame, rounds: Int): DataFrame =
+    withRoundSizedShuffle(edges.sparkSession, edges) {
+      lpaLoop(edges, rounds)
+    }
+
+  private def lpaLoop(edges: DataFrame, rounds: Int): DataFrame = {
     // LAZY localCheckpoint (r18 optimization): the round count is fixed —
     // no per-round driver decision needs the materialization NOW — so the
     // lineage cut still happens (LogicalRDD leaf, constant-size plans)
@@ -391,12 +448,22 @@ object GraphOps extends OpModule {
     * extra passes over the data, which is the shape an
     * iterate-to-fixpoint job must have at 100 TB (a separate
     * diff-relation action per round would double every iteration). */
-  private[graft] def pagerankConverged(edgesDeg: DataFrame, cap: Int): DataFrame = {
-    // init checkpoint is LAZY (round 1's observe action materializes it
-    // fully); the PER-ROUND checkpoints below must stay eager — obs.get
-    // blocks on the materialization they trigger
+  private[graft] def pagerankConverged(edgesDeg: DataFrame, cap: Int): DataFrame =
+    withRoundSizedShuffle(edgesDeg.sparkSession, edgesDeg) {
+      pagerankConvergedLoop(edgesDeg, cap)
+    }
+
+  private def pagerankConvergedLoop(edgesDeg: DataFrame, cap: Int): DataFrame = {
+    // init checkpoint is EAGER, like the per-round ones below (obs.get
+    // blocks on the materialization they trigger). r18 tried a lazy init
+    // here; the r19 interleaved local[32] A/B (3 alternations, g-family
+    // only, records/BENCH_G5AB_r19.jsonl) read eager faster in every
+    // adjacent pair (6.68/6.38/6.15 vs 6.94/7.59/6.22 s) — deferring the
+    // init merely moves its materialization inside round 1's blocking
+    // observe, where it serializes with the round instead of overlapping
+    // the loop setup. Reverted per the r18 verdict.
     var pr = edgesDeg.select(col("src").as("node")).distinct()
-      .withColumn("pr", lit(Mass)).localCheckpoint(false)
+      .withColumn("pr", lit(Mass)).localCheckpoint()
     var iters = 0
     var delta = -1L
     while (iters < cap && delta != 0L) {
@@ -483,6 +550,12 @@ object GraphOps extends OpModule {
     * (node, d=0) seed frame — g4's recurrence, exposed for the
     * synthetic-graph specs (path/star distances known in closed form). */
   private[graft] def bfsHistogram(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame =
+    withRoundSizedShuffle(edges.sparkSession, edges) {
+      bfsLoop(edges, seeds, rounds)
+    }
+
+  private def bfsLoop(edges: DataFrame, seeds: DataFrame,
       rounds: Int): DataFrame = {
     var dist = seeds
     for (_ <- 1 to rounds) {
